@@ -1,0 +1,516 @@
+"""Batched assembly of the dual-mixed hydraulic network system.
+
+TPU-first replacement for the reference assembler
+(``src/networks_fenicsx/assembly.py``), which builds an (M+2)x(M+2) block of
+UFL forms, JIT-compiles them with FFCx into per-cell C kernels and inserts
+into PETSc matrices (reference ``assembly.py:164-299,328-368``).  Here the
+variational structure is identical but realised as closed-form element
+matrices (:mod:`networks_fenicsx_tpu.ops.elements`) evaluated batched over
+all cells, with the global matrix produced as static COO index arrays plus
+dynamically computed values — no per-problem codegen, XLA ``jit`` replaces
+FFCx.
+
+The discrete system (block order ``[q_0 .. q_{M-1}, p, λ]``, matching the
+reference contract, ``assembly.py:318-321``):
+
+* ``a[i][i]     += ∫ R q_i v_i dx``                  (reference ``assembly.py:253``)
+* ``a[M][i]     += ∫ φ (∇q_i · τ) dx``               (reference ``assembly.py:254``)
+* ``a[i][M]      = −∫ p (∇v_i · τ) dx``              (reference ``assembly.py:255``)
+* ``a[M+1][c]   ±= ∫ μ q_c ds(bifurcation)``          (+ in-edges, − out-edges,
+  reference ``assembly.py:268-277``)
+* ``a[c][M+1]   ±= ∫ λ v_c ds(bifurcation)``
+* ``L[i]         = ∫ p_bc v_i ds(in) − ∫ p_bc v_i ds(out)`` (reference ``assembly.py:258-260``)
+* ``L[M]        += ∫ f φ dx``                         (reference ``assembly.py:262``)
+
+with unit tangent ``τ = orientation * J[:,0]/|J[:,0]|``
+(reference ``assembly.py:238-242``); assembling in along-edge parametrisation
+absorbs the orientation sign exactly.  On a 1D interval the exterior-facet
+``ds`` measures are point evaluations at cell endpoints, so the multiplier
+blocks are ±1 incidence entries at edge-endpoint flux dofs.
+
+Defaults ``f = 0`` and ``R = 1`` follow the reference (``assembly.py:201-205``).
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import numpy.typing as npt
+
+import jax.numpy as jnp
+
+from .function import FunctionSpace
+from .mesh import NetworkMesh
+from .ops import elements
+from .utils.timing import timed
+
+__all__ = ["HydraulicNetworkAssembler", "PressureFunction", "compute_integration_data"]
+
+
+class PressureFunction(typing.Protocol):
+    """Callable boundary-pressure protocol (reference ``assembly.py:24-25``).
+
+    Receives coordinates of shape ``(3, n)`` (zero-padded like DOLFINx
+    interpolation points) and returns ``(n,)`` values.
+    """
+
+    def __call__(self, x: npt.NDArray[np.floating]) -> npt.NDArray[np.inexact]: ...
+
+
+@timed("nxfx:compute_integration_data")
+def compute_integration_data(
+    network_mesh: NetworkMesh,
+) -> tuple[dict[int, npt.NDArray[np.int32]], dict[int, npt.NDArray[np.int32]]]:
+    """Per-color bifurcation integration entities on the parent mesh.
+
+    API-parity equivalent of the reference function (``assembly.py:29-92``):
+    for each edge color, the flattened ``(parent_cell, local_endpoint)``
+    pairs at which in-flux respectively out-flux point evaluations occur.
+    ``local_endpoint`` is 0/1 in along-edge orientation.
+    """
+    N = network_mesh.N
+    in_entities: dict[int, list] = {c: [] for c in range(network_mesh.num_edge_colors)}
+    out_entities: dict[int, list] = {c: [] for c in range(network_mesh.num_edge_colors)}
+    for b in range(len(network_mesh.bifurcation_values)):
+        for e in network_mesh.in_edge_ids(b):
+            c = int(network_mesh.edge_color[e])
+            in_entities[c].extend([int(e) * N + (N - 1), 1])  # last cell, end point
+        for e in network_mesh.out_edge_ids(b):
+            c = int(network_mesh.edge_color[e])
+            out_entities[c].extend([int(e) * N, 0])  # first cell, start point
+    return (
+        {c: np.asarray(v, dtype=np.int32) for c, v in in_entities.items()},
+        {c: np.asarray(v, dtype=np.int32) for c, v in out_entities.items()},
+    )
+
+
+def _as_padded_coords(x: npt.NDArray[np.float64]) -> npt.NDArray[np.float64]:
+    """(n, gdim) -> (3, n), zero-padded, matching DOLFINx callable convention."""
+    out = np.zeros((3, x.shape[0]), dtype=np.float64)
+    out[: x.shape[1]] = x.T
+    return out
+
+
+class HydraulicNetworkAssembler:
+    """Assembler for the hydraulic network model
+
+    .. math::
+        R q + \\frac{d p}{d s} = 0, \\qquad \\frac{d q}{d s} = f
+
+    on the network graph, with mass conservation ``Σ q_in = Σ q_out``
+    enforced at bifurcations by Lagrange multipliers
+    (reference ``assembly.py:95-121``).
+
+    Args:
+        mesh: The network mesh.
+        flux_degree: Polynomial degree of the per-color flux spaces
+            (equispaced Lagrange, matching the reference's legacy-FEniCS
+            variant, ``assembly.py:127-133``).
+        pressure_degree: Degree of the pressure space on the parent mesh;
+            0 (default) is discontinuous per-cell, >= 1 is continuous
+            (reference ``assembly.py:135-146``).
+    """
+
+    @timed("nxfx:HydraulicNetworkAssembler:__init__")
+    def __init__(self, mesh: NetworkMesh, flux_degree: int = 1, pressure_degree: int = 0):
+        if flux_degree < 1:
+            raise ValueError("flux_degree must be >= 1")
+        if pressure_degree < 0:
+            raise ValueError("pressure_degree must be >= 0")
+        self._network_mesh = mesh
+        self._k = int(flux_degree)
+        self._kp = int(pressure_degree)
+        self._a_values: jnp.ndarray | None = None
+        self._b_vector: jnp.ndarray | None = None
+        self._build_dof_maps()
+        self._build_static_structure()
+        # Parity attribute: unique measure ids for in/out bifurcation
+        # integrals (reference assembly.py:153-162).
+        self._in_idx = max(mesh.in_marker, mesh.out_marker) + 1
+        self._out_idx = self._in_idx + mesh.num_edge_colors
+
+    # ----------------------------------------------------------- dof layout
+    def _build_dof_maps(self) -> None:
+        mesh = self._network_mesh
+        k, kp, N = self._k, self._kp, mesh.N
+        E, C, M = mesh.num_edges, mesh.num_cells, mesh.num_edge_colors
+        B = mesh.num_multipliers
+
+        # Edge ranks within each color (ascending edge id per color).
+        order = np.lexsort((np.arange(E), mesh.edge_color))
+        rank = np.empty(E, dtype=np.int64)
+        counts = np.bincount(mesh.edge_color, minlength=M)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for c in range(M):
+            rank[order[starts[c] : starts[c + 1]]] = np.arange(counts[c])
+        self._edges_per_color = counts.astype(np.int64)
+
+        dofs_per_edge = k * N + 1
+        flux_sizes = counts * dofs_per_edge
+        if kp == 0:
+            p_size = C
+        else:
+            p_size = mesh.num_vertices + C * (kp - 1)
+        sizes = np.concatenate([flux_sizes, [p_size, B]])
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        self._block_sizes = sizes.astype(np.int64)
+        self._block_offsets = offsets.astype(np.int64)
+        self._num_dofs = int(offsets[-1])
+
+        # Absolute first-dof index of each edge's flux chain.
+        self._edge_flux_base = (
+            offsets[mesh.edge_color] + rank * dofs_per_edge
+        ).astype(np.int64)
+        self._dofs_per_edge = dofs_per_edge
+
+        # Per-cell flux dofs (C, k+1), along-edge local order.
+        cell_pos = np.arange(C, dtype=np.int64) % N
+        self._cell_flux_dofs = (
+            self._edge_flux_base[mesh.cell_edge][:, None]
+            + k * cell_pos[:, None]
+            + np.arange(k + 1)[None, :]
+        )
+
+        # Per-cell pressure dofs (C, npdofs), along-edge local order.
+        p_off = offsets[M]
+        if kp == 0:
+            self._cell_p_dofs = p_off + np.arange(C, dtype=np.int64)[:, None]
+        else:
+            asc = mesh.orientation > 0
+            start_v = np.where(asc, mesh.cells[:, 0], mesh.cells[:, 1])
+            end_v = np.where(asc, mesh.cells[:, 1], mesh.cells[:, 0])
+            pd = np.empty((C, kp + 1), dtype=np.int64)
+            pd[:, 0] = p_off + start_v
+            pd[:, kp] = p_off + end_v
+            if kp > 1:
+                interior0 = p_off + mesh.num_vertices
+                pd[:, 1:kp] = (
+                    interior0
+                    + (kp - 1) * np.arange(C, dtype=np.int64)[:, None]
+                    + np.arange(kp - 1)[None, :]
+                )
+            self._cell_p_dofs = pd
+
+        self._lm_offset = int(offsets[M + 1])
+
+        # Edge endpoint classification for boundary terms and multipliers.
+        bif_index = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
+        bif_index[mesh.bifurcation_values] = np.arange(B)
+        self._edge_start_bif = bif_index[mesh.edges[:, 0]]
+        self._edge_end_bif = bif_index[mesh.edges[:, 1]]
+
+        # Function-space descriptors (reference assembly.py:301-321).
+        self._flux_spaces = [
+            FunctionSpace(mesh, "flux", k, c, int(flux_sizes[c])) for c in range(M)
+        ]
+        self._pressure_space = FunctionSpace(mesh, "pressure", kp, None, int(p_size))
+        self._lm_space = FunctionSpace(mesh, "lm", 0, None, B)
+
+    # ----------------------------------------------- static sparsity pattern
+    def _build_static_structure(self) -> None:
+        """COO rows/cols for every block; only the mass values are dynamic."""
+        mesh = self._network_mesh
+        k, kp = self._k, self._kp
+        C = mesh.num_cells
+        fd = self._cell_flux_dofs  # (C, k+1)
+        pd = self._cell_p_dofs  # (C, np)
+
+        # Flux mass block: dynamic values (depend on R).
+        self._mass_rows = np.repeat(fd, k + 1, axis=1).ravel()
+        self._mass_cols = np.tile(fd, (1, k + 1)).ravel()
+
+        # Divergence blocks: static values.
+        Dhat = elements.div_matrix(kp, k)  # (np, k+1)
+        npd = Dhat.shape[0]
+        div_rows = np.repeat(pd, k + 1, axis=1).ravel()
+        div_cols = np.tile(fd, (1, npd)).ravel()
+        div_vals = np.tile(Dhat.ravel(), C)
+        # a[M][i] = +div ; a[i][M] = -div^T  (reference assembly.py:254-255)
+        self._static_rows = np.concatenate([div_rows, div_cols])
+        self._static_cols = np.concatenate([div_cols, div_rows])
+        self._static_vals = np.concatenate([div_vals, -div_vals])
+
+        # Multiplier incidence (reference assembly.py:268-277):
+        # in-edge of bifurcation b:  +q(edge end);  out-edge: −q(edge start).
+        lm_rows = []
+        lm_cols = []
+        lm_vals = []
+        end_dof = self._edge_flux_base + self._dofs_per_edge - 1
+        start_dof = self._edge_flux_base
+        in_e = self._edge_end_bif >= 0
+        out_e = self._edge_start_bif >= 0
+        lm_rows.append(self._lm_offset + self._edge_end_bif[in_e])
+        lm_cols.append(end_dof[in_e])
+        lm_vals.append(np.ones(in_e.sum()))
+        lm_rows.append(self._lm_offset + self._edge_start_bif[out_e])
+        lm_cols.append(start_dof[out_e])
+        lm_vals.append(-np.ones(out_e.sum()))
+        lr = np.concatenate(lm_rows)
+        lc = np.concatenate(lm_cols)
+        lv = np.concatenate(lm_vals)
+        # Symmetric counterpart a[c][M+1] with the same signs.
+        self._static_rows = np.concatenate([self._static_rows, lr, lc])
+        self._static_cols = np.concatenate([self._static_cols, lc, lr])
+        self._static_vals = np.concatenate([self._static_vals, lv, lv])
+
+        self._all_rows = np.concatenate([self._mass_rows, self._static_rows])
+        self._all_cols = np.concatenate([self._mass_cols, self._static_cols])
+
+    # --------------------------------------------------------------- forms
+    @timed("nxfx:HydraulicNetworkAssembler:compute_forms")
+    def compute_forms(
+        self,
+        p_bc_ex: typing.Callable | float,
+        f: typing.Callable | float | npt.NDArray[np.floating] | None = None,
+        R: typing.Callable | float | npt.NDArray[np.floating] | None = None,
+        jit_options: dict | None = None,
+        form_compiler_options: dict | None = None,
+    ) -> None:
+        """Evaluate coefficient data for the variational forms.
+
+        Args:
+            p_bc_ex: Boundary pressure — a callable on ``(3, n)`` coordinate
+                arrays (DOLFINx convention; reference ``assembly.py:225-234``)
+                or a constant.
+            f: Source term — None (0), a constant, a per-cell array ``(C,)``
+                or a coordinate callable (reference default
+                ``assembly.py:201-202``).
+            R: Resistance — None (1), a constant, a per-edge ``(E,)`` or
+                per-cell ``(C,)`` array, or a coordinate callable (reference
+                default ``assembly.py:204-205``).
+            jit_options, form_compiler_options: Accepted for reference API
+                parity; unused (XLA jit has no per-form options here).
+        """
+        del jit_options, form_compiler_options
+        mesh = self._network_mesh
+        k, kp = self._k, self._kp
+        C = mesh.num_cells
+
+        # Quadrature in along-edge parametrisation.
+        nq = k + 1
+        xi, w = elements.gauss_legendre(nq)
+        phi = elements.tabulate(k, xi)  # (nq, k+1)
+
+        asc = mesh.orientation > 0
+        v_start = np.where(asc[:, None], mesh.vertices[mesh.cells[:, 0]], mesh.vertices[mesh.cells[:, 1]])
+        v_end = np.where(asc[:, None], mesh.vertices[mesh.cells[:, 1]], mesh.vertices[mesh.cells[:, 0]])
+
+        def _coeff_at_quad(coeff, default: float) -> np.ndarray:
+            """Coefficient values at quadrature points, shape (C, nq)."""
+            if coeff is None:
+                return np.full((C, nq), default)
+            if callable(coeff):
+                xq = (
+                    v_start[:, None, :] * (1 - xi)[None, :, None]
+                    + v_end[:, None, :] * xi[None, :, None]
+                )  # (C, nq, gdim)
+                vals = coeff(_as_padded_coords(xq.reshape(-1, mesh.geometric_dim)))
+                return np.asarray(vals, dtype=np.float64).reshape(C, nq)
+            arr = np.asarray(coeff, dtype=np.float64)
+            if arr.ndim == 0:
+                return np.full((C, nq), float(arr))
+            if arr.shape[0] == mesh.num_edges and mesh.num_edges != C:
+                arr = arr[mesh.cell_edge]
+            if arr.shape[0] != C:
+                raise ValueError(
+                    f"coefficient array must have {C} (per-cell) or "
+                    f"{mesh.num_edges} (per-edge) entries, got {arr.shape}"
+                )
+            return np.broadcast_to(arr[:, None], (C, nq)).copy()
+
+        R_q = _coeff_at_quad(R, 1.0)  # (C, nq)
+        f_q = _coeff_at_quad(f, 0.0)
+
+        # Per-cell flux mass matrices  M_c = h_c Σ_q w_q R_q φ_i φ_j.
+        cell_mass = np.einsum(
+            "cq,q,qi,qj->cij", R_q, w, phi, phi
+        ) * mesh.cell_h[:, None, None]
+        self._cell_mass = cell_mass
+
+        # Per-cell pressure load  (∫ f ψ_m over cell).
+        psi = elements.tabulate(kp, xi) if kp > 0 else np.ones((nq, 1))
+        self._cell_f_load = np.einsum("cq,q,qm->cm", f_q, w, psi) * mesh.cell_h[:, None]
+        self._cell_f_int = np.einsum("cq,q->c", f_q, w) * mesh.cell_h  # ∫ f per cell
+
+        # Boundary pressure values at graph nodes (only boundary nodes used).
+        if callable(p_bc_ex):
+            node_pbc = np.asarray(
+                p_bc_ex(_as_padded_coords(mesh.vertices[: mesh.num_graph_nodes])),
+                dtype=np.float64,
+            ).reshape(mesh.num_graph_nodes)
+        else:
+            node_pbc = np.full(mesh.num_graph_nodes, float(p_bc_ex))
+        self._node_pbc = node_pbc
+
+        # RHS: L[i] = p_bc v ds(in) − p_bc v ds(out)   (assembly.py:258-260)
+        b = np.zeros(self._num_dofs, dtype=np.float64)
+        end_dof = self._edge_flux_base + self._dofs_per_edge - 1
+        start_dof = self._edge_flux_base
+        bin_nodes = mesh.boundary_in_nodes
+        bout_nodes = mesh.boundary_out_nodes
+        # in-boundary node = terminus of its unique in-edge.
+        edges = mesh.edges
+        in_edge_of_node = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
+        in_edge_of_node[edges[:, 1]] = np.arange(mesh.num_edges)
+        out_edge_of_node = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
+        out_edge_of_node[edges[:, 0]] = np.arange(mesh.num_edges)
+        b[end_dof[in_edge_of_node[bin_nodes]]] += node_pbc[bin_nodes]
+        b[start_dof[out_edge_of_node[bout_nodes]]] -= node_pbc[bout_nodes]
+        # L[M] += ∫ f φ dx  (assembly.py:262)
+        np.add.at(b, self._cell_p_dofs.ravel(), self._cell_f_load.ravel())
+        self._b_host = b
+
+        # Per-edge effective endpoint data for the Schur solver.
+        self._edge_start_pbc = np.where(
+            self._edge_start_bif < 0, node_pbc[edges[:, 0]], 0.0
+        )
+        self._edge_end_pbc = np.where(self._edge_end_bif < 0, node_pbc[edges[:, 1]], 0.0)
+
+        self._forms_computed = True
+
+    # ------------------------------------------------------------- assemble
+    @timed("nxfx:HydraulicNetworkAssembler:assemble")
+    def assemble(
+        self,
+        A=None,
+        b=None,
+        assemble_lhs: bool = True,
+        assemble_rhs: bool = True,
+        kind: str | None = None,
+    ):
+        """Assemble the system matrix and RHS vector.
+
+        Args:
+            A, b: Ignored placeholders for reference API parity (arrays are
+                immutable under JAX; fresh ones are returned).
+            assemble_lhs / assemble_rhs: Which parts to build
+                (reference ``assembly.py:328-368``).
+            kind: ``None``/"bcoo"/"mpi" → sparse BCOO (sum-duplicated);
+                ``"dense"`` → dense ndarray; ``"nest"``/"blocks" → dict of
+                per-block sparse matrices keyed ``(i, j)`` (the PETSc
+                MatNest analog, reference ``assembly.py:335``).
+        """
+        self._require_forms()
+        kind = kind or "bcoo"
+        A_out, b_out = A, b
+        if assemble_lhs:
+            values = jnp.concatenate(
+                [jnp.asarray(self._cell_mass).ravel(), jnp.asarray(self._static_vals)]
+            )
+            if kind == "dense":
+                A_out = (
+                    jnp.zeros((self._num_dofs, self._num_dofs), dtype=values.dtype)
+                    .at[self._all_rows, self._all_cols]
+                    .add(values)
+                )
+            elif kind in ("bcoo", "mpi", None):
+                from jax.experimental import sparse as jsparse
+
+                indices = jnp.stack(
+                    [jnp.asarray(self._all_rows), jnp.asarray(self._all_cols)], axis=1
+                )
+                A_out = jsparse.BCOO(
+                    (values, indices), shape=(self._num_dofs, self._num_dofs)
+                ).sum_duplicates()
+            elif kind in ("nest", "blocks"):
+                A_out = self._assemble_blocks(values)
+            else:
+                raise ValueError(f"unknown matrix kind {kind!r}")
+        if assemble_rhs:
+            b_out = jnp.asarray(self._b_host)
+        return A_out, b_out
+
+    def _assemble_blocks(self, values: jnp.ndarray) -> dict:
+        """Per-block sparse matrices (MatNest analog)."""
+        from jax.experimental import sparse as jsparse
+
+        offs = self._block_offsets
+        nblocks = len(self._block_sizes)
+        rows, cols = self._all_rows, self._all_cols
+        row_blk = np.searchsorted(offs, rows, side="right") - 1
+        col_blk = np.searchsorted(offs, cols, side="right") - 1
+        blocks: dict[tuple[int, int], jsparse.BCOO] = {}
+        for i in range(nblocks):
+            for j in range(nblocks):
+                mask = (row_blk == i) & (col_blk == j)
+                if not mask.any():
+                    continue
+                idx = jnp.stack(
+                    [
+                        jnp.asarray(rows[mask] - offs[i]),
+                        jnp.asarray(cols[mask] - offs[j]),
+                    ],
+                    axis=1,
+                )
+                blocks[(i, j)] = jsparse.BCOO(
+                    (values[np.flatnonzero(mask)], idx),
+                    shape=(int(self._block_sizes[i]), int(self._block_sizes[j])),
+                ).sum_duplicates()
+        return blocks
+
+    def bilinear_form(self, i: int, j: int):
+        """Extract block (i, j) of the assembled matrix as dense ndarray
+        (reference ``assembly.py:378-383``)."""
+        self._require_forms()
+        A, _ = self.assemble(assemble_rhs=False, kind="dense")
+        offs = self._block_offsets
+        return A[offs[i] : offs[i + 1], offs[j] : offs[j + 1]]
+
+    def linear_form(self, i: int) -> jnp.ndarray:
+        """Block i of the RHS (reference ``assembly.py:393-398``)."""
+        self._require_forms()
+        offs = self._block_offsets
+        return jnp.asarray(self._b_host[offs[i] : offs[i + 1]])
+
+    def _require_forms(self) -> None:
+        if not getattr(self, "_forms_computed", False):
+            raise RuntimeError("Forms haven't been computed. Call compute_forms() first.")
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def lm_space(self) -> FunctionSpace:
+        """Multiplier space (reference ``assembly.py:301-304``)."""
+        return self._lm_space
+
+    @property
+    def pressure_space(self) -> FunctionSpace:
+        return self._pressure_space
+
+    @property
+    def flux_spaces(self) -> list[FunctionSpace]:
+        return self._flux_spaces
+
+    @property
+    def function_spaces(self) -> list[FunctionSpace]:
+        """All spaces in block order ``[flux..., pressure, lm]``
+        (reference ``assembly.py:317-321``)."""
+        return [*self._flux_spaces, self._pressure_space, self._lm_space]
+
+    @property
+    def network(self) -> NetworkMesh:
+        return self._network_mesh
+
+    @property
+    def flux_degree(self) -> int:
+        return self._k
+
+    @property
+    def pressure_degree(self) -> int:
+        return self._kp
+
+    @property
+    def num_dofs(self) -> int:
+        return self._num_dofs
+
+    @property
+    def block_sizes(self) -> npt.NDArray[np.int64]:
+        return self._block_sizes
+
+    @property
+    def block_offsets(self) -> npt.NDArray[np.int64]:
+        return self._block_offsets
+
+    @property
+    def forms_computed(self) -> bool:
+        return getattr(self, "_forms_computed", False)

@@ -1,0 +1,224 @@
+"""Generators for directed network graphs (:class:`networkx.DiGraph`).
+
+Capability match for the reference generators
+(``src/networks_fenicsx/network_generation.py``):
+
+* :func:`make_tree` — symmetric binary tree rooted at the origin
+  (reference ``network_generation.py:42-100``), byte-identical node layout.
+* :func:`make_arterial_tree` — Murray's-law arterial tree with
+  radius-dependent daughter diameters, minimum-energy bifurcation angles and
+  Rodrigues-rotation geometry (reference ``network_generation.py:158-283``).
+
+Graphs carry a ``pos`` attribute per node (2D or 3D coordinates) and, for
+arterial trees, a ``radius`` attribute per edge.  All geometry is computed
+with vectorized NumPy on the host; the graphs feed
+:class:`networks_fenicsx_tpu.NetworkMesh`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import networkx as nx
+import numpy as np
+import numpy.typing as npt
+
+from .utils.timing import timed
+
+__all__ = ["make_tree", "make_arterial_tree"]
+
+
+def _binary_tree_edges(num_nodes: int) -> np.ndarray:
+    """Edge list of the rooted binary tree in BFS numbering.
+
+    Node 0 is a stem node with the single child 1; node 1 is the first
+    branching node.  For ``i >= 2`` the parent of node ``i`` is ``i // 2``
+    (heap numbering), which reproduces the reference's BFS generator
+    (``network_generation.py:18-37``) for branching ratio 2.
+    """
+    if num_nodes < 2:
+        return np.empty((0, 2), dtype=np.int64)
+    child = np.arange(2, num_nodes, dtype=np.int64)
+    edges = np.concatenate(
+        [np.array([[0, 1]], dtype=np.int64), np.stack([child // 2, child], axis=1)]
+    )
+    return edges
+
+
+@timed("nxfx:make_tree")
+def make_tree(n: int, H: float, W: float, dim: int = 3) -> nx.DiGraph:
+    """Generate a symmetric binary tree rooted at the origin.
+
+    Layout matches the reference (``network_generation.py:42-100``): the root
+    edge runs from ``(0, 0)`` to ``(0, H/n)``; generation ``g`` (1-based) sits
+    at height ``(g + 1) * H / n`` with ``2**g`` nodes placed symmetrically
+    about ``x = 0`` at a pitch determined by ``W``.
+
+    Args:
+        n: Number of generations of branches (``n >= 1``).
+        H: Height of the tree.
+        W: Width of the tree at its largest extent.
+        dim: Geometric dimension of the node coordinates (2 or 3).
+    """
+    if n < 1:
+        raise ValueError("Number of generations must be at least 1")
+    if dim not in (2, 3):
+        raise ValueError("dim must be 2 or 3")
+
+    num_nodes = 2**n  # 1 + sum_{g<n} 2**g
+    num_leaves = 2 ** (n - 1)
+    y_pitch = H / n
+
+    coords = np.zeros((num_nodes, dim), dtype=np.float64)
+    coords[1, 1] = y_pitch
+
+    if n > 1:
+        x_pitch = W / (2 * (num_leaves - 1))
+        node = 2
+        for gen in range(1, n):
+            spread = x_pitch * 2 ** (n - gen)
+            half = 2 ** (gen - 1)
+            xs = spread * (np.arange(half) + 0.5)
+            xs = np.sort(np.concatenate([-xs, xs]))
+            count = xs.size
+            coords[node : node + count, 0] = xs
+            coords[node : node + count, 1] = y_pitch * (gen + 1)
+            node += count
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(num_nodes))
+    for i in range(num_nodes):
+        G.nodes[i]["pos"] = coords[i].tolist() if dim == 2 else list(coords[i])
+    G.add_edges_from(map(tuple, _binary_tree_edges(num_nodes)))
+    return G
+
+
+def _default_normal(x: npt.NDArray[np.floating]) -> npt.NDArray[np.floating]:
+    """Plane normal field for the xy-plane (constant z-hat)."""
+    out = np.zeros_like(x)
+    out[2] = 1.0
+    return out
+
+
+def _rodrigues(vec: np.ndarray, axis: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate ``vec`` about ``axis`` by ``angle_deg`` degrees (Rodrigues formula)."""
+    theta = np.radians(angle_deg)
+    k = axis / np.linalg.norm(axis)
+    cross = np.cross(k, vec)
+    return (
+        vec * np.cos(theta)
+        + cross * np.sin(theta)
+        + k * np.dot(k, vec) * (1.0 - np.cos(theta))
+    )
+
+
+def _branch_endpoint(
+    parent_start: np.ndarray,
+    parent_end: np.ndarray,
+    plane_normal: np.ndarray,
+    angle_deg: float,
+    length: float,
+) -> np.ndarray:
+    """Endpoint of a daughter vessel branching off ``parent_end``.
+
+    The parent direction is projected into the plane with normal
+    ``plane_normal``, rotated in-plane by ``angle_deg`` and scaled to
+    ``length`` (reference ``network_generation.py:110-154``).
+    """
+    direction = parent_end - parent_start
+    n_unit = plane_normal / np.linalg.norm(plane_normal)
+    in_plane = direction - np.dot(direction, n_unit) * n_unit
+    rotated = _rodrigues(in_plane, plane_normal, angle_deg)
+    return parent_end + length * rotated / np.linalg.norm(rotated)
+
+
+@timed("nxfx:make_arterial_tree")
+def make_arterial_tree(
+    N: int,
+    p0: npt.NDArray[np.floating] | None = None,
+    direction: npt.NDArray[np.floating] | None = None,
+    D0: float = 2.0,
+    lmbda: float = 8.0,
+    gamma: float = 0.8,
+    normal: Callable[[npt.NDArray[np.floating]], npt.NDArray[np.floating]] = _default_normal,
+    random: bool = False,
+    seed: int | None = None,
+) -> nx.DiGraph:
+    """Create an arterial tree following Murray's law.
+
+    Daughter diameters satisfy ``D0**3 = D1**3 + D2**3`` with ratio
+    ``D1/D2 = gamma``, giving ``D2 = D0 * (gamma**3 + 1)**(-1/3)`` and
+    ``D1 = gamma * D2``.  Segment length is proportional to diameter,
+    ``L = lmbda * d``.  Bifurcation angles follow the minimum-energy
+    hypothesis: ``cos(a_i) = (D0^4 + Di^4 - (D0^3 - Di^3)^(4/3)) /
+    (2 D0^2 Di^2)``.  Geometry matches the reference
+    (``network_generation.py:158-283``, itself derived from A. Vallet's
+    NetworkGen).
+
+    Args:
+        N: Number of generations of vessels.
+        p0: Origin location (default: zeros(3)).
+        direction: Initial vessel direction (default: +y).
+        D0: Root vessel diameter.
+        lmbda: Length/diameter ratio for every vessel.
+        gamma: Daughter diameter ratio (``<= 1``).
+        normal: Callable giving the local branching-plane normal at a point.
+        random: If True, randomly choose which daughter branches left/right;
+            if False the larger daughter always takes the second slot.
+        seed: Optional RNG seed used when ``random=True`` (extension over the
+            reference for reproducible trees).
+    """
+    if gamma > 1:
+        raise ValueError("Please choose a gamma lower or equal to 1")
+    p0 = np.zeros(3, dtype=np.float64) if p0 is None else np.asarray(p0, dtype=np.float64)
+    if direction is None:
+        direction = np.array([0.0, 1.0, 0.0])
+    direction = np.asarray(direction, dtype=np.float64)
+    rng = np.random.default_rng(seed) if seed is not None else None
+
+    G = nx.DiGraph()
+    root_len = D0 * lmbda
+    p1 = p0 + root_len * direction / np.linalg.norm(direction)
+    G.add_node(0, pos=p0)
+    G.add_node(1, pos=p1)
+    G.add_edge(0, 1, radius=D0 / 2)
+
+    frontier = [(0, 1)]
+    next_node = 2
+    for _ in range(1, N):
+        new_frontier = []
+        for (u, v) in frontier:
+            start = np.asarray(G.nodes[u]["pos"], dtype=np.float64)
+            end = np.asarray(G.nodes[v]["pos"], dtype=np.float64)
+            Dp = 2.0 * G.edges[u, v]["radius"]
+
+            D2 = Dp * (gamma**3 + 1.0) ** (-1.0 / 3.0)
+            D1 = gamma * D2
+            L1, L2 = lmbda * D1, lmbda * D2
+
+            def _angle(Dd: float) -> float:
+                cos_a = (Dp**4 + Dd**4 - (Dp**3 - Dd**3) ** (4.0 / 3.0)) / (
+                    2.0 * Dp**2 * Dd**2
+                )
+                return float(np.degrees(np.arccos(cos_a)))
+
+            angle1, angle2 = _angle(D1), _angle(D2)
+            if random:
+                sign1 = (
+                    int(rng.choice([-1, 1])) if rng is not None else int(np.random.choice([-1, 1]))
+                )
+            else:
+                sign1 = 1
+            plane_n = normal(end)
+
+            for angle, length, diameter in (
+                (sign1 * angle1, L1, D1),
+                (-sign1 * angle2, L2, D2),
+            ):
+                tip = _branch_endpoint(start, end, plane_n, angle, length)
+                G.add_node(next_node, pos=tip)
+                G.add_edge(v, next_node, radius=diameter / 2)
+                new_frontier.append((v, next_node))
+                next_node += 1
+        frontier = new_frontier
+    return G

@@ -1,0 +1,173 @@
+"""On-device Krylov solvers (CG, MINRES) in pure JAX.
+
+Replaces the PETSc KSP layer of the reference (``solver.py:41-73``) for the
+iterative paths.  Both solvers are matrix-free (take a ``matvec`` callable),
+jit-friendly (``lax.while_loop``, static shapes) and run in float64 on TPU —
+only elementwise ops, reductions and the caller's matvec are used, so no
+f32-only XLA expanders are hit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cg", "minres", "KrylovResult"]
+
+
+class KrylovResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    residual: jnp.ndarray  # final preconditioned-residual norm estimate
+    converged: jnp.ndarray
+
+
+def cg(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    rtol: float = 1e-12,
+    atol: float = 0.0,
+    maxiter: int | None = None,
+) -> KrylovResult:
+    """Preconditioned conjugate gradients for SPD systems."""
+    n = b.shape[0]
+    maxiter = int(maxiter) if maxiter is not None else 4 * n + 20
+    M = precond if precond is not None else (lambda v: v)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    gamma0 = jnp.vdot(r0, z0)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def cond(state):
+        _, r, _, _, k, _ = state
+        return jnp.logical_and(k < maxiter, jnp.linalg.norm(r) > tol)
+
+    def body(state):
+        x, r, z, p, k, gamma = state
+        Ap = matvec(p)
+        alpha = gamma / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        gamma_new = jnp.vdot(r, z)
+        beta = gamma_new / gamma
+        p = z + beta * p
+        return (x, r, z, p, k + 1, gamma_new)
+
+    x, r, _, _, k, _ = jax.lax.while_loop(cond, body, (x0, r0, z0, z0, 0, gamma0))
+    res = jnp.linalg.norm(r)
+    return KrylovResult(x, k, res, res <= tol)
+
+
+def minres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    rtol: float = 1e-12,
+    atol: float = 0.0,
+    maxiter: int | None = None,
+) -> KrylovResult:
+    """Preconditioned MINRES for symmetric (possibly indefinite) systems.
+
+    The preconditioner must be SPD.  This is the generic fallback for the
+    saddle-point block system (symmetric after negating the pressure rows)
+    — the role MUMPS LU plays in the reference default options
+    (``solver.py:58-65``) when the structure-exploiting Schur path is not
+    applicable.
+    """
+    n = b.shape[0]
+    maxiter = int(maxiter) if maxiter is not None else 4 * n + 20
+    M = precond if precond is not None else (lambda v: v)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    r1 = b - matvec(x0)
+    y = M(r1)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.vdot(r1, y), 0.0))
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+    eps = jnp.finfo(b.dtype).eps
+
+    # Standard MINRES recurrence (Paige & Saunders).
+    init = dict(
+        x=x0,
+        r1=jnp.zeros_like(b),
+        r2=r1,
+        y=y,
+        w=jnp.zeros_like(b),
+        w2=jnp.zeros_like(b),
+        beta=beta1,
+        beta1=beta1,
+        dbar=jnp.zeros(()),
+        epsln=jnp.zeros(()),
+        phibar=beta1,
+        cs=-jnp.ones(()),
+        sn=jnp.zeros(()),
+        oldb=jnp.zeros(()),
+        k=jnp.zeros((), dtype=jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.logical_and(
+            s["k"] < maxiter, jnp.abs(s["phibar"]) > tol
+        )
+
+    def body(s):
+        k = s["k"] + 1
+        beta = s["beta"]
+        v = s["y"] / jnp.where(beta > 0, beta, 1.0)
+        yv = matvec(v)
+        yv = jnp.where(k >= 2, yv - (beta / s["oldb"]) * s["r1"], yv)
+
+        alfa = jnp.vdot(v, yv)
+        yv = yv - (alfa / beta) * s["r2"]
+        r1n, r2n = s["r2"], yv
+        y_new = M(yv)
+        oldb = beta
+        beta_new = jnp.sqrt(jnp.maximum(jnp.vdot(yv, y_new), 0.0))
+
+        # Apply previous rotation
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln = s["sn"] * beta_new
+        dbar = -s["cs"] * beta_new
+
+        gamma = jnp.sqrt(gbar**2 + beta_new**2)
+        gamma = jnp.maximum(gamma, eps)
+        cs = gbar / gamma
+        sn = beta_new / gamma
+        phi = cs * s["phibar"]
+        phibar = sn * s["phibar"]
+
+        w1 = (v - oldeps * s["w"] - delta * s["w2"]) / gamma
+        x = s["x"] + phi * w1
+
+        return dict(
+            x=x,
+            r1=r1n,
+            r2=r2n,
+            y=y_new,
+            w=s["w2"],
+            w2=w1,
+            beta=beta_new,
+            beta1=s["beta1"],
+            dbar=dbar,
+            epsln=epsln,
+            phibar=phibar,
+            cs=cs,
+            sn=sn,
+            oldb=oldb,
+            k=k,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    res = jnp.abs(out["phibar"])
+    return KrylovResult(out["x"], out["k"], res, res <= tol)

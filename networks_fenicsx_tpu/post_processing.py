@@ -1,0 +1,132 @@
+"""Post-processing: global flux extraction and file export.
+
+Capability match for the reference (``src/networks_fenicsx/post_processing.py``):
+
+* :func:`extract_global_flux` — merge the per-color submesh flux solutions
+  into one discontinuous flux field on the parent mesh (the reference
+  interpolates submesh functions cell-by-cell through entity maps,
+  ``post_processing.py:19-52``; here it is a single gather/scatter since
+  flux dofs are already laid out per cell).
+* :func:`export_functions` — write every flux, the pressure and the
+  multiplier field to disk (reference writes ADIOS2 ``.bp``,
+  ``post_processing.py:55-78``; here ParaView-compatible ``.vtu``).
+* :func:`export_submeshes` — write each color submesh with its inherited
+  vertex markers (reference XDMF, ``post_processing.py:81-97``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .function import FunctionSpace, NetworkFunction, _edge_major_dof_coords
+from .io.vtk import VTK_LINE, VTK_VERTEX, write_vtu
+from .mesh import NetworkMesh
+
+__all__ = ["extract_global_flux", "export_functions", "export_submeshes"]
+
+
+def extract_global_flux(
+    graph_mesh: NetworkMesh, functions: list[NetworkFunction]
+) -> NetworkFunction:
+    """Merge per-color flux solutions into one parent-mesh DG field.
+
+    Args:
+        graph_mesh: The network mesh.
+        functions: Solution list ``[flux_0, ..., flux_{M-1}, pressure, lm]``
+            (the reference contract, ``post_processing.py:19-26``).
+
+    Returns:
+        A :class:`NetworkFunction` named ``"Global_Flux"`` whose values are
+        organised per parent cell, ``(num_cells, degree + 1)`` flattened, in
+        along-edge local order.
+    """
+    flux_functions = functions[:-2]
+    degree = flux_functions[0].space.degree
+    N = graph_mesh.N
+    C = graph_mesh.num_cells
+    global_vals = np.zeros((C, degree + 1), dtype=np.float64)
+    for i, flux in enumerate(flux_functions):
+        flux.name = f"Flux_{i}"
+        view = graph_mesh.submeshes[flux.space.color]
+        cell_vals = flux.cell_dof_values()  # (len(view.cell_indices), k+1)
+        global_vals[view.cell_indices] = cell_vals
+    space = FunctionSpace(graph_mesh, "dg", degree, None, C * (degree + 1))
+    return NetworkFunction(space, global_vals.reshape(-1), name="Global_Flux")
+
+
+def _write_flux_function(fn: NetworkFunction, path: Path) -> None:
+    """Write a per-color flux function as polyline VTU with point data."""
+    mesh = fn.space.mesh
+    view = mesh.submeshes[fn.space.color]
+    k, N = fn.space.degree, mesh.N
+    n_dofs = k * N + 1
+    coords = _edge_major_dof_coords(mesh, view.edge_ids, k)
+    n_edges = view.edge_ids.size
+    # one line segment between consecutive dof points along each edge
+    base = n_dofs * np.arange(n_edges)[:, None, None]
+    seg = np.stack(
+        [np.arange(n_dofs - 1), np.arange(1, n_dofs)], axis=-1
+    )[None, :, :]
+    cells = (base + seg).reshape(-1, 2)
+    write_vtu(path, coords, cells, VTK_LINE, point_data={fn.name or "flux": fn.values})
+
+
+def export_functions(functions: list[NetworkFunction], outpath: Path | str) -> None:
+    """Export every solution block (reference ``post_processing.py:55-78``).
+
+    Writes ``flux_<i>.vtu`` per color, ``pressure.vtu`` (cell data for DG0,
+    point data otherwise) and ``lm.vtu`` (bifurcation point cloud).
+    """
+    export_path = Path(outpath)
+    flux_functions = functions[:-2]
+    for i, q in enumerate(flux_functions):
+        _write_flux_function(q, export_path / f"flux_{i}.vtu")
+
+    pressure = functions[-2]
+    mesh = pressure.space.mesh
+    # Parent mesh as line cells in stored vertex order.
+    if pressure.space.degree == 0:
+        write_vtu(
+            export_path / "pressure.vtu",
+            mesh.vertices,
+            mesh.cells,
+            VTK_LINE,
+            cell_data={"pressure": pressure.values},
+        )
+    else:
+        write_vtu(
+            export_path / "pressure.vtu",
+            pressure.space.dof_coordinates(),
+            mesh.cells,  # vertex dofs lead the layout, so connectivity holds
+            VTK_LINE,
+            point_data={"pressure": pressure.values[: mesh.num_vertices]},
+        )
+
+    lm = functions[-1]
+    lm_coords = lm.space.dof_coordinates()
+    write_vtu(
+        export_path / "lm.vtu",
+        lm_coords,
+        np.arange(lm_coords.shape[0], dtype=np.int64).reshape(-1, 1),
+        VTK_VERTEX,
+        point_data={"global_flux": lm.values},
+    )
+
+
+def export_submeshes(network_mesh: NetworkMesh, outpath: str | Path) -> None:
+    """Export each color submesh with its vertex markers
+    (reference ``post_processing.py:81-97``)."""
+    outpath = Path(outpath)
+    for i, view in enumerate(network_mesh.submeshes):
+        coords = network_mesh.vertices[view.vertex_indices]
+        markers = np.full(coords.shape[0], -1.0)
+        markers[view.facet_markers.indices] = view.facet_markers.values
+        write_vtu(
+            outpath / f"submesh_{i}.vtu",
+            coords,
+            view.cells,
+            VTK_LINE,
+            point_data={"vertex_markers": markers},
+        )

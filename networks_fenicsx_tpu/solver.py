@@ -1,0 +1,525 @@
+"""Solvers for the hydraulic network saddle-point system.
+
+TPU-native replacement for the reference's PETSc KSP + MUMPS direct solve
+(``src/networks_fenicsx/solver.py:16-143``; default options preonly+LU+MUMPS,
+``solver.py:58-65``).  Four methods:
+
+* ``"schur"`` (default where applicable) — exact static condensation that
+  exploits the network structure: with discontinuous pressure the system
+  decouples into independent per-edge chains tied together ONLY by the
+  bifurcation multipliers λ.  Eliminating flux and pressure edge-by-edge
+  (closed-form cumulative sums — no LU at all) reduces the whole
+  saddle-point system to an SPD weighted graph Laplacian on the
+  bifurcations, solved by float64 Cholesky (small) or matrix-free CG
+  (large).  All per-edge work is batched over the edge axis — embarrassingly
+  parallel, shardable across TPU devices.
+* ``"dense"`` — assembled dense solve; float64 LU on CPU, float32 LU +
+  float64 iterative refinement on TPU (XLA's LU expander is f32-only).
+* ``"minres"`` — on-device MINRES on the symmetrized block system with a
+  block-diagonal preconditioner (generic fallback, e.g. continuous
+  pressure).
+* ``"host_lu"`` — SciPy sparse LU on the host: the direct-solver
+  verification fallback playing MUMPS's role.
+
+Derivation of the Schur path (flux degree k, DG0 pressure). Interior cell
+dofs see no pressure coupling (``∫ p v' = 0`` for cell-interior v with
+cellwise-constant p), so each cell's mass block condenses to an effective
+2x2 endpoint matrix M̃.  Along an edge with chain nodes ``q_0..q_N``,
+cells ``p_0..p_{N-1}`` and endpoint data ``r_0``/``r_N`` (multiplier λ at a
+bifurcation, ∓p_bc at a boundary — reference sign conventions
+``assembly.py:258-277``):
+
+    continuity:  q_{j+1} − q_j = F_j          (F_j = ∫_cell f)
+    momentum:    m_0 + p_0 = r_0;   m_i + p_i − p_{i-1} = 0;
+                 m_N − p_{N-1} = r_N           (m = condensed chain mass · q)
+
+Summing the momentum rows eliminates p:  1ᵀM(q_0·1 + cumsum F) = r_0 + r_N,
+hence  q_0 = (r_0 + r_N − g_e) / W_e  with  W_e = 1ᵀM1 (edge resistance)
+and  g_e = 1ᵀM·cumsumF.  Substituting into the bifurcation constraints
+Σq_in − Σq_out = 0 yields  L λ = rhs  with L the bifurcation-graph
+Laplacian weighted by 1/W_e — SPD whenever every network component reaches
+a boundary.  Pressure back-substitutes as  p_i = r_0 − cumsum(m)_i.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import assembly as _assembly
+from .function import NetworkFunction
+from .ops import krylov
+from .utils.config import SolverOptions
+from .utils.timing import timed
+
+__all__ = ["Solver", "SolveInfo"]
+
+
+class SolveInfo(typing.NamedTuple):
+    method: str
+    iterations: int
+    residual: float
+    converged: bool
+
+
+def _symmetrize_signs(offsets: np.ndarray, M: int, n: int) -> np.ndarray:
+    """Diagonal ±1 making the block system symmetric: the reference's
+    pressure rows carry +div while the flux rows carry −divᵀ
+    (``assembly.py:254-255``); negating the pressure rows restores symmetry."""
+    s = np.ones(n)
+    s[offsets[M] : offsets[M + 1]] = -1.0
+    return s
+
+
+class Solver:
+    """Solver for the network problem (reference API: ``solver.py:16-143``).
+
+    Args:
+        assembler: The hydraulic network assembler.
+        petsc_options_prefix: Accepted for reference API parity; unused.
+        petsc_options: Reference-style options dict; recognised keys are
+            mapped onto :class:`SolverOptions` (e.g. ``ksp_monitor``,
+            ``ksp_error_if_not_converged``), solver-choice keys are ignored
+            because method selection is native here.
+        kind: Matrix layout for the generic paths ("bcoo"/"dense"/"nest");
+            the schur path never materialises the global matrix.
+        options: Native options (:class:`SolverOptions` or dict).
+    """
+
+    def __init__(
+        self,
+        assembler: _assembly.HydraulicNetworkAssembler,
+        petsc_options_prefix: str = "NetworkSolver_",
+        petsc_options: dict | None = None,
+        kind: str | None = None,
+        options: SolverOptions | dict | None = None,
+    ):
+        del petsc_options_prefix
+        self._assembler = assembler
+        if isinstance(options, dict):
+            options = SolverOptions.from_dict(options)
+        self._options = options or SolverOptions()
+        if petsc_options:
+            if "ksp_monitor" in petsc_options:
+                self._options.monitor = True
+            if "ksp_error_if_not_converged" in petsc_options:
+                self._options.error_if_not_converged = bool(
+                    petsc_options["ksp_error_if_not_converged"]
+                )
+        self._kind = kind
+        self._A = None
+        self._b = None
+        self._edge_data = None
+        self._x = None
+        self._info: SolveInfo | None = None
+
+    # ------------------------------------------------------------ properties
+    @property
+    def assembler(self) -> _assembly.HydraulicNetworkAssembler:
+        return self._assembler
+
+    @property
+    def A(self):
+        """Assembled system matrix (None for the pure-schur path unless a
+        generic assemble was requested)."""
+        return self._A
+
+    @property
+    def b(self):
+        return self._b
+
+    @property
+    def info(self) -> SolveInfo | None:
+        """Diagnostics of the last solve."""
+        return self._info
+
+    def _method(self) -> str:
+        m = self._options.method
+        if m != "auto":
+            return m
+        if self._assembler.pressure_degree == 0:
+            return "schur"
+        return "dense" if self._assembler.num_dofs <= 3000 else "minres"
+
+    # -------------------------------------------------------------- assemble
+    def assemble(self, lhs: bool = True, rhs: bool = True) -> None:
+        """Assemble the system (reference ``solver.py:90-101``).
+
+        For the schur method this prepares the per-edge condensed data; for
+        the generic methods it assembles the global matrix/vector.
+        """
+        method = self._method()
+        if method == "schur":
+            if lhs or rhs:
+                self._edge_data = _prepare_edge_data(self._assembler)
+        if method != "schur" or self._kind is not None:
+            kind = self._kind or ("dense" if method == "dense" else "bcoo")
+            A, b = self._assembler.assemble(
+                assemble_lhs=lhs or method != "schur", assemble_rhs=True, kind=kind
+            )
+            self._A, self._b = A, b
+
+    # ----------------------------------------------------------------- solve
+    @timed("nxfx:Solver:solve", block=True)
+    def solve(self, functions: list[NetworkFunction] | None = None) -> list[NetworkFunction]:
+        """Solve and scatter into solution functions.
+
+        Returns the reference's function list contract (``solver.py:120-125``):
+        ``[flux_color_0, ..., flux_color_{M-1}, pressure, global_flux]``
+        where ``global_flux`` holds the multiplier values.
+        """
+        method = self._method()
+        if method == "schur":
+            if self._edge_data is None:
+                self.assemble()
+            x, info = _schur_solve(self._assembler, self._edge_data, self._options)
+        else:
+            if self._A is None or self._b is None:
+                self.assemble()
+            x, info = _generic_solve(self._A, self._b, self._assembler, method, self._options)
+        self._x = x
+        self._info = info
+        if self._options.monitor:
+            print(
+                f"[nxfx] method={info.method} iters={info.iterations} "
+                f"residual={info.residual:.3e} converged={info.converged}"
+            )
+        if self._options.error_if_not_converged and not info.converged:
+            raise RuntimeError(
+                f"Solver did not converge: method={info.method}, "
+                f"residual={info.residual:.3e}"
+            )
+
+        # Scatter into block functions (reference fem.petsc.assign, solver.py:134).
+        asm = self._assembler
+        if functions is None:
+            functions = [
+                NetworkFunction(sp, name=f"flux_color_{i}")
+                for i, sp in enumerate(asm.flux_spaces)
+            ]
+            functions.append(NetworkFunction(asm.pressure_space, name="pressure"))
+            functions.append(NetworkFunction(asm.lm_space, name="global_flux"))
+        offs = asm.block_offsets
+        x_np = np.asarray(x)
+        for i, fn in enumerate(functions):
+            fn.values[...] = x_np[offs[i] : offs[i + 1]]
+        return functions
+
+    def solution_vector(self) -> jnp.ndarray | None:
+        """The raw solution in global block layout."""
+        return self._x
+
+
+# ======================================================================
+# Schur path: per-edge condensation + bifurcation Laplacian
+# ======================================================================
+
+
+class _EdgeData(typing.NamedTuple):
+    """Per-edge condensed arrays, all edge-major; see module docstring."""
+
+    mt: jnp.ndarray  # (E, N, 2, 2) condensed cell endpoint mass
+    cumF: jnp.ndarray  # (E, N+1) cumulative ∫f along chain nodes
+    W: jnp.ndarray  # (E,) 1ᵀM1 — total edge resistance
+    g: jnp.ndarray  # (E,) 1ᵀM·cumF
+    start_bif: jnp.ndarray  # (E,) bifurcation index at source or -1
+    end_bif: jnp.ndarray  # (E,)
+    start_pbc: jnp.ndarray  # (E,) −p_bc contribution at source boundary
+    end_pbc: jnp.ndarray  # (E,) +p_bc contribution at target boundary
+    interior: tuple  # () or (Minv_IE (C,k-1,2),) interior recovery data
+
+
+def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
+    """Condense cell mass blocks and lay out per-edge chain data."""
+    if asm.pressure_degree != 0:
+        raise ValueError("schur method requires discontinuous (degree-0) pressure")
+    mesh = asm.network
+    k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
+
+    cell_mass = jnp.asarray(asm._cell_mass)  # (C, k+1, k+1)
+    if k == 1:
+        mt = cell_mass
+        interior: tuple = ()
+    else:
+        # Static condensation of cell-interior dofs:
+        #   M̃ = M_EE − M_EI M_II⁻¹ M_IE ;   q_I = −M_II⁻¹ M_IE q_E
+        ends = jnp.array([0, k])
+        ints = jnp.arange(1, k)
+        M_EE = cell_mass[:, ends][:, :, ends]
+        M_EI = cell_mass[:, ends][:, :, ints]
+        M_IE = cell_mass[:, ints][:, :, ends]
+        M_II = cell_mass[:, ints][:, :, ints]
+        L = jnp.linalg.cholesky(M_II)
+        Minv_IE = jax.scipy.linalg.cho_solve((L, True), M_IE)
+        mt = M_EE - jnp.einsum("cij,cjk->cik", M_EI, Minv_IE)
+        interior = (Minv_IE,)
+
+    mt = mt.reshape(E, N, 2, 2)
+    F = jnp.asarray(asm._cell_f_int).reshape(E, N)
+    cumF = jnp.concatenate([jnp.zeros((E, 1), F.dtype), jnp.cumsum(F, axis=1)], axis=1)
+    W = jnp.sum(mt, axis=(1, 2, 3))
+    # g = 1ᵀ M cumF: each cell contributes colsum(M̃_c) · (cumF_j, cumF_{j+1})
+    colsum = jnp.sum(mt, axis=2)  # (E, N, 2)
+    cvec = jnp.stack([cumF[:, :-1], cumF[:, 1:]], axis=-1)  # (E, N, 2)
+    g = jnp.sum(colsum * cvec, axis=(1, 2))
+
+    return _EdgeData(
+        mt=mt,
+        cumF=cumF,
+        W=W,
+        g=g,
+        start_bif=jnp.asarray(asm._edge_start_bif),
+        end_bif=jnp.asarray(asm._edge_end_bif),
+        start_pbc=jnp.asarray(asm._edge_start_pbc),
+        end_pbc=jnp.asarray(asm._edge_end_pbc),
+        interior=interior,
+    )
+
+
+def _schur_lambda_system(ed: _EdgeData, B: int):
+    """Weighted bifurcation-graph Laplacian L and RHS for  L λ = rhs."""
+    w = 1.0 / ed.W
+    s_is_bif = ed.start_bif >= 0
+    t_is_bif = ed.end_bif >= 0
+    s_idx = jnp.where(s_is_bif, ed.start_bif, 0)
+    t_idx = jnp.where(t_is_bif, ed.end_bif, 0)
+
+    # const part of q0 (boundary data and source term):
+    const = (ed.start_pbc * (-1.0) * (~s_is_bif) + ed.end_pbc * (~t_is_bif) - ed.g) / ed.W
+    Ftot = ed.cumF[:, -1]
+
+    # rhs_b = Σ_in (const + Ftot) − Σ_out const   (see module docstring)
+    rhs = jnp.zeros(B, dtype=ed.W.dtype)
+    rhs = rhs.at[t_idx].add(jnp.where(t_is_bif, const + Ftot, 0.0))
+    rhs = rhs.at[s_idx].add(jnp.where(s_is_bif, -const, 0.0))
+
+    diag = jnp.zeros(B, dtype=ed.W.dtype)
+    diag = diag.at[t_idx].add(jnp.where(t_is_bif, w, 0.0))
+    diag = diag.at[s_idx].add(jnp.where(s_is_bif, w, 0.0))
+
+    both = s_is_bif & t_is_bif
+    off_w = jnp.where(both, w, 0.0)
+
+    def matvec(lam):
+        out = diag * lam
+        # gather neighbour values through the edges with both ends interior
+        out = out.at[s_idx].add(-off_w * lam[t_idx] * both)
+        out = out.at[t_idx].add(-off_w * lam[s_idx] * both)
+        return out
+
+    return matvec, diag, rhs, (s_idx, t_idx, off_w, both)
+
+
+def _schur_solve(
+    asm: _assembly.HydraulicNetworkAssembler,
+    ed: _EdgeData,
+    opts: SolverOptions,
+) -> tuple[jnp.ndarray, SolveInfo]:
+    mesh = asm.network
+    B = mesh.num_multipliers
+    k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
+
+    iters = 0
+    converged = True
+    residual = 0.0
+    if B > 0:
+        matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
+        schur_method = opts.schur_method
+        if schur_method == "auto":
+            schur_method = "dense" if B <= 4096 else "cg"
+        if schur_method == "dense":
+            L = jnp.zeros((B, B), dtype=ed.W.dtype)
+            L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
+            L = L.at[s_idx, t_idx].add(-off_w * both)
+            L = L.at[t_idx, s_idx].add(-off_w * both)
+            chol = jnp.linalg.cholesky(L)
+            lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            residual = float(jnp.linalg.norm(matvec(lam) - rhs))
+            converged = bool(
+                residual <= max(opts.rtol * float(jnp.linalg.norm(rhs)), opts.atol, 1e-9)
+            ) and bool(jnp.all(jnp.isfinite(lam)))
+        else:
+            result = krylov.cg(
+                matvec,
+                rhs,
+                precond=lambda v: v / diag,
+                rtol=opts.rtol,
+                atol=opts.atol,
+                maxiter=opts.maxiter,
+            )
+            lam = result.x
+            iters = int(result.iters)
+            residual = float(result.residual)
+            converged = bool(result.converged)
+    else:
+        lam = jnp.zeros(0, dtype=ed.W.dtype)
+
+    x = _schur_back_substitute(asm, ed, lam)
+    return x, SolveInfo("schur", iters, residual, converged)
+
+
+def _backsub_from_lambda(
+    ed: _EdgeData, lam: jnp.ndarray, k: int, N: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-edge flux dof vectors (E, k*N+1) and cell pressures (E, N) given
+    the multipliers.  Pure per-edge math — reused by the sharded solver with
+    device-local edge shards."""
+    E = ed.W.shape[0]
+    s_is_bif = ed.start_bif >= 0
+    t_is_bif = ed.end_bif >= 0
+    lam_pad = jnp.concatenate([lam, jnp.zeros(1, dtype=ed.W.dtype)])
+    r0 = jnp.where(s_is_bif, lam_pad[ed.start_bif], -ed.start_pbc)
+    rN = jnp.where(t_is_bif, -lam_pad[ed.end_bif], ed.end_pbc)
+
+    q0 = (r0 + rN - ed.g) / ed.W
+    q_chain = q0[:, None] + ed.cumF  # (E, N+1)
+
+    # chain momentum values m_i and pressure back-substitution
+    qc = jnp.stack([q_chain[:, :-1], q_chain[:, 1:]], axis=-1)  # (E, N, 2)
+    mc = jnp.einsum("enij,enj->eni", ed.mt, qc)  # (E, N, 2)
+    m_nodes = jnp.zeros((E, N + 1), dtype=ed.W.dtype)
+    m_nodes = m_nodes.at[:, :-1].add(mc[:, :, 0])
+    m_nodes = m_nodes.at[:, 1:].add(mc[:, :, 1])
+    p_cells = r0[:, None] - jnp.cumsum(m_nodes[:, :-1], axis=1)  # (E, N)
+
+    # full per-edge flux dof vector (E, k*N + 1)
+    dofs_per_edge = k * N + 1
+    q_edge = jnp.zeros((E, dofs_per_edge), dtype=ed.W.dtype)
+    q_edge = q_edge.at[:, ::k].set(q_chain)
+    if k > 1:
+        (Minv_IE,) = ed.interior
+        q_int = -jnp.einsum("cij,cj->ci", Minv_IE, qc.reshape(E * N, 2))  # (C, k-1)
+        q_int = q_int.reshape(E, N, k - 1)
+        cols = (k * jnp.arange(N)[:, None] + jnp.arange(1, k)[None, :]).reshape(-1)
+        q_edge = q_edge.at[:, cols].set(q_int.reshape(E, -1))
+    return q_edge, p_cells
+
+
+def _schur_back_substitute(
+    asm: _assembly.HydraulicNetworkAssembler, ed: _EdgeData, lam: jnp.ndarray
+) -> jnp.ndarray:
+    """Recover flux and pressure from the multipliers and scatter into the
+    global block layout."""
+    mesh = asm.network
+    k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
+    dofs_per_edge = k * N + 1
+    q_edge, p_cells = _backsub_from_lambda(ed, lam, k, N)
+
+    # scatter into the global block vector
+    x = jnp.zeros(asm.num_dofs, dtype=ed.W.dtype)
+    edge_dof_idx = jnp.asarray(asm._edge_flux_base)[:, None] + jnp.arange(dofs_per_edge)[None, :]
+    x = x.at[edge_dof_idx.reshape(-1)].set(q_edge.reshape(-1))
+    p_off = int(asm.block_offsets[mesh.num_edge_colors])
+    x = x.at[p_off + jnp.arange(E * N)].set(p_cells.reshape(-1))
+    if lam.shape[0] > 0:
+        lm_off = asm._lm_offset
+        x = x.at[lm_off + jnp.arange(lam.shape[0])].set(lam)
+    return x
+
+
+# ======================================================================
+# Generic paths: dense / minres / host LU on the assembled system
+# ======================================================================
+
+
+def _to_dense(A) -> jnp.ndarray:
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(A, jsparse.BCOO):
+        return A.todense()
+    return jnp.asarray(A)
+
+
+def _dense_solve_f64(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """float64 dense solve that works on TPU: XLA's LU expander is f32-only
+    there, so factorise in f32 and polish with f64 iterative refinement."""
+    if jax.default_backend() == "cpu":
+        return jnp.linalg.solve(A, b)
+    lu, piv = jax.scipy.linalg.lu_factor(A.astype(jnp.float32))
+
+    def refine(carry, _):
+        x = carry
+        r = b - A @ x
+        dx = jax.scipy.linalg.lu_solve((lu, piv), r.astype(jnp.float32)).astype(b.dtype)
+        return x + dx, None
+
+    x0 = jax.scipy.linalg.lu_solve((lu, piv), b.astype(jnp.float32)).astype(b.dtype)
+    x, _ = jax.lax.scan(refine, x0, None, length=4)
+    return x
+
+
+def _generic_solve(
+    A,
+    b: jnp.ndarray,
+    asm: _assembly.HydraulicNetworkAssembler,
+    method: str,
+    opts: SolverOptions,
+) -> tuple[jnp.ndarray, SolveInfo]:
+    n = asm.num_dofs
+    M = asm.network.num_edge_colors
+    if method == "dense":
+        Ad = _to_dense(A)
+        x = _dense_solve_f64(Ad, b)
+        res = float(jnp.linalg.norm(Ad @ x - b))
+        ok = res <= max(opts.rtol * float(jnp.linalg.norm(b)) * 100, 1e-8)
+        return x, SolveInfo("dense", 0, res, bool(ok) and bool(jnp.all(jnp.isfinite(x))))
+
+    if method == "host_lu":
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        from jax.experimental import sparse as jsparse
+
+        if isinstance(A, jsparse.BCOO):
+            idx = np.asarray(A.indices)
+            As = sp.csc_matrix(
+                (np.asarray(A.data), (idx[:, 0], idx[:, 1])), shape=(n, n)
+            )
+        else:
+            As = sp.csc_matrix(np.asarray(A))
+        x = spla.splu(As.tocsc()).solve(np.asarray(b))
+        res = float(np.linalg.norm(As @ x - np.asarray(b)))
+        return jnp.asarray(x), SolveInfo("host_lu", 0, res, res <= 1e-6)
+
+    if method == "minres":
+        signs = jnp.asarray(
+            _symmetrize_signs(asm.block_offsets, M, n), dtype=b.dtype
+        )
+
+        def matvec(v):
+            return signs * (A @ v)
+
+        # Block-diagonal SPD preconditioner from |diag| of the symmetrized
+        # operator (unit fallback where the diagonal vanishes: p and λ rows).
+        Adiag = _extract_diagonal(A, n)
+        d = jnp.abs(Adiag)
+        d = jnp.where(d > 0, d, 1.0)
+        result = krylov.minres(
+            matvec,
+            signs * b,
+            precond=lambda v: v / d,
+            rtol=opts.rtol,
+            atol=opts.atol,
+            maxiter=opts.maxiter,
+        )
+        return result.x, SolveInfo(
+            "minres", int(result.iters), float(result.residual), bool(result.converged)
+        )
+
+    raise ValueError(f"unknown solver method {method!r}")
+
+
+def _extract_diagonal(A, n: int) -> jnp.ndarray:
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(A, jsparse.BCOO):
+        idx = A.indices
+        on_diag = idx[:, 0] == idx[:, 1]
+        return jnp.zeros(n, dtype=A.data.dtype).at[idx[:, 0]].add(
+            jnp.where(on_diag, A.data, 0.0)
+        )
+    return jnp.diagonal(jnp.asarray(A))

@@ -1,0 +1,84 @@
+"""Typed configuration objects.
+
+The reference has no config system — options flow through constructor kwargs
+(``NetworkMesh(N, color_strategy, comm, graph_rank)`` reference ``mesh.py:84-91``),
+pass-through dicts (``jit_options``/``form_compiler_options`` reference
+``assembly.py:172-173``; ``petsc_options`` reference ``solver.py:35-37``), and the
+``kind`` matrix-layout selector (reference ``assembly.py:335``).  Here the same
+surface is provided as small dataclasses; every public class also still accepts
+plain kwargs for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+__all__ = ["SolverOptions", "ShardingOptions"]
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """Options controlling :class:`networks_fenicsx_tpu.Solver`.
+
+    Replaces the reference's PETSc options dict (reference ``solver.py:58-65``:
+    ``{"ksp_type": "preonly", "pc_type": "lu", "pc_factor_mat_solver_type":
+    "mumps", "ksp_error_if_not_converged": True}``).
+
+    Attributes:
+        method: Solve strategy.
+            ``"schur"`` — per-edge static condensation to the bifurcation
+            Schur complement (exact; the TPU-native replacement for MUMPS LU);
+            ``"dense"`` — assemble the full block matrix densely and solve
+            (small systems / verification);
+            ``"minres"`` — MINRES on the symmetrized block system with a
+            block-diagonal preconditioner (iterative; large / generic);
+            ``"auto"`` — schur when applicable, else dense/minres by size.
+        schur_method: How the bifurcation Schur complement is solved:
+            ``"auto"``, ``"dense"`` (Cholesky) or ``"cg"`` (matrix-free
+            conjugate gradients on the bifurcation graph Laplacian).
+        rtol: Relative residual tolerance for iterative paths.
+        atol: Absolute residual tolerance for iterative paths.
+        maxiter: Iteration cap for iterative paths (None = dimension-based).
+        error_if_not_converged: Raise if the final residual check fails,
+            mirroring PETSc's ``ksp_error_if_not_converged``
+            (reference ``solver.py:64``).
+        monitor: Print residual progress, mirroring ``ksp_monitor``
+            (reference ``solver.py:63``).
+        dtype: Arithmetic dtype of the solve ("float64" or "float32").
+    """
+
+    method: str = "auto"
+    schur_method: str = "auto"
+    rtol: float = 1e-12
+    atol: float = 0.0
+    maxiter: int | None = None
+    error_if_not_converged: bool = True
+    monitor: bool = False
+    dtype: str = "float64"
+
+    @classmethod
+    def from_dict(cls, options: dict[str, Any] | None) -> "SolverOptions":
+        if options is None:
+            return cls()
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in options.items() if k in fields})
+
+
+@dataclasses.dataclass
+class ShardingOptions:
+    """Options for edge-partitioned multi-device execution.
+
+    The TPU-native analog of the reference's MPI domain decomposition
+    (``mesh.create_cell_partitioner(GhostMode.shared_facet)``, reference
+    ``mesh.py:331-341``): edges are partitioned across the device mesh and the
+    shared bifurcation (multiplier) rows are reduced with ``psum`` over ICI
+    instead of ghost updates.
+
+    Attributes:
+        axis_name: Mesh axis name used by ``shard_map`` collectives.
+        devices: Explicit device list (None = all available devices).
+    """
+
+    axis_name: str = "edges"
+    devices: Any = None

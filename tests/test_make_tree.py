@@ -1,0 +1,22 @@
+"""Global mesh-size invariants for generated trees
+(mirrors reference ``tests/test_make_tree.py:10-24``)."""
+
+import pytest
+
+from networks_fenicsx_tpu import NetworkMesh, network_generation
+
+
+@pytest.mark.parametrize("gdim", [2, 3])
+@pytest.mark.parametrize("N", [1, 4, 10])
+@pytest.mark.parametrize("n", [2, 5, 7])
+@pytest.mark.parametrize("H", [1, 2])
+def test_make_tree(n: int, H: int, gdim: int, N: int):
+    G = network_generation.make_tree(n=n, H=H, W=1, dim=gdim)
+    network_mesh = NetworkMesh(G, N=N)
+
+    assert network_mesh.topological_dim == 1
+    assert network_mesh.geometric_dim == gdim
+
+    num_segments = sum(2**i for i in range(n))
+    assert network_mesh.num_cells == N * num_segments
+    assert network_mesh.num_vertices == N + 1 + (num_segments - 1) * N
