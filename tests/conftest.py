@@ -4,15 +4,14 @@ Multi-chip TPU hardware is not needed for correctness tests; sharding tests
 exercise the same ``shard_map`` program on 8 virtual CPU devices (the CI
 analog of the reference's ``mpiexec -n {2,3,4}`` sweeps,
 reference ``.github/workflows/test_package.yml:33-45``).
+
+Note: the environment's sitecustomize imports jax at interpreter start, so
+``JAX_PLATFORMS`` env tweaks are too late — override via jax.config, which
+takes effect at (lazy) backend initialisation.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

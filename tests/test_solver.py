@@ -1,0 +1,250 @@
+"""Solver verification: analytic solutions, cross-method agreement, and
+conservation laws.
+
+The reference never asserts on solver output (SURVEY §4 "What is NOT
+tested"); this suite goes further, checking against exact closed-form
+solutions and requiring all solve methods (schur condensation, dense,
+MINRES, host sparse LU) to agree to tight tolerances.
+"""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from networks_fenicsx_tpu import (
+    HydraulicNetworkAssembler,
+    NetworkMesh,
+    Solver,
+    SolverOptions,
+    network_generation,
+)
+
+
+def p_bc_y(x):
+    return x[1]
+
+
+def _solve(mesh, method, flux_degree=1, pressure_degree=0, f=None, R=None, **kw):
+    asm = HydraulicNetworkAssembler(mesh, flux_degree, pressure_degree)
+    asm.compute_forms(p_bc_ex=kw.pop("p_bc", p_bc_y), f=f, R=R)
+    solver = Solver(asm, options=SolverOptions(method=method, **kw))
+    solver.assemble()
+    return asm, solver, solver.solve()
+
+
+def _analytic_y_lambda():
+    """Hand-derived Y-bifurcation solution for make_tree(2, 1, 3), p_bc=y.
+
+    Edge lengths: root 0.5, branches sqrt(2.5).  λ at the junction solves
+    −2λ = 2(λ+1)/sqrt(2.5)  →  λ = −1/(sqrt(2.5)+1).
+    """
+    s = np.sqrt(2.5)
+    lam = -1.0 / (s + 1.0)
+    q_root = 2.0 / (s + 1.0)
+    q_branch = 1.0 / (s + 1.0)
+    return lam, q_root, q_branch
+
+
+@pytest.mark.parametrize("method", ["schur", "dense", "minres", "host_lu"])
+@pytest.mark.parametrize("N", [1, 4])
+def test_y_bifurcation_analytic(method: str, N: int):
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=N)
+    asm, solver, sol = _solve(mesh, method, rtol=1e-13)
+    lam, q_root, q_branch = _analytic_y_lambda()
+
+    lm_vals = sol[-1].values
+    np.testing.assert_allclose(lm_vals, [lam], atol=1e-9)
+
+    # Flux on the root edge (edge 0) is constant q_root; branches q_branch.
+    flux_by_edge = {}
+    for fn in sol[:-2]:
+        view = mesh.submeshes[fn.space.color]
+        per_edge = fn.values.reshape(view.edge_ids.size, -1)
+        for i, e in enumerate(view.edge_ids):
+            flux_by_edge[int(e)] = per_edge[i]
+    np.testing.assert_allclose(flux_by_edge[0], q_root, atol=1e-9)
+    np.testing.assert_allclose(flux_by_edge[1], q_branch, atol=1e-9)
+    np.testing.assert_allclose(flux_by_edge[2], q_branch, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [3, 4])
+@pytest.mark.parametrize("coloring", [None, "largest_first", "fast"])
+def test_cross_method_agreement(n: int, coloring):
+    """schur (structure-exploiting) == dense == host_lu on trees."""
+    G = network_generation.make_tree(n, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy=coloring)
+    _, _, sol_schur = _solve(mesh, "schur")
+    _, _, sol_dense = _solve(mesh, "dense")
+    _, _, sol_lu = _solve(mesh, "host_lu")
+    for fs, fd, fl in zip(sol_schur, sol_dense, sol_lu):
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-9)
+        np.testing.assert_allclose(fs.values, fl.values, atol=1e-9)
+
+
+def test_minres_agreement():
+    G = network_generation.make_tree(3, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    _, _, sol_schur = _solve(mesh, "schur")
+    _, _, sol_minres = _solve(mesh, "minres", rtol=1e-13)
+    for fs, fm in zip(sol_schur, sol_minres):
+        np.testing.assert_allclose(fs.values, fm.values, atol=1e-7)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_higher_flux_degree(k: int):
+    """Static condensation path (k > 1) must match the dense solve."""
+    G = network_generation.make_tree(3, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    _, _, sol_schur = _solve(mesh, "schur", flux_degree=k)
+    _, _, sol_dense = _solve(mesh, "dense", flux_degree=k)
+    for fs, fd in zip(sol_schur, sol_dense):
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-8)
+
+
+def test_source_term():
+    """With f nonzero, continuity forces dq/ds = f; schur == dense."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=4)
+    f_const = 2.5
+    _, _, s1 = _solve(mesh, "schur", f=f_const)
+    _, _, s2 = _solve(mesh, "dense", f=f_const)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-9)
+    # check dq/ds = f on the root edge: q at chain nodes rises by f*h
+    flux0 = next(fn for fn in s1[:-2] if 0 in mesh.submeshes[fn.space.color].edge_ids)
+    view = mesh.submeshes[flux0.space.color]
+    row = list(view.edge_ids).index(0)
+    q = flux0.values.reshape(view.edge_ids.size, -1)[row]
+    h = mesh.edge_length[0] / mesh.N
+    np.testing.assert_allclose(np.diff(q), f_const * h, atol=1e-9)
+
+
+def test_variable_resistance():
+    """Per-edge R (radius-dependent conductance): schur == dense, and the
+    fluxes follow the analytic conductance ratio on a Y."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=3)
+    R_edges = np.array([1.0, 2.0, 4.0])
+    _, _, s1 = _solve(mesh, "schur", R=R_edges)
+    _, _, s2 = _solve(mesh, "dense", R=R_edges)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-9)
+    # analytic: W_e = R_e * L_e; conservation at the single junction
+    L = mesh.edge_length
+    W = R_edges * L
+    # q_root = (0 - λ)/W0; q_i = (λ + 1)/W_i ; q_root = q_1 + q_2
+    lam = -(1 / W[1] + 1 / W[2]) / (1 / W[0] + 1 / W[1] + 1 / W[2])
+    np.testing.assert_allclose(s1[-1].values, [lam], atol=1e-10)
+
+
+def test_callable_resistance():
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=3)
+
+    def R(x):
+        return 1.0 + 0.5 * x[1] ** 2
+
+    _, _, s1 = _solve(mesh, "schur", R=R)
+    _, _, s2 = _solve(mesh, "dense", R=R)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-9)
+
+
+def test_conservation_at_bifurcations():
+    """Mass conservation Σ q_in = Σ q_out at every junction of a deep tree."""
+    G = network_generation.make_tree(5, 2.0, 3.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="smallest_last")
+    asm, solver, sol = _solve(mesh, "schur")
+    flux_end = {}
+    flux_start = {}
+    for fn in sol[:-2]:
+        view = mesh.submeshes[fn.space.color]
+        per_edge = fn.values.reshape(view.edge_ids.size, -1)
+        for i, e in enumerate(view.edge_ids):
+            flux_start[int(e)] = per_edge[i, 0]
+            flux_end[int(e)] = per_edge[i, -1]
+    for b_idx in range(len(mesh.bifurcation_values)):
+        qin = sum(flux_end[int(e)] for e in mesh.in_edge_ids(b_idx))
+        qout = sum(flux_start[int(e)] for e in mesh.out_edge_ids(b_idx))
+        assert abs(qin - qout) < 1e-10
+
+
+def test_arterial_tree_solves():
+    G = network_generation.make_arterial_tree(N=4, direction=np.array([0.1, 1, 0]))
+    mesh = NetworkMesh(G, N=5, color_strategy="largest_first")
+    assert mesh.edge_radius is not None
+    # radius-dependent Poiseuille resistance R ∝ 1/r^4
+    R = 1.0 / mesh.edge_radius**4
+    _, solver, sol = _solve(mesh, "schur", R=R)
+    assert solver.info.converged
+    _, _, sol_d = _solve(mesh, "dense", R=R)
+    for a, b in zip(sol, sol_d):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-8)
+
+
+def test_schur_cg_variant():
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=1)
+    _, _, s_dense = _solve(mesh, "schur", schur_method="dense")
+    _, _, s_cg = _solve(mesh, "schur", schur_method="cg", rtol=1e-14)
+    for a, b in zip(s_dense, s_cg):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-8)
+
+
+def test_continuous_pressure_solves():
+    """pressure_degree >= 1 (continuous) goes through the generic path.
+
+    Note the stable pairing is flux degree k+1 with continuous pressure
+    degree k; equal-order (1, 1) is inf-sup unstable (singular), verified in
+    test_equal_order_pressure_singular below."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=2, pressure_degree=1)
+    asm.compute_forms(p_bc_ex=p_bc_y)
+    solver = Solver(asm, options=SolverOptions(method="dense"))
+    solver.assemble()
+    sol = solver.solve()
+    assert solver.info.converged
+    # fluxes remain conserved at the junction
+    flux_by_edge = {}
+    for fn in sol[:-2]:
+        view = mesh.submeshes[fn.space.color]
+        per_edge = fn.values.reshape(view.edge_ids.size, -1)
+        for i, e in enumerate(view.edge_ids):
+            flux_by_edge[int(e)] = per_edge[i]
+    qin = flux_by_edge[0][-1]
+    qout = flux_by_edge[1][0] + flux_by_edge[2][0]
+    assert abs(qin - qout) < 1e-9
+
+
+def test_equal_order_pressure_singular():
+    """Equal-order continuous pressure (k=1, kp=1) is inf-sup unstable; the
+    assembled matrix is rank deficient."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=1, pressure_degree=1)
+    asm.compute_forms(p_bc_ex=p_bc_y)
+    A, _ = asm.assemble(kind="dense")
+    A = np.asarray(A)
+    assert np.linalg.matrix_rank(A, tol=1e-10) < A.shape[0]
+
+
+def test_not_converged_raises():
+    """A floating network component (no boundary) is singular; the solver
+    must fail loudly (the PETSc analog: ksp_error_if_not_converged,
+    reference solver.py:64)."""
+    G = nx.DiGraph()
+    # triangle cycle with no boundary nodes
+    for i, pos in enumerate([(0, 0), (1, 0), (0.5, 1)]):
+        G.add_node(i, pos=np.array(pos, dtype=float))
+    G.add_edge(0, 1)
+    G.add_edge(1, 2)
+    G.add_edge(2, 0)
+    mesh = NetworkMesh(G, N=1)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y)
+    solver = Solver(asm, options=SolverOptions(method="schur"))
+    solver.assemble()
+    with pytest.raises(RuntimeError):
+        solver.solve()
