@@ -1,0 +1,140 @@
+"""Headline benchmark: arterial-tree assemble+solve throughput.
+
+BASELINE.md target: arterial-tree assemble+solve wall-clock vs. MPI
+DOLFINx+MUMPS at 10 tree generations; headline metric DOFs/sec.  DOLFINx is
+not installed in this image, so the recorded ``vs_baseline`` compares the
+TPU Schur pipeline against the strongest available stand-in for the
+reference's direct solver: SciPy SuperLU factorise+solve of the identical
+assembled sparse system on the host CPU (the same role MUMPS plays for the
+reference, reference ``solver.py:58-65``).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": dofs_per_sec, "unit": "dofs/s", "vs_baseline": speedup}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        SolverOptions,
+    )
+    from networks_fenicsx_tpu.network_generation import make_arterial_tree
+    import jax.numpy as jnp
+
+    from networks_fenicsx_tpu.solver import build_schur_executor
+
+    GENS = 10
+    N_ELEM = 40
+
+    t0 = time.perf_counter()
+    G = make_arterial_tree(N=GENS, direction=np.array([0.1, 1.0, 0.0]))
+    mesh = NetworkMesh(G, N=N_ELEM, color_strategy="fast")
+    log(f"mesh: {mesh.num_edges} vessels, {mesh.num_cells} cells "
+        f"({time.perf_counter() - t0:.2f}s build)")
+
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=1, pressure_degree=0)
+    R = 1.0 / mesh.edge_radius**4
+    p_bc = lambda x: x[1]  # noqa: E731
+    asm.compute_forms(p_bc_ex=p_bc, R=R)
+    n_dofs = asm.num_dofs
+    log(f"dofs: {n_dofs} (flux+pressure+multipliers), backend: {jax.default_backend()}")
+
+    opts = SolverOptions()
+    executor = build_schur_executor(asm, opts)
+
+    def assemble_and_solve(verbose: bool = False):
+        t0 = time.perf_counter()
+        asm.compute_forms(p_bc_ex=p_bc, R=R)
+        t1 = time.perf_counter()
+        out = executor(
+            jnp.asarray(asm._R_quad),
+            jnp.asarray(asm._f_quad),
+            jnp.asarray(asm._edge_start_pbc),
+            jnp.asarray(asm._edge_end_pbc),
+        )
+        jax.block_until_ready(out)
+        if verbose:
+            t2 = time.perf_counter()
+            log(f"  [forms {1e3 * (t1 - t0):.1f} ms, exec {1e3 * (t2 - t1):.1f} ms]")
+        return out
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    out = assemble_and_solve()
+    log(f"warmup (incl. XLA compile): {time.perf_counter() - t0:.3f}s")
+    x = np.asarray(out[0])
+    assert np.all(np.isfinite(x)), "non-finite solution"
+
+    # steady-state assemble+solve
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        assemble_and_solve(verbose=True)
+        times.append(time.perf_counter() - t0)
+    t_solve = min(times)
+    dofs_per_sec = n_dofs / t_solve
+    log(f"assemble+solve: best {t_solve * 1e3:.2f} ms over {reps} reps "
+        f"-> {dofs_per_sec:.3e} dofs/s")
+
+    # --- baseline: host sparse direct LU (SuperLU, MUMPS stand-in) on the
+    # identical assembled system.
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    # Host-side COO of the identical system (same index/value arrays the
+    # device assembly uses), so the baseline timing is pure SuperLU.
+    vals = np.concatenate([np.asarray(asm._cell_mass).ravel(), asm._static_vals])
+    As = sp.csc_matrix(
+        (vals, (asm._all_rows, asm._all_cols)), shape=(n_dofs, n_dofs)
+    )
+    bh = np.asarray(asm._b_host)
+    t0 = time.perf_counter()
+    lu = spla.splu(As)
+    x_lu = lu.solve(bh)
+    t_baseline = time.perf_counter() - t0
+    log(f"baseline SuperLU factor+solve: {t_baseline * 1e3:.2f} ms")
+
+    # correctness cross-check vs the direct solve (BASELINE: 1e-8 matching)
+    err = float(np.max(np.abs(x - x_lu)) / max(1.0, np.max(np.abs(x_lu))))
+    log(f"max relative deviation schur vs direct LU: {err:.3e}")
+    assert err < 1e-8, f"solution mismatch vs direct solver: {err}"
+
+    result = {
+        "metric": "arterial_tree_10gen_assemble_solve_dofs_per_sec",
+        "value": round(dofs_per_sec, 1),
+        "unit": "dofs/s",
+        "vs_baseline": round(t_baseline / t_solve, 3),
+        "detail": {
+            "generations": GENS,
+            "elements_per_vessel": N_ELEM,
+            "num_dofs": int(n_dofs),
+            "assemble_solve_ms": round(t_solve * 1e3, 3),
+            "baseline_superlu_ms": round(t_baseline * 1e3, 3),
+            "max_rel_err_vs_direct": err,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+# # Performance testing for network assembly
+#
+# Mirrors the reference benchmark harness (``demos/demo_perf.py:52-180``):
+# sweep binary trees of n generations (2**n - 1 segments), time each build /
+# assembly / solve phase through the timing registry, and plot log-log time
+# vs. segment count.
+#
+# Phase mapping to the reference:
+#   BuildMesh / BuildSubMeshes / CreateLMSubmesh — same named registry keys;
+#   ComputeIntegrationData — assembler construction (dof maps + sparsity);
+#   Compile — first execution of the jitted end-to-end Schur solve (XLA
+#       trace+compile replaces FFCx C-kernel JIT, cache cleared per size);
+#   CompileCached — second dispatch of the already-compiled executable;
+#   Assemble — coefficient evaluation + per-edge condensation;
+#   Solve — jitted condensation→Laplacian→back-substitution execution.
+
+import os
+import time
+from pathlib import Path
+
+import _bootstrap  # noqa: F401  (sys.path + platform setup)
+
+import jax  # noqa: E402
+
+from networks_fenicsx_tpu import (  # noqa: E402
+    HydraulicNetworkAssembler,
+    NetworkMesh,
+    Solver,
+    SolverOptions,
+)
+from networks_fenicsx_tpu.network_generation import make_tree  # noqa: E402
+from networks_fenicsx_tpu.post_processing import export_functions, extract_global_flux  # noqa: E402
+from networks_fenicsx_tpu.solver import build_schur_executor  # noqa: E402
+from networks_fenicsx_tpu.utils.timing import Timer, timing  # noqa: E402
+
+
+def p_bc(x):
+    return x[1]
+
+
+# Full reference sweep is ns = [3, 6, 12, 16]; default trimmed for CI speed.
+ns = [3, 6, 12, 16] if os.environ.get("NXFX_PERF_FULL") else [3, 6, 10]
+
+phases = [
+    "BuildMesh",
+    "BuildSubMeshes",
+    "CreateLMSubmesh",
+    "ComputeIntegrationData",
+    "Compile",
+    "CompileCached",
+    "Assemble",
+    "Solve",
+]
+timings: dict[str, dict[int, float]] = {p: {} for p in phases}
+
+tracked = {
+    "BuildMesh": "nxfx:NetworkMesh:build_mesh",
+    "BuildSubMeshes": "nxfx:NetworkMesh:build_network_submeshes",
+    "CreateLMSubmesh": "nxfx:NetworkMesh:create_lm_submesh",
+    "ComputeIntegrationData": "nxfx:HydraulicNetworkAssembler:__init__",
+    "Assemble": "nxfx:HydraulicNetworkAssembler:assemble_edge_data",
+}
+previous = {key: 0.0 for key in tracked.values()}
+
+export = os.environ.get("NXFX_PERF_EXPORT")
+
+for n in ns:
+    G = make_tree(n=n, H=n, W=n)
+    network_mesh = NetworkMesh(G, N=1, color_strategy="smallest_last")
+    del G
+
+    assembler = HydraulicNetworkAssembler(network_mesh, flux_degree=1, pressure_degree=0)
+
+    # Assemble phase: coefficient evaluation (host) — the condensation runs
+    # fused inside the jitted solve.
+    with Timer("nxfx:HydraulicNetworkAssembler:assemble_edge_data"):
+        assembler.compute_forms(p_bc_ex=p_bc)
+
+    opts = SolverOptions()
+    executor = build_schur_executor(assembler, opts)
+    import jax.numpy as jnp
+
+    args = (
+        jnp.asarray(assembler._R_quad),
+        jnp.asarray(assembler._f_quad),
+        jnp.asarray(assembler._edge_start_pbc),
+        jnp.asarray(assembler._edge_end_pbc),
+    )
+
+    # Compile: first dispatch triggers XLA trace + compile (cold cache —
+    # the analog of the reference's FFCx compile with a wiped cache dir).
+    t0 = time.perf_counter()
+    out = executor(*args)
+    jax.block_until_ready(out)
+    timings["Compile"][n] = time.perf_counter() - t0
+
+    # CompileCached: dispatch of the cached executable.
+    t0 = time.perf_counter()
+    out = executor(*args)
+    jax.block_until_ready(out)
+    timings["CompileCached"][n] = time.perf_counter() - t0
+
+    # Solve (steady-state execution, full pipeline through Solver)
+    solver = Solver(assembler, options=opts)
+    solver._executor = executor
+    t0 = time.perf_counter()
+    sol = solver.solve()
+    timings["Solve"][n] = time.perf_counter() - t0
+
+    for phase, key in tracked.items():
+        _, total = timing(key)
+        timings[phase][n] = total.total_seconds() - previous[key]
+        previous[key] = total.total_seconds()
+
+    if export and n < 12:
+        outdir = Path(__file__).parent / "demo_perf_output"
+        export_functions(sol, outpath=outdir / f"n{n}")
+        extract_global_flux(network_mesh, sol)
+
+    print(f"n={n:3d} segments={2**n - 1:7d} dofs={assembler.num_dofs:9d}  ", end="")
+    print(" ".join(f"{p}={timings[p].get(n, float('nan')):.4f}s" for p in phases))
+
+    del assembler, solver, network_mesh
+
+# Plot (mirrors the reference's seaborn log-log figure).
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    rows = []
+    for op in phases:
+        for n in ns:
+            rows.append([op, 2**n - 1, timings[op].get(n)])
+    df = pd.DataFrame(rows, columns=["Operation", "NumSegments", "Time"])
+    fig, ax = plt.subplots()
+    for op, group in df.groupby("Operation"):
+        ax.plot(group["NumSegments"], group["Time"], marker="o", label=op)
+    ax.set(xscale="log", yscale="log", xlabel="NumSegments", ylabel="Time [s]")
+    ax.grid(True)
+    ax.legend(fontsize=7)
+    fig.savefig(Path(__file__).parent / "demo_perf.png", bbox_inches="tight")
+except ImportError:
+    pass

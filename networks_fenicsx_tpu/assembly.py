@@ -321,12 +321,17 @@ class HydraulicNetworkAssembler:
 
         R_q = _coeff_at_quad(R, 1.0)  # (C, nq)
         f_q = _coeff_at_quad(f, 0.0)
+        # Raw quadrature-point coefficients: the fused device executor forms
+        # the element matrices on-device from these (one small transfer, one
+        # dispatch), see solver.build_schur_executor.
+        self._R_quad = R_q
+        self._f_quad = f_q
+        self._quad_weights = w
+        self._quad_phi = phi
 
-        # Per-cell flux mass matrices  M_c = h_c Σ_q w_q R_q φ_i φ_j.
-        cell_mass = np.einsum(
-            "cq,q,qi,qj->cij", R_q, w, phi, phi
-        ) * mesh.cell_h[:, None, None]
-        self._cell_mass = cell_mass
+        # Per-cell flux mass matrices are formed lazily on first access (the
+        # fused schur executor forms them on-device instead).
+        self._cell_mass_cache: np.ndarray | None = None
 
         # Per-cell pressure load  (∫ f ψ_m over cell).
         psi = elements.tabulate(kp, xi) if kp > 0 else np.ones((nq, 1))
@@ -514,3 +519,18 @@ class HydraulicNetworkAssembler:
     @property
     def forms_computed(self) -> bool:
         return getattr(self, "_forms_computed", False)
+
+    @property
+    def _cell_mass(self) -> np.ndarray:
+        """Per-cell flux mass matrices ``M_c = h_c Σ_q w_q R(x_q) φ_i φ_j``
+        (host copy, used by the generic assembly paths)."""
+        self._require_forms()
+        if self._cell_mass_cache is None:
+            self._cell_mass_cache = np.einsum(
+                "cq,q,qi,qj->cij",
+                self._R_quad,
+                self._quad_weights,
+                self._quad_phi,
+                self._quad_phi,
+            ) * self._network_mesh.cell_h[:, None, None]
+        return self._cell_mass_cache

@@ -553,6 +553,27 @@ class NetworkMesh:
     def out_marker(self) -> int:
         return self._out_marker
 
+    def has_floating_component(self) -> bool:
+        """True if some connected component of the network touches no
+        boundary node — the pressure level there is undetermined and the
+        saddle system is singular (the reference would hit a MUMPS zero
+        pivot, ``solver.py:64``)."""
+        parent = np.arange(self._num_graph_nodes)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for u, v in self._edges:
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[ru] = rv
+        roots_with_boundary = {find(int(b)) for b in self._boundary_values}
+        touched = {find(int(u)) for u in self._edges[:, 0]}
+        return bool(touched - roots_with_boundary)
+
     @property
     def max_connections(self) -> int:
         """Maximum node degree (reference passes this to the partitioner as

@@ -116,6 +116,7 @@ class Solver:
         self._edge_data = None
         self._x = None
         self._info: SolveInfo | None = None
+        self._executor = None  # cached jitted schur pipeline
 
     # ------------------------------------------------------------ properties
     @property
@@ -154,12 +155,13 @@ class Solver:
         """
         method = self._method()
         if method == "schur":
-            if lhs or rhs:
-                self._edge_data = _prepare_edge_data(self._assembler)
+            # Nothing to materialise: coefficient data from compute_forms()
+            # feeds the fused condense→solve executable directly.
+            self._assembler._require_forms()
         if method != "schur" or self._kind is not None:
             kind = self._kind or ("dense" if method == "dense" else "bcoo")
             A, b = self._assembler.assemble(
-                assemble_lhs=lhs or method != "schur", assemble_rhs=True, kind=kind
+                assemble_lhs=lhs, assemble_rhs=rhs, kind=kind
             )
             self._A, self._b = A, b
 
@@ -174,9 +176,9 @@ class Solver:
         """
         method = self._method()
         if method == "schur":
-            if self._edge_data is None:
-                self.assemble()
-            x, info = _schur_solve(self._assembler, self._edge_data, self._options)
+            if self._executor is None:
+                self._executor = build_schur_executor(self._assembler, self._options)
+            x, info = _schur_solve(self._assembler, self._options, self._executor)
         else:
             if self._A is None or self._b is None:
                 self.assemble()
@@ -233,14 +235,20 @@ class _EdgeData(typing.NamedTuple):
     interior: tuple  # () or (Minv_IE (C,k-1,2),) interior recovery data
 
 
-def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
-    """Condense cell mass blocks and lay out per-edge chain data."""
-    if asm.pressure_degree != 0:
-        raise ValueError("schur method requires discontinuous (degree-0) pressure")
+def _make_edge_data(
+    asm: _assembly.HydraulicNetworkAssembler,
+    cell_mass: jnp.ndarray,
+    cell_f_int: jnp.ndarray,
+    start_pbc: jnp.ndarray,
+    end_pbc: jnp.ndarray,
+) -> _EdgeData:
+    """Condense cell mass blocks and lay out per-edge chain data.
+
+    Pure traced array math — callable inside jit, so the whole
+    assemble→condense→solve pipeline fuses into one XLA executable."""
     mesh = asm.network
     k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
 
-    cell_mass = jnp.asarray(asm._cell_mass)  # (C, k+1, k+1)
     if k == 1:
         mt = cell_mass
         interior: tuple = ()
@@ -259,7 +267,7 @@ def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
         interior = (Minv_IE,)
 
     mt = mt.reshape(E, N, 2, 2)
-    F = jnp.asarray(asm._cell_f_int).reshape(E, N)
+    F = cell_f_int.reshape(E, N)
     cumF = jnp.concatenate([jnp.zeros((E, 1), F.dtype), jnp.cumsum(F, axis=1)], axis=1)
     W = jnp.sum(mt, axis=(1, 2, 3))
     # g = 1ᵀ M cumF: each cell contributes colsum(M̃_c) · (cumF_j, cumF_{j+1})
@@ -274,9 +282,23 @@ def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
         g=g,
         start_bif=jnp.asarray(asm._edge_start_bif),
         end_bif=jnp.asarray(asm._edge_end_bif),
-        start_pbc=jnp.asarray(asm._edge_start_pbc),
-        end_pbc=jnp.asarray(asm._edge_end_pbc),
+        start_pbc=start_pbc,
+        end_pbc=end_pbc,
         interior=interior,
+    )
+
+
+def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
+    """Host-driven edge-data preparation (used by the sharded solver and the
+    eager path)."""
+    if asm.pressure_degree != 0:
+        raise ValueError("schur method requires discontinuous (degree-0) pressure")
+    return _make_edge_data(
+        asm,
+        jnp.asarray(asm._cell_mass),
+        jnp.asarray(asm._cell_f_int),
+        jnp.asarray(asm._edge_start_pbc),
+        jnp.asarray(asm._edge_end_pbc),
     )
 
 
@@ -314,52 +336,117 @@ def _schur_lambda_system(ed: _EdgeData, B: int):
     return matvec, diag, rhs, (s_idx, t_idx, off_w, both)
 
 
-def _schur_solve(
+def build_schur_executor(
     asm: _assembly.HydraulicNetworkAssembler,
-    ed: _EdgeData,
     opts: SolverOptions,
-) -> tuple[jnp.ndarray, SolveInfo]:
+    jit: bool = True,
+    inputs: str = "coefficients",
+):
+    """Build the (optionally jitted) end-to-end Schur solve.
+
+    One fused XLA executable covers element-matrix formation (batched
+    quadrature einsum — the per-cell kernels FFCx would codegen for the
+    reference, ``assembly.py:288-299``), static condensation, the
+    bifurcation-Laplacian solve and back-substitution.  All graph index
+    arrays and basis tables are baked into the traced program as constants
+    (demo_perf's "Compile"/"CompileCached" phases time exactly this first
+    trace vs. cached-executable dispatch).
+
+    Args:
+        inputs: ``"coefficients"`` — executor signature is
+            ``(R_quad (C, nq), f_quad (C, nq), start_pbc (E,), end_pbc (E,))``
+            with element formation on-device (smallest host→device traffic);
+            ``"cell_mass"`` — signature is ``(cell_mass (C, k+1, k+1),
+            cell_f_int (C,), start_pbc, end_pbc)`` for precomputed element
+            matrices.
+    """
     mesh = asm.network
     B = mesh.num_multipliers
-    k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
+    schur_method = opts.schur_method
+    if schur_method == "auto":
+        schur_method = "dense" if B <= 4096 else "cg"
 
-    iters = 0
-    converged = True
-    residual = 0.0
-    if B > 0:
-        matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
-        schur_method = opts.schur_method
-        if schur_method == "auto":
-            schur_method = "dense" if B <= 4096 else "cg"
-        if schur_method == "dense":
-            L = jnp.zeros((B, B), dtype=ed.W.dtype)
-            L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
-            L = L.at[s_idx, t_idx].add(-off_w * both)
-            L = L.at[t_idx, s_idx].add(-off_w * both)
-            chol = jnp.linalg.cholesky(L)
-            lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
-            residual = float(jnp.linalg.norm(matvec(lam) - rhs))
-            converged = bool(
-                residual <= max(opts.rtol * float(jnp.linalg.norm(rhs)), opts.atol, 1e-9)
-            ) and bool(jnp.all(jnp.isfinite(lam)))
-        else:
-            result = krylov.cg(
-                matvec,
-                rhs,
-                precond=lambda v: v / diag,
-                rtol=opts.rtol,
-                atol=opts.atol,
-                maxiter=opts.maxiter,
+    def core(arg0, arg1, start_pbc, end_pbc):
+        if inputs == "coefficients":
+            R_q, f_q = arg0, arg1  # (C, nq)
+            w = jnp.asarray(asm._quad_weights)
+            phi = jnp.asarray(asm._quad_phi)
+            h = jnp.asarray(mesh.cell_h)
+            cell_mass = (
+                jnp.einsum("cq,q,qi,qj->cij", R_q, w, phi, phi) * h[:, None, None]
             )
-            lam = result.x
-            iters = int(result.iters)
-            residual = float(result.residual)
-            converged = bool(result.converged)
-    else:
-        lam = jnp.zeros(0, dtype=ed.W.dtype)
+            cell_f_int = jnp.einsum("cq,q->c", f_q, w) * h
+        else:
+            cell_mass, cell_f_int = arg0, arg1
+        ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
+        if B > 0:
+            matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
+            if schur_method == "dense":
+                L = jnp.zeros((B, B), dtype=ed.W.dtype)
+                L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
+                L = L.at[s_idx, t_idx].add(-off_w)
+                L = L.at[t_idx, s_idx].add(-off_w)
+                chol = jnp.linalg.cholesky(L)
+                lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
+                iters = jnp.zeros((), dtype=jnp.int32)
+                # Singularity guard (the MUMPS zero-pivot analog): a network
+                # component with no boundary makes the Laplacian singular —
+                # its Cholesky pivots collapse or go NaN.
+                piv = jnp.diagonal(chol)
+                ok = jnp.all(jnp.isfinite(piv)) & (
+                    jnp.min(piv) > 1e-10 * jnp.max(piv)
+                )
+                lam = jnp.where(ok, lam, jnp.nan)
+            else:
+                result = krylov.cg(
+                    matvec,
+                    rhs,
+                    precond=lambda v: v / diag,
+                    rtol=opts.rtol,
+                    atol=opts.atol,
+                    maxiter=opts.maxiter,
+                )
+                lam, iters = result.x, result.iters
+            residual = jnp.linalg.norm(matvec(lam) - rhs)
+            rhs_norm = jnp.linalg.norm(rhs)
+        else:
+            lam = jnp.zeros(0, dtype=ed.W.dtype)
+            iters = jnp.zeros((), dtype=jnp.int32)
+            residual = jnp.zeros(())
+            rhs_norm = jnp.zeros(())
+        x = _schur_back_substitute(asm, ed, lam)
+        return x, iters, residual, rhs_norm
 
-    x = _schur_back_substitute(asm, ed, lam)
-    return x, SolveInfo("schur", iters, residual, converged)
+    return jax.jit(core) if jit else core
+
+
+def _schur_solve(
+    asm: _assembly.HydraulicNetworkAssembler,
+    opts: SolverOptions,
+    executor=None,
+) -> tuple[jnp.ndarray, SolveInfo]:
+    if asm.pressure_degree != 0:
+        raise ValueError("schur method requires discontinuous (degree-0) pressure")
+    if asm.network.has_floating_component():
+        raise RuntimeError(
+            "Solver did not converge: network has a component with no "
+            "boundary node — the system is singular (pressure level "
+            "undetermined)"
+        )
+    if executor is None:
+        executor = build_schur_executor(asm, opts, jit=False)
+    x, iters, residual, rhs_norm = executor(
+        jnp.asarray(asm._R_quad),
+        jnp.asarray(asm._f_quad),
+        jnp.asarray(asm._edge_start_pbc),
+        jnp.asarray(asm._edge_end_pbc),
+    )
+    residual = float(residual)
+    converged = (
+        residual <= max(opts.rtol * float(rhs_norm) * 10, opts.atol, 1e-9)
+        and bool(jnp.all(jnp.isfinite(x)))
+    )
+    return x, SolveInfo("schur", int(iters), residual, converged)
 
 
 def _backsub_from_lambda(
@@ -378,24 +465,31 @@ def _backsub_from_lambda(
     q0 = (r0 + rN - ed.g) / ed.W
     q_chain = q0[:, None] + ed.cumF  # (E, N+1)
 
-    # chain momentum values m_i and pressure back-substitution
+    # chain momentum values m_i and pressure back-substitution.
+    # Scatter-free: node contributions assembled by shifted concatenation
+    # (TPU scatters serialize; concats/pads fuse).
     qc = jnp.stack([q_chain[:, :-1], q_chain[:, 1:]], axis=-1)  # (E, N, 2)
     mc = jnp.einsum("enij,enj->eni", ed.mt, qc)  # (E, N, 2)
-    m_nodes = jnp.zeros((E, N + 1), dtype=ed.W.dtype)
-    m_nodes = m_nodes.at[:, :-1].add(mc[:, :, 0])
-    m_nodes = m_nodes.at[:, 1:].add(mc[:, :, 1])
+    zero_col = jnp.zeros((E, 1), dtype=ed.W.dtype)
+    m_nodes = jnp.concatenate([mc[:, :, 0], zero_col], axis=1) + jnp.concatenate(
+        [zero_col, mc[:, :, 1]], axis=1
+    )  # (E, N+1)
     p_cells = r0[:, None] - jnp.cumsum(m_nodes[:, :-1], axis=1)  # (E, N)
 
-    # full per-edge flux dof vector (E, k*N + 1)
-    dofs_per_edge = k * N + 1
-    q_edge = jnp.zeros((E, dofs_per_edge), dtype=ed.W.dtype)
-    q_edge = q_edge.at[:, ::k].set(q_chain)
-    if k > 1:
+    # full per-edge flux dof vector (E, k*N + 1), built by interleave-reshape
+    # rather than strided scatter: along-edge dof k*j+l for cell j, local l.
+    if k == 1:
+        q_edge = q_chain
+    else:
         (Minv_IE,) = ed.interior
-        q_int = -jnp.einsum("cij,cj->ci", Minv_IE, qc.reshape(E * N, 2))  # (C, k-1)
+        q_int = -jnp.einsum("cij,cj->ci", Minv_IE, qc.reshape(E * N, 2))
         q_int = q_int.reshape(E, N, k - 1)
-        cols = (k * jnp.arange(N)[:, None] + jnp.arange(1, k)[None, :]).reshape(-1)
-        q_edge = q_edge.at[:, cols].set(q_int.reshape(E, -1))
+        cell_block = jnp.concatenate(
+            [q_chain[:, :-1, None], q_int], axis=2
+        )  # (E, N, k)
+        q_edge = jnp.concatenate(
+            [cell_block.reshape(E, N * k), q_chain[:, -1:]], axis=1
+        )
     return q_edge, p_cells
 
 
@@ -405,19 +499,17 @@ def _schur_back_substitute(
     """Recover flux and pressure from the multipliers and scatter into the
     global block layout."""
     mesh = asm.network
-    k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
-    dofs_per_edge = k * N + 1
+    k, N = asm.flux_degree, mesh.N
     q_edge, p_cells = _backsub_from_lambda(ed, lam, k, N)
 
-    # scatter into the global block vector
-    x = jnp.zeros(asm.num_dofs, dtype=ed.W.dtype)
-    edge_dof_idx = jnp.asarray(asm._edge_flux_base)[:, None] + jnp.arange(dofs_per_edge)[None, :]
-    x = x.at[edge_dof_idx.reshape(-1)].set(q_edge.reshape(-1))
-    p_off = int(asm.block_offsets[mesh.num_edge_colors])
-    x = x.at[p_off + jnp.arange(E * N)].set(p_cells.reshape(-1))
-    if lam.shape[0] > 0:
-        lm_off = asm._lm_offset
-        x = x.at[lm_off + jnp.arange(lam.shape[0])].set(lam)
+    # Assemble the global block vector scatter-free: the flux dof layout is
+    # exactly "edges sorted by (color, id), each contributing k*N+1
+    # consecutive dofs", so a static-permutation gather + concat suffices.
+    E = mesh.num_edges
+    perm = np.lexsort((np.arange(E), np.asarray(mesh.edge_color)))
+    x = jnp.concatenate(
+        [q_edge[perm].reshape(-1), p_cells.reshape(-1), lam]
+    )
     return x
 
 
