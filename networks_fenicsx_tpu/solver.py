@@ -381,20 +381,41 @@ def build_schur_executor(
         ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         if B > 0:
             matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
-            if schur_method == "dense":
+            if schur_method in ("dense", "dense_f64"):
                 L = jnp.zeros((B, B), dtype=ed.W.dtype)
                 L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
                 L = L.at[s_idx, t_idx].add(-off_w)
                 L = L.at[t_idx, s_idx].add(-off_w)
-                chol = jnp.linalg.cholesky(L)
-                lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
+                if schur_method == "dense_f64":
+                    chol = jnp.linalg.cholesky(L)
+                    lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
+                    piv = jnp.diagonal(chol)
+                else:
+                    # Mixed precision: float64 Cholesky is emulated (slow) on
+                    # TPU, so factorise the Jacobi-scaled Laplacian in f32
+                    # and recover full f64 accuracy with iterative
+                    # refinement (residuals in f64).  The scaled matrix has
+                    # unit diagonal, so f32 factorisation is well behaved.
+                    d = jnp.sqrt(diag)
+                    Ls = (L / d[:, None]) / d[None, :]
+                    chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
+
+                    def solve_scaled(r):
+                        y = jax.scipy.linalg.cho_solve(
+                            (chol, True), (r / d).astype(jnp.float32)
+                        )
+                        return y.astype(ed.W.dtype) / d
+
+                    lam = solve_scaled(rhs)
+                    for _ in range(3):
+                        lam = lam + solve_scaled(rhs - L @ lam)
+                    piv = jnp.diagonal(chol).astype(ed.W.dtype)
                 iters = jnp.zeros((), dtype=jnp.int32)
                 # Singularity guard (the MUMPS zero-pivot analog): a network
                 # component with no boundary makes the Laplacian singular —
                 # its Cholesky pivots collapse or go NaN.
-                piv = jnp.diagonal(chol)
                 ok = jnp.all(jnp.isfinite(piv)) & (
-                    jnp.min(piv) > 1e-10 * jnp.max(piv)
+                    jnp.min(piv) > 1e-7 * jnp.max(piv)
                 )
                 lam = jnp.where(ok, lam, jnp.nan)
             else:
