@@ -191,15 +191,30 @@ class NetworkMesh:
             node_coords[v] = graph.nodes[v]["pos"]
 
         edges = np.asarray(list(graph.edges()), dtype=np.int64).reshape(E, 2)
-        coloring = color_graph(graph, color_strategy)
-        # Undirected line-graph coloring may key edges in either orientation.
-        edge_color = np.asarray(
-            [
-                coloring.get((int(u), int(v)), coloring.get((int(v), int(u))))
-                for u, v in edges
-            ],
-            dtype=np.int32,
-        )
+        if color_strategy == "fast":
+            # Native C++ greedy coloring (ctypes; see native/netgraph.cpp),
+            # with the pure-Python sweep as fallback — avoids both the
+            # line-graph materialisation and the Python dict roundtrip.
+            from . import _native
+
+            colors = _native.color_edges(edges, V)
+            if colors is not None:
+                edge_color = colors.astype(np.int32)
+            else:
+                coloring = fast_greedy_edge_coloring(graph)
+                edge_color = np.asarray(
+                    [coloring[(int(u), int(v))] for u, v in edges], dtype=np.int32
+                )
+        else:
+            coloring = color_graph(graph, color_strategy)
+            # Undirected line-graph coloring may key edges in either orientation.
+            edge_color = np.asarray(
+                [
+                    coloring.get((int(u), int(v)), coloring.get((int(v), int(u))))
+                    for u, v in edges
+                ],
+                dtype=np.int32,
+            )
         num_colors = int(edge_color.max()) + 1
 
         # Optional per-edge radius attribute (arterial trees).
