@@ -394,7 +394,10 @@ class HydraulicNetworkAssembler:
             kind: ``None``/"bcoo"/"mpi" → sparse BCOO (sum-duplicated);
                 ``"dense"`` → dense ndarray; ``"nest"``/"blocks" → dict of
                 per-block sparse matrices keyed ``(i, j)`` (the PETSc
-                MatNest analog, reference ``assembly.py:335``).
+                MatNest analog, reference ``assembly.py:335``);
+                ``"csr"`` → :class:`~networks_fenicsx_tpu.ops.sparse.CSRMatrix`
+                with static host sparsity and device values folded through
+                the scatter-free CSR write path (the PETSc AIJ analog).
         """
         self._require_forms()
         kind = kind or "bcoo"
@@ -420,11 +423,31 @@ class HydraulicNetworkAssembler:
                 ).sum_duplicates()
             elif kind in ("nest", "blocks"):
                 A_out = self._assemble_blocks(values)
+            elif kind == "csr":
+                A_out = self._assemble_csr(values)
             else:
                 raise ValueError(f"unknown matrix kind {kind!r}")
         if assemble_rhs:
             b_out = jnp.asarray(self._b_host)
         return A_out, b_out
+
+    def _assemble_csr(self, values: jnp.ndarray):
+        """Fold the COO value stream into static-sparsity CSR storage."""
+        from .ops.pallas_assembly import build_csr_pattern, make_csr_assembler
+        from .ops.sparse import CSRMatrix
+
+        if getattr(self, "_csr_pattern", None) is None:
+            self._csr_pattern = build_csr_pattern(
+                self._all_rows, self._all_cols, (self._num_dofs, self._num_dofs)
+            )
+            self._csr_fold = make_csr_assembler(self._csr_pattern)
+        data = self._csr_fold(values)
+        return CSRMatrix(
+            data=data,
+            indices=self._csr_pattern.indices,
+            indptr=self._csr_pattern.indptr,
+            shape=(self._num_dofs, self._num_dofs),
+        )
 
     def _assemble_blocks(self, values: jnp.ndarray) -> dict:
         """Per-block sparse matrices (MatNest analog)."""
