@@ -23,7 +23,15 @@ import time
 from contextlib import contextmanager
 from typing import Any, Callable, Iterator, TypeVar
 
-__all__ = ["timed", "timing", "timing_seconds", "reset_timings", "list_timings", "Timer"]
+__all__ = [
+    "timed",
+    "timing",
+    "timing_seconds",
+    "reset_timings",
+    "list_timings",
+    "Timer",
+    "profiler_trace",
+]
 
 F = TypeVar("F", bound=Callable[..., Any])
 
@@ -113,3 +121,20 @@ def list_timings() -> dict[str, tuple[int, float]]:
     """Snapshot of the registry: ``{key: (count, total_seconds)}``."""
     with _lock:
         return dict(_registry)
+
+
+@contextmanager
+def profiler_trace(log_dir: str) -> Iterator[None]:
+    """Capture a JAX/XLA profiler trace (TensorBoard format) around a block.
+
+    The deep-profiling complement to the named-timer registry (SURVEY §5:
+    tracing/profiling): wall-clock phases come from :func:`timed`, per-op
+    device timelines from this trace.
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
