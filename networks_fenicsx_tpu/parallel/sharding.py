@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import assembly as _assembly
 from ..function import NetworkFunction
+from ..ops import krylov
 from ..solver import SolveInfo, _EdgeData, _backsub_from_lambda, _prepare_edge_data
 from ..utils.timing import timed
 
@@ -80,8 +81,12 @@ def _pad_edge_data(ed: _EdgeData, n_pad: int) -> _EdgeData:
     )
 
 
-def _sharded_schur_pipeline(mesh: Mesh, axis: str, B: int, k: int, N: int):
+def _sharded_schur_pipeline(
+    mesh: Mesh, axis: str, B: int, k: int, N: int, schur_method: str = "auto"
+):
     """Build the jitted shard_map solve: edge shards in → solution shards out."""
+    if schur_method == "auto":
+        schur_method = "dense" if B <= 4096 else "cg"
 
     def local_solve(ed: _EdgeData):
         if B == 0:  # no bifurcations: edges decouple entirely
@@ -100,22 +105,48 @@ def _sharded_schur_pipeline(mesh: Mesh, axis: str, B: int, k: int, N: int):
         rhs = jnp.zeros(B, dtype=ed.W.dtype)
         rhs = rhs.at[t_idx].add(jnp.where(t_is_bif, const + Ftot, 0.0))
         rhs = rhs.at[s_idx].add(jnp.where(s_is_bif, -const, 0.0))
-
-        L = jnp.zeros((B, B), dtype=ed.W.dtype)
-        L = L.at[t_idx, t_idx].add(jnp.where(t_is_bif, w, 0.0))
-        L = L.at[s_idx, s_idx].add(jnp.where(s_is_bif, w, 0.0))
-        both = s_is_bif & t_is_bif
-        off_w = jnp.where(both, w, 0.0)
-        L = L.at[s_idx, t_idx].add(-off_w)
-        L = L.at[t_idx, s_idx].add(-off_w)
-
-        # --- single collective over ICI: sum partial Laplacian and rhs
-        L = jax.lax.psum(L, axis)
         rhs = jax.lax.psum(rhs, axis)
 
-        # --- replicated small SPD solve (identical on every device)
-        chol = jnp.linalg.cholesky(L)
-        lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        diag = jnp.zeros(B, dtype=ed.W.dtype)
+        diag = diag.at[t_idx].add(jnp.where(t_is_bif, w, 0.0))
+        diag = diag.at[s_idx].add(jnp.where(s_is_bif, w, 0.0))
+        diag = jax.lax.psum(diag, axis)
+        both = s_is_bif & t_is_bif
+        off_w = jnp.where(both, w, 0.0)
+
+        if schur_method == "dense":
+            # --- psum the partial Laplacian; replicated mixed-precision
+            # Cholesky (identical on every device, avoids a broadcast).
+            L = jnp.zeros((B, B), dtype=ed.W.dtype)
+            L = L.at[s_idx, t_idx].add(-off_w)
+            L = L.at[t_idx, s_idx].add(-off_w)
+            L = jax.lax.psum(L, axis)
+            L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
+            d = jnp.sqrt(diag)
+            Ls = (L / d[:, None]) / d[None, :]
+            chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
+
+            def solve_scaled(r):
+                y = jax.scipy.linalg.cho_solve((chol, True), (r / d).astype(jnp.float32))
+                return y.astype(ed.W.dtype) / d
+
+            lam = solve_scaled(rhs)
+            for _ in range(3):
+                lam = lam + solve_scaled(rhs - L @ lam)
+        else:
+            # --- distributed matrix-free CG: the off-diagonal apply is a
+            # local gather/scatter over owned edges + one psum per
+            # iteration; iterates stay bitwise-identical on every device.
+            def matvec(lam):
+                local = jnp.zeros(B, dtype=ed.W.dtype)
+                local = local.at[s_idx].add(-off_w * lam[t_idx])
+                local = local.at[t_idx].add(-off_w * lam[s_idx])
+                return diag * lam + jax.lax.psum(local, axis)
+
+            result = krylov.cg(
+                matvec, rhs, precond=lambda v: v / diag, rtol=1e-13
+            )
+            lam = result.x
 
         # --- purely local back-substitution on owned edges
         q_edge, p_cells = _backsub_from_lambda(ed, lam, k, N)
@@ -155,12 +186,14 @@ class ShardedNetworkSolver:
         assembler: _assembly.HydraulicNetworkAssembler,
         devices=None,
         axis_name: str = "edges",
+        schur_method: str = "auto",
     ):
         if assembler.pressure_degree != 0:
             raise ValueError("sharded solver requires degree-0 pressure")
         self._assembler = assembler
         self._mesh = make_device_mesh(devices, axis_name)
         self._axis = axis_name
+        self._schur_method = schur_method
         self._edge_data: _EdgeData | None = None
         self._pipeline = None
         self._info: SolveInfo | None = None
@@ -191,7 +224,12 @@ class ShardedNetworkSolver:
 
         if self._pipeline is None:
             self._pipeline = _sharded_schur_pipeline(
-                self._mesh, self._axis, net.num_multipliers, asm.flux_degree, net.N
+                self._mesh,
+                self._axis,
+                net.num_multipliers,
+                asm.flux_degree,
+                net.N,
+                self._schur_method,
             )
         q_edge, p_cells, lam = self._pipeline(ed)
         q_edge = np.asarray(q_edge)[:E]

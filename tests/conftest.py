@@ -10,8 +10,10 @@ Note: the environment's sitecustomize imports jax at interpreter start, so
 takes effect at (lazy) backend initialisation.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_num_cpu_devices", int(os.environ.get("NXFX_CPU_DEVICES", "8")))
 jax.config.update("jax_enable_x64", True)

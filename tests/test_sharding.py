@@ -65,6 +65,23 @@ def test_sharded_edge_count_not_divisible():
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-12)
 
 
+def test_sharded_cg_matches_dense():
+    """Distributed matrix-free CG Schur solve == replicated dense solve."""
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=1, color_strategy="smallest_last")
+    asm, serial = _serial_solution(mesh)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y)
+    sharded = ShardedNetworkSolver(
+        asm2, devices=jax.devices()[:4], schur_method="cg"
+    )
+    sharded.assemble()
+    out = sharded.solve()
+    for fs, fd in zip(serial, out):
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-10)
+
+
 def test_sharded_higher_degree_and_source():
     G = network_generation.make_tree(4, 1.0, 2.0)
     mesh = NetworkMesh(G, N=2, color_strategy="smallest_last")
