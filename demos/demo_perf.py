@@ -66,7 +66,10 @@ export = os.environ.get("NXFX_PERF_EXPORT")
 
 for n in ns:
     G = make_tree(n=n, H=n, W=n)
-    network_mesh = NetworkMesh(G, N=1, color_strategy="smallest_last")
+    # "fast" = native C++ greedy coloring (same 3-color result on trees as
+    # the reference's smallest_last, without materialising the line graph —
+    # BuildMesh drops from ~7.7s to ~0.1s at 65k edges).
+    network_mesh = NetworkMesh(G, N=1, color_strategy="fast")
     del G
 
     assembler = HydraulicNetworkAssembler(network_mesh, flux_degree=1, pressure_degree=0)

@@ -336,6 +336,124 @@ def _schur_lambda_system(ed: _EdgeData, B: int):
     return matvec, diag, rhs, (s_idx, t_idx, off_w, both)
 
 
+class _TreePlan(typing.NamedTuple):
+    """Static perfect-elimination plan for the bifurcation graph.
+
+    Trees (every reference benchmark network) admit fill-in-free Gaussian
+    elimination: peel leaves in rounds.  All structure is host-precomputed;
+    only the runtime conductances flow through the device program.
+    """
+
+    pair_nodes: np.ndarray  # (P, 2) bifurcation index pairs with >=1 edge
+    edge_pair: np.ndarray  # (E,) pair id of each graph edge, -1 if not bif-bif
+    rounds: tuple  # tuple of (elim_nodes, parents, pair_ids) int32 arrays
+
+
+def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePlan | None:
+    """Build the leaf-peeling order, or None if the bifurcation graph has a
+    cycle core (then the dense/CG paths handle it)."""
+    mesh = asm.network
+    B = mesh.num_multipliers
+    if B == 0:
+        return _TreePlan(np.empty((0, 2), np.int64), np.full(mesh.num_edges, -1, np.int64), ())
+
+    s_bif = asm._edge_start_bif
+    t_bif = asm._edge_end_bif
+    both = (s_bif >= 0) & (t_bif >= 0)
+    a = np.minimum(s_bif[both], t_bif[both])
+    b = np.maximum(s_bif[both], t_bif[both])
+    pairs, pair_of_bb = np.unique(np.stack([a, b], 1), axis=0, return_inverse=True)
+    edge_pair = np.full(mesh.num_edges, -1, dtype=np.int64)
+    edge_pair[both] = pair_of_bb
+    P = pairs.shape[0]
+
+    # adjacency over pairs
+    adj: list[dict[int, int]] = [dict() for _ in range(B)]  # node -> {nbr: pair}
+    for p_id, (u, v) in enumerate(pairs):
+        adj[u][v] = p_id
+        adj[v][u] = p_id
+    degree = np.array([len(d) for d in adj])
+    alive = np.ones(B, dtype=bool)
+    rounds = []
+    remaining = B
+    while remaining > 0:
+        cand = np.flatnonzero(alive & (degree <= 1))
+        if cand.size == 0:
+            return None  # cycle core: not a forest
+        # independent set: skip a leaf whose (leaf) neighbour has lower id
+        chosen = []
+        cand_set = set(int(c) for c in cand)
+        for c in cand:
+            nbrs = [n for n in adj[c] if alive[n]]
+            if nbrs and nbrs[0] in cand_set and nbrs[0] < c:
+                continue
+            chosen.append(int(c))
+        elim = np.array(chosen, dtype=np.int32)
+        parents = np.full(elim.size, -1, dtype=np.int32)
+        pair_ids = np.full(elim.size, -1, dtype=np.int32)
+        for i, c in enumerate(elim):
+            nbrs = [n for n in adj[c] if alive[n]]
+            if nbrs:
+                parents[i] = nbrs[0]
+                pair_ids[i] = adj[c][nbrs[0]]
+        rounds.append((elim, parents, pair_ids))
+        for i, c in enumerate(elim):
+            alive[c] = False
+            if parents[i] >= 0:
+                degree[parents[i]] -= 1
+        remaining -= elim.size
+    return _TreePlan(pairs, edge_pair, tuple(rounds))
+
+
+def _tree_schur_solve(
+    plan: _TreePlan,
+    diag: jnp.ndarray,
+    rhs: jnp.ndarray,
+    w_edges: jnp.ndarray,
+    both_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Solve L λ = rhs by fill-in-free elimination along the static plan.
+
+    O(B) work in ~tree-depth rounds of vectorized gathers/scatters — the
+    speed-of-light direct solve for tree networks (every reference
+    benchmark), replacing both MUMPS and iterative methods.
+    """
+    P = plan.pair_nodes.shape[0]
+    if P > 0:
+        pair_sel = jnp.asarray(np.flatnonzero(plan.edge_pair >= 0))
+        pair_ids_all = jnp.asarray(plan.edge_pair[plan.edge_pair >= 0])
+        w_pairs = jax.ops.segment_sum(
+            w_edges[pair_sel], pair_ids_all, num_segments=P
+        )
+    else:
+        w_pairs = jnp.zeros(0, dtype=diag.dtype)
+
+    d = diag
+    r = rhs
+    saved = []
+    for elim, parents, pair_ids in plan.rounds:
+        e = jnp.asarray(elim)
+        par = jnp.asarray(parents)
+        has_par = par >= 0
+        par_safe = jnp.where(has_par, par, 0)
+        if P > 0:
+            w = jnp.where(has_par, w_pairs[jnp.where(pair_ids >= 0, pair_ids, 0)], 0.0)
+        else:
+            w = jnp.zeros(elim.shape[0], dtype=diag.dtype)
+        db = d[e]
+        rb = r[e]
+        factor = w / db
+        d = d.at[par_safe].add(jnp.where(has_par, -w * factor, 0.0))
+        r = r.at[par_safe].add(jnp.where(has_par, factor * rb, 0.0))
+        saved.append((e, par_safe, has_par, w, db, rb))
+
+    lam = jnp.zeros_like(rhs)
+    for e, par_safe, has_par, w, db, rb in reversed(saved):
+        lam_par = jnp.where(has_par, lam[par_safe], 0.0)
+        lam = lam.at[e].set((rb + w * lam_par) / db)
+    return lam
+
+
 def build_schur_executor(
     asm: _assembly.HydraulicNetworkAssembler,
     opts: SolverOptions,
@@ -363,8 +481,16 @@ def build_schur_executor(
     mesh = asm.network
     B = mesh.num_multipliers
     schur_method = opts.schur_method
+    tree_plan = None
+    if schur_method in ("auto", "tree") and B > 0:
+        tree_plan = _plan_tree_elimination(asm)
+        if schur_method == "tree" and tree_plan is None:
+            raise ValueError("schur_method='tree' requires a forest bifurcation graph")
     if schur_method == "auto":
-        schur_method = "dense" if B <= 4096 else "cg"
+        if tree_plan is not None:
+            schur_method = "tree"
+        else:
+            schur_method = "dense" if B <= 4096 else "cg"
 
     def core(arg0, arg1, start_pbc, end_pbc):
         if inputs == "coefficients":
@@ -381,7 +507,10 @@ def build_schur_executor(
         ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         if B > 0:
             matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
-            if schur_method in ("dense", "dense_f64"):
+            if schur_method == "tree":
+                lam = _tree_schur_solve(tree_plan, diag, rhs, 1.0 / ed.W, both)
+                iters = jnp.zeros((), dtype=jnp.int32)
+            elif schur_method in ("dense", "dense_f64"):
                 L = jnp.zeros((B, B), dtype=ed.W.dtype)
                 L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
                 L = L.at[s_idx, t_idx].add(-off_w)
