@@ -573,21 +573,21 @@ class NetworkMesh:
         boundary node — the pressure level there is undetermined and the
         saddle system is singular (the reference would hit a MUMPS zero
         pivot, ``solver.py:64``)."""
-        parent = np.arange(self._num_graph_nodes)
+        if getattr(self, "_floating_cache", None) is None:
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import connected_components
 
-        def find(a: int) -> int:
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
-        for u, v in self._edges:
-            ru, rv = find(int(u)), find(int(v))
-            if ru != rv:
-                parent[ru] = rv
-        roots_with_boundary = {find(int(b)) for b in self._boundary_values}
-        touched = {find(int(u)) for u in self._edges[:, 0]}
-        return bool(touched - roots_with_boundary)
+            V = self._num_graph_nodes
+            ones = np.ones(self._edges.shape[0])
+            adjacency = sp.coo_matrix(
+                (ones, (self._edges[:, 0], self._edges[:, 1])), shape=(V, V)
+            )
+            _, labels = connected_components(adjacency, directed=False)
+            with_boundary = np.zeros(labels.max() + 1, dtype=bool)
+            with_boundary[labels[self._boundary_values]] = True
+            touched = np.unique(labels[self._edges[:, 0]])
+            self._floating_cache = bool(np.any(~with_boundary[touched]))
+        return self._floating_cache
 
     @property
     def max_connections(self) -> int:

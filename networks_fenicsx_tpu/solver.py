@@ -565,7 +565,8 @@ def build_schur_executor(
             residual = jnp.zeros(())
             rhs_norm = jnp.zeros(())
         x = _schur_back_substitute(asm, ed, lam)
-        return x, iters, residual, rhs_norm
+        finite = jnp.all(jnp.isfinite(x))
+        return x, iters, residual, rhs_norm, finite
 
     return jax.jit(core) if jit else core
 
@@ -585,7 +586,7 @@ def _schur_solve(
         )
     if executor is None:
         executor = build_schur_executor(asm, opts, jit=False)
-    x, iters, residual, rhs_norm = executor(
+    x, iters, residual, rhs_norm, finite = executor(
         jnp.asarray(asm._R_quad),
         jnp.asarray(asm._f_quad),
         jnp.asarray(asm._edge_start_pbc),
@@ -594,7 +595,7 @@ def _schur_solve(
     residual = float(residual)
     converged = (
         residual <= max(opts.rtol * float(rhs_norm) * 10, opts.atol, 1e-9)
-        and bool(jnp.all(jnp.isfinite(x)))
+        and bool(finite)
     )
     return x, SolveInfo("schur", int(iters), residual, converged)
 
