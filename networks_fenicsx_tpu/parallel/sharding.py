@@ -19,8 +19,6 @@ program by the single controller.
 
 from __future__ import annotations
 
-import typing
-
 import numpy as np
 
 import jax
@@ -30,7 +28,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import assembly as _assembly
 from ..function import NetworkFunction
 from ..ops import krylov
-from ..solver import SolveInfo, _EdgeData, _backsub_from_lambda, _prepare_edge_data
+from ..solver import (
+    SolveInfo,
+    _EdgeData,
+    _backsub_from_lambda,
+    _plan_tree_elimination,
+    _prepare_edge_data,
+    _tree_schur_solve,
+)
 from ..utils.timing import timed
 
 try:  # jax >= 0.7 exposes shard_map at top level
@@ -82,13 +87,23 @@ def _pad_edge_data(ed: _EdgeData, n_pad: int) -> _EdgeData:
 
 
 def _sharded_schur_pipeline(
-    mesh: Mesh, axis: str, B: int, k: int, N: int, schur_method: str = "auto"
+    mesh: Mesh,
+    axis: str,
+    B: int,
+    k: int,
+    N: int,
+    schur_method: str = "auto",
+    tree_plan=None,
+    edge_pair_padded: np.ndarray | None = None,
 ):
     """Build the jitted shard_map solve: edge shards in → solution shards out."""
     if schur_method == "auto":
-        schur_method = "dense" if B <= 4096 else "cg"
+        if tree_plan is not None:
+            schur_method = "tree"
+        else:
+            schur_method = "dense" if B <= 4096 else "cg"
 
-    def local_solve(ed: _EdgeData):
+    def local_solve(ed: _EdgeData, edge_pair: jnp.ndarray):
         if B == 0:  # no bifurcations: edges decouple entirely
             lam = jnp.zeros(0, dtype=ed.W.dtype)
             q_edge, p_cells = _backsub_from_lambda(ed, lam, k, N)
@@ -114,7 +129,19 @@ def _sharded_schur_pipeline(
         both = s_is_bif & t_is_bif
         off_w = jnp.where(both, w, 0.0)
 
-        if schur_method == "dense":
+        if schur_method == "tree":
+            # Aggregate per-pair conductances from device-local edges with
+            # one psum, then run the (replicated) fill-in-free elimination.
+            from ..solver import _tree_eliminate
+
+            P_pairs = tree_plan.pair_nodes.shape[0]
+            sel = edge_pair >= 0
+            pid = jnp.where(sel, edge_pair, 0)
+            w_local = jnp.zeros(P_pairs, dtype=ed.W.dtype)
+            w_local = w_local.at[pid].add(jnp.where(sel, w, 0.0))
+            w_pairs = jax.lax.psum(w_local, axis)
+            lam = _tree_eliminate(tree_plan, diag, rhs, w_pairs)
+        elif schur_method == "dense":
             # --- psum the partial Laplacian; replicated mixed-precision
             # Cholesky (identical on every device, avoids a broadcast).
             L = jnp.zeros((B, B), dtype=ed.W.dtype)
@@ -165,7 +192,9 @@ def _sharded_schur_pipeline(
         interior=(spec_e,) if k > 1 else (),
     )
     out_specs = (spec_e, spec_e, P())  # λ replicated
-    fn = shard_map(local_solve, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
+    fn = shard_map(
+        local_solve, mesh=mesh, in_specs=(in_specs, spec_e), out_specs=out_specs
+    )
     return jax.jit(fn)
 
 
@@ -196,6 +225,7 @@ class ShardedNetworkSolver:
         self._schur_method = schur_method
         self._edge_data: _EdgeData | None = None
         self._pipeline = None
+        self._tree_plan = None
         self._info: SolveInfo | None = None
 
     @property
@@ -223,6 +253,14 @@ class ShardedNetworkSolver:
         ed = jax.device_put(ed, self._edge_sharding(ed))
 
         if self._pipeline is None:
+            tree_plan = None
+            if self._schur_method in ("auto", "tree") and net.num_multipliers > 0:
+                tree_plan = _plan_tree_elimination(asm)
+                if self._schur_method == "tree" and tree_plan is None:
+                    raise ValueError(
+                        "schur_method='tree' requires a forest bifurcation graph"
+                    )
+            self._tree_plan = tree_plan
             self._pipeline = _sharded_schur_pipeline(
                 self._mesh,
                 self._axis,
@@ -230,8 +268,15 @@ class ShardedNetworkSolver:
                 asm.flux_degree,
                 net.N,
                 self._schur_method,
+                tree_plan=tree_plan,
             )
-        q_edge, p_cells, lam = self._pipeline(ed)
+        edge_pair = np.full(E + n_pad, -1, dtype=np.int32)
+        if self._tree_plan is not None:
+            edge_pair[:E] = self._tree_plan.edge_pair
+        edge_pair_dev = jax.device_put(
+            jnp.asarray(edge_pair), NamedSharding(self._mesh, P(self._axis))
+        )
+        q_edge, p_cells, lam = self._pipeline(ed, edge_pair_dev)
         q_edge = np.asarray(q_edge)[:E]
         p_cells = np.asarray(p_cells)[:E]
         lam = np.asarray(lam)

@@ -427,7 +427,16 @@ def _tree_schur_solve(
         )
     else:
         w_pairs = jnp.zeros(0, dtype=diag.dtype)
+    return _tree_eliminate(plan, diag, rhs, w_pairs)
 
+
+def _tree_eliminate(
+    plan: _TreePlan, diag: jnp.ndarray, rhs: jnp.ndarray, w_pairs: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward-eliminate and back-substitute along the static peel order,
+    given aggregated per-pair conductances (callers may psum these across
+    devices)."""
+    P = plan.pair_nodes.shape[0]
     d = diag
     r = rhs
     saved = []
