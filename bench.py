@@ -15,6 +15,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -41,8 +42,8 @@ def main() -> None:
 
     from networks_fenicsx_tpu.solver import build_schur_executor
 
-    GENS = 10
-    N_ELEM = 40
+    GENS = int(os.environ.get("NXFX_BENCH_GENS", "16"))
+    N_ELEM = int(os.environ.get("NXFX_BENCH_N", "40"))
 
     t0 = time.perf_counter()
     G = make_arterial_tree(N=GENS, direction=np.array([0.1, 1.0, 0.0]))
@@ -64,27 +65,22 @@ def main() -> None:
         t0 = time.perf_counter()
         asm.compute_forms(p_bc_ex=p_bc, R=R)
         t1 = time.perf_counter()
-        out = executor(
-            jnp.asarray(asm._R_quad),
-            jnp.asarray(asm._f_quad),
-            jnp.asarray(asm._edge_start_pbc),
-            jnp.asarray(asm._edge_end_pbc),
-        )
+        out = executor(*asm.schur_arguments())
         jax.block_until_ready(out)
         if verbose:
             t2 = time.perf_counter()
             log(f"  [forms {1e3 * (t1 - t0):.1f} ms, exec {1e3 * (t2 - t1):.1f} ms]")
         return out
 
-    # warmup (compile)
+    # warmup (compile + one-time device->host path initialisation)
     t0 = time.perf_counter()
     out = assemble_and_solve()
-    log(f"warmup (incl. XLA compile): {time.perf_counter() - t0:.3f}s")
     x = np.asarray(out[0])
+    log(f"warmup (incl. XLA compile): {time.perf_counter() - t0:.3f}s")
     assert np.all(np.isfinite(x)), "non-finite solution"
 
     # steady-state assemble+solve
-    reps = 5
+    reps = 3
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -119,7 +115,7 @@ def main() -> None:
     assert err < 1e-8, f"solution mismatch vs direct solver: {err}"
 
     result = {
-        "metric": "arterial_tree_10gen_assemble_solve_dofs_per_sec",
+        "metric": f"arterial_tree_{GENS}gen_assemble_solve_dofs_per_sec",
         "value": round(dofs_per_sec, 1),
         "unit": "dofs/s",
         "vs_baseline": round(t_baseline / t_solve, 3),

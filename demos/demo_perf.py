@@ -81,14 +81,7 @@ for n in ns:
 
     opts = SolverOptions()
     executor = build_schur_executor(assembler, opts)
-    import jax.numpy as jnp
-
-    args = (
-        jnp.asarray(assembler._R_quad),
-        jnp.asarray(assembler._f_quad),
-        jnp.asarray(assembler._edge_start_pbc),
-        jnp.asarray(assembler._edge_end_pbc),
-    )
+    args = assembler.schur_arguments()
 
     # Compile: first dispatch triggers XLA trace + compile (cold cache —
     # the analog of the reference's FFCx compile with a wiped cache dir).

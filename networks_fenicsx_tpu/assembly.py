@@ -292,40 +292,44 @@ class HydraulicNetworkAssembler:
         xi, w = elements.gauss_legendre(nq)
         phi = elements.tabulate(k, xi)  # (nq, k+1)
 
-        asc = mesh.orientation > 0
-        v_start = np.where(asc[:, None], mesh.vertices[mesh.cells[:, 0]], mesh.vertices[mesh.cells[:, 1]])
-        v_end = np.where(asc[:, None], mesh.vertices[mesh.cells[:, 1]], mesh.vertices[mesh.cells[:, 0]])
+        def _quad_coords() -> np.ndarray:
+            asc = mesh.orientation > 0
+            v_start = np.where(
+                asc[:, None], mesh.vertices[mesh.cells[:, 0]], mesh.vertices[mesh.cells[:, 1]]
+            )
+            v_end = np.where(
+                asc[:, None], mesh.vertices[mesh.cells[:, 1]], mesh.vertices[mesh.cells[:, 0]]
+            )
+            return (
+                v_start[:, None, :] * (1 - xi)[None, :, None]
+                + v_end[:, None, :] * xi[None, :, None]
+            )  # (C, nq, gdim)
 
-        def _coeff_at_quad(coeff, default: float) -> np.ndarray:
-            """Coefficient values at quadrature points, shape (C, nq)."""
+        def _classify(coeff, default: float) -> tuple[str, np.ndarray]:
+            """Classify a coefficient and keep it in its most compact form:
+            the fused executor expands it on-device, so host→device traffic
+            scales with the information content, not the quadrature grid."""
             if coeff is None:
-                return np.full((C, nq), default)
+                return "scalar", np.array([default])
             if callable(coeff):
-                xq = (
-                    v_start[:, None, :] * (1 - xi)[None, :, None]
-                    + v_end[:, None, :] * xi[None, :, None]
-                )  # (C, nq, gdim)
-                vals = coeff(_as_padded_coords(xq.reshape(-1, mesh.geometric_dim)))
-                return np.asarray(vals, dtype=np.float64).reshape(C, nq)
+                vals = coeff(
+                    _as_padded_coords(_quad_coords().reshape(-1, mesh.geometric_dim))
+                )
+                return "quad", np.asarray(vals, dtype=np.float64).reshape(C, nq)
             arr = np.asarray(coeff, dtype=np.float64)
             if arr.ndim == 0:
-                return np.full((C, nq), float(arr))
+                return "scalar", arr.reshape(1)
             if arr.shape[0] == mesh.num_edges and mesh.num_edges != C:
-                arr = arr[mesh.cell_edge]
-            if arr.shape[0] != C:
-                raise ValueError(
-                    f"coefficient array must have {C} (per-cell) or "
-                    f"{mesh.num_edges} (per-edge) entries, got {arr.shape}"
-                )
-            return np.broadcast_to(arr[:, None], (C, nq)).copy()
+                return "edge", arr
+            if arr.shape[0] == C:
+                return "cell", arr
+            raise ValueError(
+                f"coefficient array must have {C} (per-cell) or "
+                f"{mesh.num_edges} (per-edge) entries, got {arr.shape}"
+            )
 
-        R_q = _coeff_at_quad(R, 1.0)  # (C, nq)
-        f_q = _coeff_at_quad(f, 0.0)
-        # Raw quadrature-point coefficients: the fused device executor forms
-        # the element matrices on-device from these (one small transfer, one
-        # dispatch), see solver.build_schur_executor.
-        self._R_quad = R_q
-        self._f_quad = f_q
+        self._R_mode, self._R_data = _classify(R, 1.0)
+        self._f_mode, self._f_data = _classify(f, 0.0)
         self._quad_weights = w
         self._quad_phi = phi
 
@@ -333,10 +337,17 @@ class HydraulicNetworkAssembler:
         # fused schur executor forms them on-device instead).
         self._cell_mass_cache: np.ndarray | None = None
 
-        # Per-cell pressure load  (∫ f ψ_m over cell).
-        psi = elements.tabulate(kp, xi) if kp > 0 else np.ones((nq, 1))
-        self._cell_f_load = np.einsum("cq,q,qm->cm", f_q, w, psi) * mesh.cell_h[:, None]
-        self._cell_f_int = np.einsum("cq,q->c", f_q, w) * mesh.cell_h  # ∫ f per cell
+        # Per-cell pressure load  (∫ f ψ_m over cell); skipped when f == 0.
+        f_q = self._f_quad_host()
+        if f_q is None:
+            self._cell_f_load = None
+            self._cell_f_int = np.zeros(C)
+        else:
+            psi = elements.tabulate(kp, xi) if kp > 0 else np.ones((nq, 1))
+            self._cell_f_load = (
+                np.einsum("cq,q,qm->cm", f_q, w, psi) * mesh.cell_h[:, None]
+            )
+            self._cell_f_int = np.einsum("cq,q->c", f_q, w) * mesh.cell_h
 
         # Boundary pressure values at graph nodes (only boundary nodes used).
         if callable(p_bc_ex):
@@ -350,6 +361,7 @@ class HydraulicNetworkAssembler:
 
         # RHS: L[i] = p_bc v ds(in) − p_bc v ds(out)   (assembly.py:258-260)
         b = np.zeros(self._num_dofs, dtype=np.float64)
+        # (f-load contribution added below, after boundary terms)
         end_dof = self._edge_flux_base + self._dofs_per_edge - 1
         start_dof = self._edge_flux_base
         bin_nodes = mesh.boundary_in_nodes
@@ -363,7 +375,8 @@ class HydraulicNetworkAssembler:
         b[end_dof[in_edge_of_node[bin_nodes]]] += node_pbc[bin_nodes]
         b[start_dof[out_edge_of_node[bout_nodes]]] -= node_pbc[bout_nodes]
         # L[M] += ∫ f φ dx  (assembly.py:262)
-        np.add.at(b, self._cell_p_dofs.ravel(), self._cell_f_load.ravel())
+        if self._cell_f_load is not None:
+            np.add.at(b, self._cell_p_dofs.ravel(), self._cell_f_load.ravel())
         self._b_host = b
 
         # Per-edge effective endpoint data for the Schur solver.
@@ -543,17 +556,86 @@ class HydraulicNetworkAssembler:
     def forms_computed(self) -> bool:
         return getattr(self, "_forms_computed", False)
 
+    def _expand_quad_host(self, mode: str, data: np.ndarray) -> np.ndarray | None:
+        """Expand a compact coefficient to (C, nq), or None if exactly 0."""
+        C = self._network_mesh.num_cells
+        nq = self._quad_weights.shape[0]
+        if mode == "scalar":
+            if data[0] == 0.0:
+                return None
+            return np.broadcast_to(data.reshape(1, 1), (C, nq))
+        if mode == "edge":
+            return np.broadcast_to(
+                data[self._network_mesh.cell_edge][:, None], (C, nq)
+            )
+        if mode == "cell":
+            return np.broadcast_to(data[:, None], (C, nq))
+        return data
+
+    def _f_quad_host(self) -> np.ndarray | None:
+        return self._expand_quad_host(self._f_mode, self._f_data)
+
+    @property
+    def _R_quad(self) -> np.ndarray:
+        """Resistance at quadrature points, (C, nq) — compatibility view."""
+        self._require_forms()
+        out = self._expand_quad_host(self._R_mode, self._R_data)
+        if out is None:
+            out = np.zeros((self._network_mesh.num_cells, self._quad_weights.shape[0]))
+        return out
+
+    @property
+    def _f_quad(self) -> np.ndarray:
+        """Source at quadrature points, (C, nq) — compatibility view."""
+        self._require_forms()
+        out = self._f_quad_host()
+        if out is None:
+            out = np.zeros((self._network_mesh.num_cells, self._quad_weights.shape[0]))
+        return out
+
+    def coefficient_modes(self) -> tuple[str, str]:
+        """Static classification of (R, f): 'scalar' | 'edge' | 'cell' | 'quad'.
+        Determines the (compact) executor argument shapes."""
+        self._require_forms()
+        return self._R_mode, self._f_mode
+
+    def schur_arguments(self):
+        """Device-ready compact arguments for the fused schur executor:
+        ``(R_data, f_data, edge_start_pbc, edge_end_pbc)``."""
+        import jax.numpy as _jnp
+
+        self._require_forms()
+        return (
+            _jnp.asarray(self._R_data),
+            _jnp.asarray(self._f_data),
+            _jnp.asarray(self._edge_start_pbc),
+            _jnp.asarray(self._edge_end_pbc),
+        )
+
     @property
     def _cell_mass(self) -> np.ndarray:
         """Per-cell flux mass matrices ``M_c = h_c Σ_q w_q R(x_q) φ_i φ_j``
         (host copy, used by the generic assembly paths)."""
         self._require_forms()
         if self._cell_mass_cache is None:
-            self._cell_mass_cache = np.einsum(
-                "cq,q,qi,qj->cij",
-                self._R_quad,
-                self._quad_weights,
-                self._quad_phi,
-                self._quad_phi,
-            ) * self._network_mesh.cell_h[:, None, None]
+            mesh = self._network_mesh
+            if self._R_mode == "quad":
+                self._cell_mass_cache = np.einsum(
+                    "cq,q,qi,qj->cij",
+                    self._R_data,
+                    self._quad_weights,
+                    self._quad_phi,
+                    self._quad_phi,
+                ) * mesh.cell_h[:, None, None]
+            else:
+                Mhat = elements.mass_matrix(self._k)
+                if self._R_mode == "scalar":
+                    R_cells = np.full(mesh.num_cells, self._R_data[0])
+                elif self._R_mode == "edge":
+                    R_cells = self._R_data[mesh.cell_edge]
+                else:
+                    R_cells = self._R_data
+                self._cell_mass_cache = (R_cells * mesh.cell_h)[
+                    :, None, None
+                ] * Mhat[None]
         return self._cell_mass_cache

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 
 from . import assembly as _assembly
 from .function import NetworkFunction
-from .ops import krylov
+from .ops import elements, krylov
 from .utils.config import SolverOptions
 from .utils.timing import timed
 
@@ -117,6 +117,7 @@ class Solver:
         self._x = None
         self._info: SolveInfo | None = None
         self._executor = None  # cached jitted schur pipeline
+        self._executor_key = None
 
     # ------------------------------------------------------------ properties
     @property
@@ -176,8 +177,12 @@ class Solver:
         """
         method = self._method()
         if method == "schur":
-            if self._executor is None:
+            # Executor argument shapes depend on the coefficient kinds; a
+            # compute_forms() call with different kinds invalidates the cache.
+            key = self._assembler.coefficient_modes()
+            if self._executor is None or self._executor_key != key:
                 self._executor = build_schur_executor(self._assembler, self._options)
+                self._executor_key = key
             x, info = _schur_solve(self._assembler, self._options, self._executor)
         else:
             if self._A is None or self._b is None:
@@ -501,16 +506,40 @@ def build_schur_executor(
         else:
             schur_method = "dense" if B <= 4096 else "cg"
 
+    R_mode, f_mode = (
+        asm.coefficient_modes() if inputs == "coefficients" else (None, None)
+    )
+
     def core(arg0, arg1, start_pbc, end_pbc):
         if inputs == "coefficients":
-            R_q, f_q = arg0, arg1  # (C, nq)
+            # On-device coefficient expansion: host→device traffic scales
+            # with the compact representation (a scalar, per-edge or
+            # per-cell array), not the quadrature grid.
             w = jnp.asarray(asm._quad_weights)
             phi = jnp.asarray(asm._quad_phi)
             h = jnp.asarray(mesh.cell_h)
-            cell_mass = (
-                jnp.einsum("cq,q,qi,qj->cij", R_q, w, phi, phi) * h[:, None, None]
-            )
-            cell_f_int = jnp.einsum("cq,q->c", f_q, w) * h
+            if R_mode == "quad":
+                cell_mass = (
+                    jnp.einsum("cq,q,qi,qj->cij", arg0, w, phi, phi)
+                    * h[:, None, None]
+                )
+            else:
+                Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree))
+                if R_mode == "scalar":
+                    R_cells = arg0[0] * jnp.ones_like(h)
+                elif R_mode == "edge":
+                    R_cells = arg0[jnp.asarray(mesh.cell_edge)]
+                else:  # "cell"
+                    R_cells = arg0
+                cell_mass = (R_cells * h)[:, None, None] * Mhat[None]
+            if f_mode == "quad":
+                cell_f_int = jnp.einsum("cq,q->c", arg1, w) * h
+            elif f_mode == "scalar":
+                cell_f_int = arg1[0] * h
+            elif f_mode == "edge":
+                cell_f_int = arg1[jnp.asarray(mesh.cell_edge)] * h
+            else:  # "cell"
+                cell_f_int = arg1 * h
         else:
             cell_mass, cell_f_int = arg0, arg1
         ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
@@ -595,12 +624,7 @@ def _schur_solve(
         )
     if executor is None:
         executor = build_schur_executor(asm, opts, jit=False)
-    x, iters, residual, rhs_norm, finite = executor(
-        jnp.asarray(asm._R_quad),
-        jnp.asarray(asm._f_quad),
-        jnp.asarray(asm._edge_start_pbc),
-        jnp.asarray(asm._edge_end_pbc),
-    )
+    x, iters, residual, rhs_norm, finite = executor(*asm.schur_arguments())
     residual = float(residual)
     converged = (
         residual <= max(opts.rtol * float(rhs_norm) * 10, opts.atol, 1e-9)

@@ -21,22 +21,17 @@ def _setup(n=3, N=3):
     G = network_generation.make_tree(n, 1.0, 2.0)
     mesh = NetworkMesh(G, N=N)
     asm = HydraulicNetworkAssembler(mesh)
-    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    # per-edge resistance so the executor takes an (E,)-shaped R argument
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.ones(mesh.num_edges))
     executor = build_schur_executor(asm, SolverOptions(), jit=False)
-    args = (
-        jnp.asarray(asm._R_quad),
-        jnp.asarray(asm._f_quad),
-        jnp.asarray(asm._edge_start_pbc),
-        jnp.asarray(asm._edge_end_pbc),
-    )
-    return mesh, asm, executor, args
+    return mesh, asm, executor, asm.schur_arguments()
 
 
 def test_vmap_resistance_sweep():
     """Batch 8 resistance scenarios through one vmapped solve."""
     mesh, asm, executor, (R_q, f_q, spbc, epbc) = _setup()
     scales = jnp.linspace(0.5, 4.0, 8)
-    R_batch = R_q[None, :, :] * scales[:, None, None]
+    R_batch = R_q[None, :] * scales[:, None]
 
     batched = jax.jit(jax.vmap(lambda R: executor(R, f_q, spbc, epbc)[0]))
     xs = batched(R_batch)
