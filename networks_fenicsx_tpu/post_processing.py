@@ -115,18 +115,35 @@ def export_functions(functions: list[NetworkFunction], outpath: Path | str) -> N
     )
 
 
-def export_submeshes(network_mesh: NetworkMesh, outpath: str | Path) -> None:
+def export_submeshes(
+    network_mesh: NetworkMesh, outpath: str | Path, format: str = "xdmf"
+) -> None:
     """Export each color submesh with its vertex markers
-    (reference ``post_processing.py:81-97``)."""
+    (reference ``post_processing.py:81-97``; the reference writes XDMF).
+
+    Args:
+        format: ``"xdmf"`` (reference-parity, inline data) or ``"vtu"``.
+    """
+    from .io.xdmf import write_xdmf
+
     outpath = Path(outpath)
     for i, view in enumerate(network_mesh.submeshes):
         coords = network_mesh.vertices[view.vertex_indices]
         markers = np.full(coords.shape[0], -1.0)
         markers[view.facet_markers.indices] = view.facet_markers.values
-        write_vtu(
-            outpath / f"submesh_{i}.vtu",
-            coords,
-            view.cells,
-            VTK_LINE,
-            point_data={"vertex_markers": markers},
-        )
+        if format == "xdmf":
+            write_xdmf(
+                outpath / f"submesh_{i}.xdmf",
+                coords,
+                view.cells,
+                point_data={"vertex_markers": markers},
+                grid_name=f"submesh_{i}",
+            )
+        else:
+            write_vtu(
+                outpath / f"submesh_{i}.vtu",
+                coords,
+                view.cells,
+                VTK_LINE,
+                point_data={"vertex_markers": markers},
+            )

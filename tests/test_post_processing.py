@@ -52,7 +52,13 @@ def test_export_functions(tmp_path):
 
 def test_export_submeshes(tmp_path):
     mesh, _ = _solve_y()
-    export_submeshes(mesh, tmp_path)
+    export_submeshes(mesh, tmp_path)  # xdmf (reference parity)
+    for i in range(mesh.num_edge_colors):
+        f = tmp_path / f"submesh_{i}.xdmf"
+        assert f.exists()
+        text = f.read_text()
+        assert "Polyline" in text and "vertex_markers" in text
+    export_submeshes(mesh, tmp_path, format="vtu")
     for i in range(mesh.num_edge_colors):
         assert (tmp_path / f"submesh_{i}.vtu").exists()
 
