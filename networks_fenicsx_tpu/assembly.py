@@ -556,6 +556,18 @@ class HydraulicNetworkAssembler:
     def forms_computed(self) -> bool:
         return getattr(self, "_forms_computed", False)
 
+    @property
+    def in_idx(self) -> int:
+        """First measure id for in-flux bifurcation integrals
+        (reference ``assembly.py:153-159``: ``max(markers) + 1``)."""
+        return self._in_idx
+
+    @property
+    def out_idx(self) -> int:
+        """First measure id for out-flux bifurcation integrals
+        (reference ``assembly.py:160-162``)."""
+        return self._out_idx
+
     def _expand_quad_host(self, mode: str, data: np.ndarray) -> np.ndarray | None:
         """Expand a compact coefficient to (C, nq), or None if exactly 0."""
         C = self._network_mesh.num_cells

@@ -182,6 +182,11 @@ class NetworkMesh:
         E = graph.number_of_edges()
         if E == 0:
             raise ValueError("graph has no edges")
+        if set(graph.nodes()) != set(range(V)):
+            raise ValueError(
+                "graph node ids must be contiguous integers 0..V-1 "
+                "(use networkx.convert_node_labels_to_integers first)"
+            )
         N = self._N
 
         pos0 = np.asarray(graph.nodes[0]["pos"], dtype=np.float64)

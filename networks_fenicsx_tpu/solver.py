@@ -227,9 +227,15 @@ class Solver:
 
 
 class _EdgeData(typing.NamedTuple):
-    """Per-edge condensed arrays, all edge-major; see module docstring."""
+    """Per-edge condensed arrays, all edge-major; see module docstring.
 
-    mt: jnp.ndarray  # (E, N, 2, 2) condensed cell endpoint mass
+    Two layouts: the general one stores per-cell 2x2 condensed endpoint
+    matrices in ``mt``; for degree-1 flux with cellwise-constant resistance
+    every cell matrix is ``a_c * M̂`` with the fixed P1 mass ``M̂``, so only
+    the scalars ``a_c = R_c h_c`` are stored in ``rh`` (``mt`` is None) —
+    4x less HBM traffic on the dominant path."""
+
+    mt: jnp.ndarray | None  # (E, N, 2, 2) condensed cell endpoint mass
     cumF: jnp.ndarray  # (E, N+1) cumulative ∫f along chain nodes
     W: jnp.ndarray  # (E,) 1ᵀM1 — total edge resistance
     g: jnp.ndarray  # (E,) 1ᵀM·cumF
@@ -238,6 +244,39 @@ class _EdgeData(typing.NamedTuple):
     start_pbc: jnp.ndarray  # (E,) −p_bc contribution at source boundary
     end_pbc: jnp.ndarray  # (E,) +p_bc contribution at target boundary
     interior: tuple  # () or (Minv_IE (C,k-1,2),) interior recovery data
+    rh: jnp.ndarray | None = None  # (E, N) cell scalars for the P1 layout
+
+
+def _make_edge_data_scalar(
+    asm: _assembly.HydraulicNetworkAssembler,
+    cell_scale: jnp.ndarray,
+    cell_f_int: jnp.ndarray,
+    start_pbc: jnp.ndarray,
+    end_pbc: jnp.ndarray,
+) -> _EdgeData:
+    """P1 scalar-layout edge data: cell mass = a_c * M̂ with a_c = R_c h_c.
+
+    Uses the closed forms 1ᵀM̂1 = 1 and 1ᵀM̂ = [1/2, 1/2], avoiding the
+    (C, 2, 2) tensor entirely."""
+    mesh = asm.network
+    N, E = mesh.N, mesh.num_edges
+    a = cell_scale.reshape(E, N)
+    F = jnp.broadcast_to(jnp.asarray(cell_f_int), (mesh.num_cells,)).reshape(E, N)
+    cumF = jnp.concatenate([jnp.zeros((E, 1), a.dtype), jnp.cumsum(F, axis=1)], axis=1)
+    W = jnp.sum(a, axis=1)
+    g = 0.5 * jnp.sum(a * (cumF[:, :-1] + cumF[:, 1:]), axis=1)
+    return _EdgeData(
+        mt=None,
+        cumF=cumF,
+        W=W,
+        g=g,
+        start_bif=jnp.asarray(asm._edge_start_bif),
+        end_bif=jnp.asarray(asm._edge_end_bif),
+        start_pbc=start_pbc,
+        end_pbc=end_pbc,
+        interior=(),
+        rh=a,
+    )
 
 
 def _make_edge_data(
@@ -518,20 +557,23 @@ def build_schur_executor(
             w = jnp.asarray(asm._quad_weights)
             phi = jnp.asarray(asm._quad_phi)
             h = jnp.asarray(mesh.cell_h)
+            cell_scale = None
             if R_mode == "quad":
                 cell_mass = (
                     jnp.einsum("cq,q,qi,qj->cij", arg0, w, phi, phi)
                     * h[:, None, None]
                 )
             else:
-                Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree))
                 if R_mode == "scalar":
                     R_cells = arg0[0] * jnp.ones_like(h)
                 elif R_mode == "edge":
                     R_cells = arg0[jnp.asarray(mesh.cell_edge)]
                 else:  # "cell"
                     R_cells = arg0
-                cell_mass = (R_cells * h)[:, None, None] * Mhat[None]
+                cell_scale = R_cells * h
+                if asm.flux_degree > 1:
+                    Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree))
+                    cell_mass = cell_scale[:, None, None] * Mhat[None]
             if f_mode == "quad":
                 cell_f_int = jnp.einsum("cq,q->c", arg1, w) * h
             elif f_mode == "scalar":
@@ -540,9 +582,16 @@ def build_schur_executor(
                 cell_f_int = arg1[jnp.asarray(mesh.cell_edge)] * h
             else:  # "cell"
                 cell_f_int = arg1 * h
+            if cell_scale is not None and asm.flux_degree == 1:
+                # P1 + cellwise-constant R: scalar layout, no (C,2,2) tensor
+                ed = _make_edge_data_scalar(
+                    asm, cell_scale, cell_f_int, start_pbc, end_pbc
+                )
+            else:
+                ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         else:
             cell_mass, cell_f_int = arg0, arg1
-        ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
+            ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         if B > 0:
             matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
             if schur_method == "tree":
@@ -652,11 +701,19 @@ def _backsub_from_lambda(
     # chain momentum values m_i and pressure back-substitution.
     # Scatter-free: node contributions assembled by shifted concatenation
     # (TPU scatters serialize; concats/pads fuse).
-    qc = jnp.stack([q_chain[:, :-1], q_chain[:, 1:]], axis=-1)  # (E, N, 2)
-    mc = jnp.einsum("enij,enj->eni", ed.mt, qc)  # (E, N, 2)
+    qj, qj1 = q_chain[:, :-1], q_chain[:, 1:]
+    if ed.mt is None:
+        # P1 scalar layout: M_c = a_c * [[1/3, 1/6], [1/6, 1/3]]
+        a = ed.rh
+        mc0 = a * (qj / 3.0 + qj1 / 6.0)
+        mc1 = a * (qj / 6.0 + qj1 / 3.0)
+    else:
+        qc = jnp.stack([qj, qj1], axis=-1)  # (E, N, 2)
+        mc = jnp.einsum("enij,enj->eni", ed.mt, qc)  # (E, N, 2)
+        mc0, mc1 = mc[:, :, 0], mc[:, :, 1]
     zero_col = jnp.zeros((E, 1), dtype=ed.W.dtype)
-    m_nodes = jnp.concatenate([mc[:, :, 0], zero_col], axis=1) + jnp.concatenate(
-        [zero_col, mc[:, :, 1]], axis=1
+    m_nodes = jnp.concatenate([mc0, zero_col], axis=1) + jnp.concatenate(
+        [zero_col, mc1], axis=1
     )  # (E, N+1)
     p_cells = r0[:, None] - jnp.cumsum(m_nodes[:, :-1], axis=1)  # (E, N)
 
@@ -666,7 +723,11 @@ def _backsub_from_lambda(
         q_edge = q_chain
     else:
         (Minv_IE,) = ed.interior
-        q_int = -jnp.einsum("cij,cj->ci", Minv_IE, qc.reshape(E * N, 2))
+        q_int = -jnp.einsum(
+            "cij,cj->ci",
+            Minv_IE,
+            jnp.stack([qj, qj1], axis=-1).reshape(E * N, 2),
+        )
         q_int = q_int.reshape(E, N, k - 1)
         cell_block = jnp.concatenate(
             [q_chain[:, :-1, None], q_int], axis=2
