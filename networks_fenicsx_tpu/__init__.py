@@ -26,7 +26,8 @@ __author__ = "networks-fenicsx-tpu developers"
 __license__ = "MIT"
 __program_name__ = "networks_fenicsx_tpu"
 
-from . import network_generation, post_processing  # noqa: E402
+from . import batch, network_generation, post_processing  # noqa: E402
+from .batch import solve_sweep  # noqa: E402
 from .assembly import HydraulicNetworkAssembler, PressureFunction, compute_integration_data  # noqa: E402
 from .function import FunctionSpace, NetworkFunction  # noqa: E402
 from .mesh import NetworkMesh, color_graph  # noqa: E402
@@ -46,4 +47,6 @@ __all__ = [
     "color_graph",
     "SolverOptions",
     "ShardingOptions",
+    "batch",
+    "solve_sweep",
 ]

@@ -1,0 +1,138 @@
+"""Batched scenario solves (parameter sweeps) in one device dispatch.
+
+A production capability with no counterpart in the PETSc/MUMPS reference:
+because the fused assemble→condense→solve executor is a pure function,
+``jax.vmap`` maps it over stacked coefficient scenarios — hundreds of
+resistance/source/boundary-condition variants solved in a single XLA
+program launch (one systolic sweep instead of a host loop of factorise+
+solve calls).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .assembly import HydraulicNetworkAssembler
+from .solver import build_schur_executor
+from .utils.config import SolverOptions
+
+__all__ = ["SweepResult", "solve_sweep"]
+
+
+class SweepResult:
+    """Solutions of a coefficient sweep: ``x`` has shape (S, num_dofs) in
+    the global block layout ``[q_0..q_{M-1}, p, λ]``."""
+
+    def __init__(self, assembler: HydraulicNetworkAssembler, x: jnp.ndarray):
+        self.assembler = assembler
+        self.x = x
+
+    @property
+    def num_scenarios(self) -> int:
+        return int(self.x.shape[0])
+
+    def block(self, i: int) -> jnp.ndarray:
+        """All scenarios of solution block ``i``: shape (S, block_size)."""
+        offs = self.assembler.block_offsets
+        return self.x[:, offs[i] : offs[i + 1]]
+
+    def pressures(self) -> jnp.ndarray:
+        return self.block(self.assembler.network.num_edge_colors)
+
+    def multipliers(self) -> jnp.ndarray:
+        return self.block(self.assembler.network.num_edge_colors + 1)
+
+    def functions(self, scenario: int):
+        """Materialise the reference-style function list for one scenario."""
+        from .function import NetworkFunction
+
+        asm = self.assembler
+        offs = asm.block_offsets
+        x = np.asarray(self.x[scenario])
+        out = []
+        names = [f"flux_color_{i}" for i in range(asm.network.num_edge_colors)]
+        names += ["pressure", "global_flux"]
+        for i, (sp, name) in enumerate(zip(asm.function_spaces, names)):
+            out.append(NetworkFunction(sp, x[offs[i] : offs[i + 1]], name=name))
+        return out
+
+
+def solve_sweep(
+    assembler: HydraulicNetworkAssembler,
+    R: np.ndarray | jnp.ndarray | None = None,
+    f: np.ndarray | jnp.ndarray | None = None,
+    p_bc_node_values: np.ndarray | jnp.ndarray | None = None,
+    options: SolverOptions | None = None,
+) -> SweepResult:
+    """Solve a batch of coefficient scenarios in one vmapped dispatch.
+
+    ``compute_forms`` must have been called once with representative
+    coefficients — it fixes the coefficient *kinds* (scalar / per-edge /
+    per-cell / per-quadrature) and the boundary-condition structure.  Each
+    batch argument stacks scenarios on a leading axis over the compact
+    representation of that kind:
+
+    Args:
+        assembler: Assembler with forms computed.
+        R: Optional (S, ...) resistance batch — trailing shape must match
+            ``assembler.schur_arguments()[0]`` (e.g. (S, E) for per-edge R,
+            (S, 1) for scalar R).
+        f: Optional (S, ...) source batch, analogous.
+        p_bc_node_values: Optional (S, num_graph_nodes) boundary pressure
+            values per graph node (only boundary-node entries are used).
+        options: Solver options (schur path; default auto).
+
+    Returns:
+        :class:`SweepResult` with ``x`` of shape (S, num_dofs).
+    """
+    asm = assembler
+    opts = options or SolverOptions()
+    if asm.network.has_floating_component():
+        raise RuntimeError("network has a component with no boundary node")
+    base_R, base_f, base_sp, base_ep = asm.schur_arguments()
+
+    sizes = []
+    for arr in (R, f, p_bc_node_values):
+        if arr is not None:
+            sizes.append(int(np.shape(arr)[0]))
+    if not sizes:
+        raise ValueError("provide at least one batched coefficient")
+    S = sizes[0]
+    if any(s != S for s in sizes):
+        raise ValueError(f"inconsistent batch sizes: {sizes}")
+
+    mesh = asm.network
+    if p_bc_node_values is not None:
+        pbv = jnp.asarray(p_bc_node_values)
+        edges = mesh.edges
+        s_is_bnd = jnp.asarray(asm._edge_start_bif < 0)
+        e_is_bnd = jnp.asarray(asm._edge_end_bif < 0)
+        sp_batch = jnp.where(s_is_bnd[None, :], pbv[:, edges[:, 0]], 0.0)
+        ep_batch = jnp.where(e_is_bnd[None, :], pbv[:, edges[:, 1]], 0.0)
+    else:
+        sp_batch = None
+        ep_batch = None
+
+    executor = build_schur_executor(asm, opts, jit=False)
+
+    in_axes = (
+        0 if R is not None else None,
+        0 if f is not None else None,
+        0 if sp_batch is not None else None,
+        0 if ep_batch is not None else None,
+    )
+
+    def one(Ra, fa, spa, epa):
+        return executor(Ra, fa, spa, epa)[0]
+
+    batched = jax.jit(jax.vmap(one, in_axes=in_axes))
+    x = batched(
+        jnp.asarray(R) if R is not None else base_R,
+        jnp.asarray(f) if f is not None else base_f,
+        sp_batch if sp_batch is not None else base_sp,
+        ep_batch if ep_batch is not None else base_ep,
+    )
+    return SweepResult(asm, x)
