@@ -116,8 +116,6 @@ def solve_sweep(
         sp_batch = None
         ep_batch = None
 
-    executor = build_schur_executor(asm, opts, jit=False)
-
     in_axes = (
         0 if R is not None else None,
         0 if f is not None else None,
@@ -125,10 +123,27 @@ def solve_sweep(
         0 if ep_batch is not None else None,
     )
 
-    def one(Ra, fa, spa, epa):
-        return executor(Ra, fa, spa, epa)[0]
+    # Cache the traced+compiled batched program on the assembler: repeated
+    # sweeps with the same structure dispatch the cached executable.
+    # Batched scatters (the tree rounds) lower poorly on TPU, so sweeps
+    # default to the batched dense-Cholesky Schur solve (MXU-batched) for
+    # small-to-medium bifurcation counts.
+    B = mesh.num_multipliers
+    if opts.schur_method == "auto" and 0 < B <= 4096:
+        opts = SolverOptions(**{**opts.__dict__, "schur_method": "dense"})
+    key = (in_axes, opts.schur_method, asm.coefficient_modes())
+    cache = getattr(asm, "_sweep_cache", None)
+    if cache is None:
+        cache = asm._sweep_cache = {}
+    batched = cache.get(key)
+    if batched is None:
+        executor = build_schur_executor(asm, opts, jit=False)
 
-    batched = jax.jit(jax.vmap(one, in_axes=in_axes))
+        def one(Ra, fa, spa, epa):
+            return executor(Ra, fa, spa, epa)[0]
+
+        batched = jax.jit(jax.vmap(one, in_axes=in_axes))
+        cache[key] = batched
     x = batched(
         jnp.asarray(R) if R is not None else base_R,
         jnp.asarray(f) if f is not None else base_f,
