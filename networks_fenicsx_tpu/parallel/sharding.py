@@ -98,7 +98,7 @@ def _sharded_schur_pipeline(
 ):
     """Build the jitted shard_map solve: edge shards in → solution shards out."""
     if schur_method == "auto":
-        if tree_plan is not None:
+        if tree_plan is not None and tree_plan.core_size <= 4096:
             schur_method = "tree"
         else:
             schur_method = "dense" if B <= 4096 else "cg"
@@ -256,10 +256,6 @@ class ShardedNetworkSolver:
             tree_plan = None
             if self._schur_method in ("auto", "tree") and net.num_multipliers > 0:
                 tree_plan = _plan_tree_elimination(asm)
-                if self._schur_method == "tree" and tree_plan is None:
-                    raise ValueError(
-                        "schur_method='tree' requires a forest bifurcation graph"
-                    )
             self._tree_plan = tree_plan
             self._pipeline = _sharded_schur_pipeline(
                 self._mesh,

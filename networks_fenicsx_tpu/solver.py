@@ -381,21 +381,28 @@ def _schur_lambda_system(ed: _EdgeData, B: int):
 
 
 class _TreePlan(typing.NamedTuple):
-    """Static perfect-elimination plan for the bifurcation graph.
+    """Static peel-then-core elimination plan for the bifurcation graph.
 
-    Trees (every reference benchmark network) admit fill-in-free Gaussian
-    elimination: peel leaves in rounds.  All structure is host-precomputed;
-    only the runtime conductances flow through the device program.
+    Degree-≤1 nodes eliminate fill-in-free in rounds (exact for forests —
+    every reference benchmark network); whatever cycle core remains is
+    solved densely on its (usually tiny) reduced system.  All structure is
+    host-precomputed; only runtime conductances flow through the device
+    program.
     """
 
     pair_nodes: np.ndarray  # (P, 2) bifurcation index pairs with >=1 edge
     edge_pair: np.ndarray  # (E,) pair id of each graph edge, -1 if not bif-bif
     rounds: tuple  # tuple of (elim_nodes, parents, pair_ids) int32 arrays
+    core_nodes: np.ndarray = np.empty(0, np.int32)  # un-peeled (cycle) nodes
+    core_pairs: np.ndarray = np.empty((0, 3), np.int32)  # (ci, cj, pair_id)
+
+    @property
+    def core_size(self) -> int:
+        return int(self.core_nodes.size)
 
 
 def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePlan | None:
-    """Build the leaf-peeling order, or None if the bifurcation graph has a
-    cycle core (then the dense/CG paths handle it)."""
+    """Build the peel order plus the residual cycle core (empty for forests)."""
     mesh = asm.network
     B = mesh.num_multipliers
     if B == 0:
@@ -423,7 +430,7 @@ def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePla
     while remaining > 0:
         cand = np.flatnonzero(alive & (degree <= 1))
         if cand.size == 0:
-            return None  # cycle core: not a forest
+            break  # cycle core remains; handled densely below
         # independent set: skip a leaf whose (leaf) neighbour has lower id
         chosen = []
         cand_set = set(int(c) for c in cand)
@@ -446,7 +453,23 @@ def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePla
             if parents[i] >= 0:
                 degree[parents[i]] -= 1
         remaining -= elim.size
-    return _TreePlan(pairs, edge_pair, tuple(rounds))
+
+    core_nodes = np.flatnonzero(alive).astype(np.int32)
+    core_pairs = np.empty((0, 3), np.int32)
+    if core_nodes.size:
+        # Fill-in-free peeling never creates new node–node couplings, so
+        # the core's off-diagonals are exactly the original pairs with
+        # both endpoints alive.
+        in_core = np.zeros(B, dtype=bool)
+        in_core[core_nodes] = True
+        core_rank = np.full(B, -1, np.int64)
+        core_rank[core_nodes] = np.arange(core_nodes.size)
+        sel = in_core[pairs[:, 0]] & in_core[pairs[:, 1]]
+        pid = np.flatnonzero(sel)
+        core_pairs = np.stack(
+            [core_rank[pairs[sel, 0]], core_rank[pairs[sel, 1]], pid], axis=1
+        ).astype(np.int32)
+    return _TreePlan(pairs, edge_pair, tuple(rounds), core_nodes, core_pairs)
 
 
 def _tree_schur_solve(
@@ -501,6 +524,36 @@ def _tree_eliminate(
         saved.append((e, par_safe, has_par, w, db, rb))
 
     lam = jnp.zeros_like(rhs)
+    if plan.core_size > 0:
+        # Dense solve on the residual cycle core: peeled diagonals/rhs are
+        # already folded into d, r; off-diagonals are the original core
+        # pair conductances (mixed-precision Cholesky like the dense path).
+        cn = jnp.asarray(plan.core_nodes)
+        Bc = plan.core_size
+        Lc = jnp.zeros((Bc, Bc), dtype=rhs.dtype)
+        Lc = Lc.at[jnp.arange(Bc), jnp.arange(Bc)].add(d[cn])
+        if plan.core_pairs.shape[0] > 0:
+            ci = jnp.asarray(plan.core_pairs[:, 0])
+            cj = jnp.asarray(plan.core_pairs[:, 1])
+            wv = w_pairs[jnp.asarray(plan.core_pairs[:, 2])]
+            Lc = Lc.at[ci, cj].add(-wv)
+            Lc = Lc.at[cj, ci].add(-wv)
+        dscale = jnp.sqrt(jnp.diagonal(Lc))
+        Ls = (Lc / dscale[:, None]) / dscale[None, :]
+        chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
+
+        def solve_scaled(rv):
+            y = jax.scipy.linalg.cho_solve((chol, True), (rv / dscale).astype(jnp.float32))
+            return y.astype(rhs.dtype) / dscale
+
+        rc = r[cn]
+        lam_core = solve_scaled(rc)
+        for _ in range(3):
+            lam_core = lam_core + solve_scaled(rc - Lc @ lam_core)
+        piv = jnp.diagonal(chol).astype(rhs.dtype)
+        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
+        lam_core = jnp.where(ok, lam_core, jnp.nan)
+        lam = lam.at[cn].set(lam_core)
     for e, par_safe, has_par, w, db, rb in reversed(saved):
         lam_par = jnp.where(has_par, lam[par_safe], 0.0)
         lam = lam.at[e].set((rb + w * lam_par) / db)
@@ -537,10 +590,10 @@ def build_schur_executor(
     tree_plan = None
     if schur_method in ("auto", "tree") and B > 0:
         tree_plan = _plan_tree_elimination(asm)
-        if schur_method == "tree" and tree_plan is None:
-            raise ValueError("schur_method='tree' requires a forest bifurcation graph")
     if schur_method == "auto":
-        if tree_plan is not None:
+        # Peel-then-core elimination is exact for any graph; fall back to
+        # dense/CG only when the cycle core itself is large.
+        if tree_plan is not None and tree_plan.core_size <= 4096:
             schur_method = "tree"
         else:
             schur_method = "dense" if B <= 4096 else "cg"

@@ -183,6 +183,34 @@ def test_arterial_tree_solves():
         np.testing.assert_allclose(a.values, b.values, atol=1e-8)
 
 
+def test_cyclic_core_elimination():
+    """Peel-then-core: a network whose bifurcation graph has cycles is
+    peeled down to the cycle core, which solves densely — results match
+    host sparse LU."""
+    G = nx.DiGraph()
+    pos = {
+        0: (0, 0, 0), 1: (0, 0, 1), 2: (0.2, 0.2, 2), 3: (-0.2, 0.3, 2),
+        4: (0, 0.1, 2.1), 5: (0.1, -0.1, 3), 6: (-0.3, 0.4, 4), 7: (0, 0, 1.1),
+    }
+    for k, v in pos.items():
+        G.add_node(k, pos=np.array(v, dtype=float))
+    for e in [(0, 1), (1, 7), (7, 2), (2, 5), (7, 3), (3, 4), (4, 5), (7, 4), (5, 6)]:
+        G.add_edge(*e)
+    mesh = NetworkMesh(G, N=3)
+    from networks_fenicsx_tpu.solver import _plan_tree_elimination
+
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[2])
+    plan = _plan_tree_elimination(asm)
+    assert plan.core_size > 0  # genuinely cyclic
+
+    _, s_tree, sol_tree = _solve(mesh, "schur", schur_method="tree", p_bc=lambda x: x[2])
+    assert s_tree.info.converged
+    _, _, sol_lu = _solve(mesh, "host_lu", p_bc=lambda x: x[2])
+    for a, b in zip(sol_tree, sol_lu):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-9)
+
+
 def test_schur_cg_variant():
     G = network_generation.make_tree(5, 1.0, 2.0)
     mesh = NetworkMesh(G, N=1)
