@@ -145,7 +145,7 @@ class Solver:
             return m
         if self._assembler.pressure_degree == 0:
             return "schur"
-        return "dense" if self._assembler.num_dofs <= 3000 else "minres"
+        return "schur_p"
 
     # -------------------------------------------------------------- assemble
     def assemble(self, lhs: bool = True, rhs: bool = True) -> None:
@@ -184,6 +184,13 @@ class Solver:
                 self._executor = build_schur_executor(self._assembler, self._options)
                 self._executor_key = key
             x, info = _schur_solve(self._assembler, self._options, self._executor)
+        elif method == "schur_p":
+            if self._assembler.network.has_floating_component():
+                raise RuntimeError(
+                    "Solver did not converge: network has a component with "
+                    "no boundary node — the system is singular"
+                )
+            x, info = _continuous_pressure_solve(self._assembler, self._options)
         else:
             if self._A is None or self._b is None:
                 self.assemble()
@@ -809,6 +816,117 @@ def _schur_back_substitute(
         [q_edge[perm].reshape(-1), p_cells.reshape(-1), lam]
     )
     return x
+
+
+# ======================================================================
+# Continuous-pressure path: per-edge flux elimination → SPD (p, λ) system
+# ======================================================================
+
+
+def _continuous_pressure_solve(
+    asm: _assembly.HydraulicNetworkAssembler, opts: SolverOptions
+) -> tuple[jnp.ndarray, SolveInfo]:
+    """Structure-exploiting solve for continuous pressure (degree >= 1).
+
+    The flux block A is block-diagonal per edge (an (m, m) SPD band with
+    m = k·N + 1), so q eliminates edge-by-edge with one batched float64
+    Cholesky; the reduced operator T = [B; G] A⁻¹ [Bᵀ, Gᵀ] on (p, −λ) is
+    SPD for inf-sup stable pairings and solved with Jacobi-preconditioned
+    CG.  All matvecs stay on device (batched triangular solves + sparse
+    block applies)."""
+    from jax.experimental import sparse as jsparse
+
+    mesh = asm.network
+    k, N, E = asm.flux_degree, mesh.N, mesh.num_edges
+    m = k * N + 1
+    M = mesh.num_edge_colors
+    offs = asm.block_offsets
+    n_flux = int(offs[M])
+    n_red = asm.num_dofs - n_flux  # p and λ dofs
+
+    # --- per-edge dense A blocks from the batched cell masses.
+    cell_mass = jnp.asarray(asm._cell_mass).reshape(E, N, k + 1, k + 1)
+    li = k * np.arange(N)[:, None] + np.arange(k + 1)[None, :]  # (N, k+1)
+    rows = np.broadcast_to(li[:, :, None], (N, k + 1, k + 1)).ravel()
+    cols = np.broadcast_to(li[:, None, :], (N, k + 1, k + 1)).ravel()
+    A_blocks = (
+        jnp.zeros((E, m, m))
+        .at[:, jnp.asarray(rows), jnp.asarray(cols)]
+        .add(cell_mass.reshape(E, -1))
+    )
+    chol = jnp.linalg.cholesky(A_blocks)  # (E, m, m), f64 (TPU-supported)
+
+    # --- flux-order permutation: global flux layout is edges sorted by
+    # (color, id); per-edge batched ops use edge-id order.
+    perm = np.lexsort((np.arange(E), np.asarray(mesh.edge_color)))
+    inv_perm = np.argsort(perm)
+
+    def apply_Ainv(v_flux: jnp.ndarray) -> jnp.ndarray:
+        ve = v_flux.reshape(E, m)[jnp.asarray(inv_perm)]  # edge-id order
+        ue = jax.scipy.linalg.cho_solve((chol, True), ve[:, :, None])[:, :, 0]
+        return ue[jnp.asarray(perm)].reshape(-1)
+
+    # --- sparse J = [B; G] (reduced rows × flux cols) from the static COO.
+    r_all, c_all = asm._all_rows, asm._all_cols
+    vals_all = np.concatenate([np.asarray(asm._cell_mass).ravel(), asm._static_vals])
+    sel = (r_all >= n_flux) & (c_all < n_flux)
+    J = jsparse.BCOO(
+        (
+            jnp.asarray(vals_all[sel]),
+            jnp.stack(
+                [jnp.asarray(r_all[sel] - n_flux), jnp.asarray(c_all[sel])], axis=1
+            ),
+        ),
+        shape=(n_red, n_flux),
+    ).sum_duplicates()
+    JT = J.T
+
+    b = jnp.asarray(asm._b_host)
+    b_q, b_red = b[:n_flux], b[n_flux:]
+
+    def T_apply(z: jnp.ndarray) -> jnp.ndarray:
+        return J @ apply_Ainv(JT @ z)
+
+    rhs = b_red - J @ apply_Ainv(b_q)
+    # Note row signs: the assembled λ rows are +G with +Gᵀ columns while the
+    # flux rows carry −Bᵀ for pressure; substituting q = A⁻¹(b_q + Bᵀp − Gᵀλ)
+    # in rows [B; G] gives  [B; G] A⁻¹ [Bᵀ, −Gᵀ] (p, λ) = b_red − JA⁻¹b_q,
+    # i.e. T z = rhs with z = (p, −λ) and T = J A⁻¹ Jᵀ (SPD).
+    sign = jnp.concatenate(
+        [jnp.ones(asm.num_dofs - n_flux - mesh.num_multipliers), -jnp.ones(mesh.num_multipliers)]
+    )
+
+    # Jacobi preconditioner from diag(T) ≈ Σ_k J[i,k]² / diag(A)[k].
+    A_diag = (
+        jnp.zeros(n_flux)
+        .at[jnp.asarray(asm._cell_flux_dofs.ravel())]
+        .add(jnp.asarray(asm._cell_mass)[
+            :, jnp.arange(k + 1), jnp.arange(k + 1)
+        ].ravel())
+    )
+    idx = np.asarray(J.indices)
+    Tdiag = (
+        jnp.zeros(n_red)
+        .at[jnp.asarray(idx[:, 0])]
+        .add(J.data**2 / A_diag[jnp.asarray(idx[:, 1])])
+    )
+    Tdiag = jnp.where(Tdiag > 0, Tdiag, 1.0)
+
+    result = krylov.cg(
+        T_apply,
+        rhs,
+        precond=lambda v: v / Tdiag,
+        rtol=opts.rtol if opts.rtol > 0 else 1e-12,
+        atol=opts.atol,
+        maxiter=opts.maxiter,
+    )
+    z = result.x
+    pl = sign * z  # (p, λ)
+    q = apply_Ainv(b_q + JT @ z)
+    x = jnp.concatenate([q, pl])
+    return x, SolveInfo(
+        "schur_p", int(result.iters), float(result.residual), bool(result.converged)
+    )
 
 
 # ======================================================================

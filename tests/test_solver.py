@@ -246,6 +246,27 @@ def test_continuous_pressure_solves():
     assert abs(qin - qout) < 1e-9
 
 
+@pytest.mark.parametrize("k,kp", [(2, 1), (3, 2)])
+def test_continuous_pressure_reduced_solver(k, kp):
+    """schur_p: per-edge flux elimination + CG on the SPD (p, λ) system ==
+    dense solve, for stable Pk/P(k-1) pairings."""
+    G = network_generation.make_tree(3, 1, 2)
+    mesh = NetworkMesh(G, N=3)
+
+    def _go(method):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=k, pressure_degree=kp)
+        asm.compute_forms(p_bc_ex=p_bc_y)
+        s = Solver(asm, options=SolverOptions(method=method, rtol=1e-13))
+        s.assemble()
+        return s, s.solve()
+
+    s1, sol1 = _go("schur_p")
+    assert s1.info.converged and s1.info.method == "schur_p"
+    _, sol2 = _go("dense")
+    for a, b in zip(sol1, sol2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-10)
+
+
 def test_equal_order_pressure_singular():
     """Equal-order continuous pressure (k=1, kp=1) is inf-sup unstable; the
     assembled matrix is rank deficient."""
