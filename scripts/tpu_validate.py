@@ -1,0 +1,83 @@
+import sys, time
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+import numpy as np, jax
+from networks_fenicsx_tpu import (HydraulicNetworkAssembler, NetworkMesh, Solver,
+                                  SolverOptions, network_generation, solve_sweep)
+from networks_fenicsx_tpu.post_processing import extract_global_flux
+import networkx as nx
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+results = []
+
+def check(name, ok, detail=""):
+    results.append((name, ok, detail)); print(("PASS " if ok else "FAIL ") + name + " " + detail, flush=True)
+
+# 1. Y-bifurcation analytic on TPU, all methods
+G = network_generation.make_tree(2, 1, 3)
+mesh = NetworkMesh(G, N=4)
+lam_exact = -1/(np.sqrt(2.5)+1)
+for method in ["schur", "dense", "minres", "host_lu"]:
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    s = Solver(asm, options=SolverOptions(method=method, rtol=1e-13))
+    s.assemble(); sol = s.solve()
+    err = abs(float(sol[-1].values[0]) - lam_exact)
+    check(f"Y-analytic[{method}]", err < 1e-8, f"err={err:.1e}")
+
+# 2. schur sub-methods on a deeper tree
+G5 = network_generation.make_tree(5, 2, 3)
+m5 = NetworkMesh(G5, N=2, color_strategy="fast")
+ref = None
+for sm in ["tree", "dense", "dense_f64", "cg"]:
+    asm = HydraulicNetworkAssembler(m5)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.linspace(1, 3, m5.num_edges))
+    s = Solver(asm, options=SolverOptions(method="schur", schur_method=sm, rtol=1e-13))
+    s.assemble(); sol = s.solve()
+    x = np.concatenate([f.values for f in sol])
+    if ref is None: ref = x
+    err = float(np.max(np.abs(x - ref)))
+    check(f"tree5-schur[{sm}]", err < 1e-8, f"diff-vs-tree={err:.1e}")
+
+# 3. cyclic core on TPU
+Gc = nx.DiGraph()
+pos = {0:(0,0,0),1:(0,0,1),2:(.2,.2,2),3:(-.2,.3,2),4:(0,.1,2.1),5:(.1,-.1,3),6:(-.3,.4,4),7:(0,0,1.1)}
+for kk,v in pos.items(): Gc.add_node(kk, pos=np.array(v,float))
+for e in [(0,1),(1,7),(7,2),(2,5),(7,3),(3,4),(4,5),(7,4),(5,6)]: Gc.add_edge(*e)
+mc = NetworkMesh(Gc, N=3)
+a1 = HydraulicNetworkAssembler(mc); a1.compute_forms(p_bc_ex=lambda x: x[2])
+s1 = Solver(a1, options=SolverOptions(method="schur", schur_method="tree")); s1.assemble(); so1 = s1.solve()
+a2 = HydraulicNetworkAssembler(mc); a2.compute_forms(p_bc_ex=lambda x: x[2])
+s2 = Solver(a2, options=SolverOptions(method="host_lu")); s2.assemble(); so2 = s2.solve()
+err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(so1,so2))
+check("cyclic-core-vs-LU", err < 1e-8, f"err={err:.1e}")
+
+# 4. continuous pressure (schur_p) on TPU
+a3 = HydraulicNetworkAssembler(m5, flux_degree=2, pressure_degree=1)
+a3.compute_forms(p_bc_ex=lambda x: x[1])
+s3 = Solver(a3, options=SolverOptions(method="schur_p", rtol=1e-12)); s3.assemble(); so3 = s3.solve()
+a4 = HydraulicNetworkAssembler(m5, flux_degree=2, pressure_degree=1)
+a4.compute_forms(p_bc_ex=lambda x: x[1])
+s4 = Solver(a4, options=SolverOptions(method="host_lu")); s4.assemble(); so4 = s4.solve()
+err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(so3,so4))
+check("schur_p-vs-LU", err < 1e-7, f"err={err:.1e} iters={s3.info.iterations}")
+
+# 5. higher flux degree k=3 condensation on TPU
+a5 = HydraulicNetworkAssembler(m5, flux_degree=3)
+a5.compute_forms(p_bc_ex=lambda x: x[1])
+s5 = Solver(a5); s5.assemble(); so5 = s5.solve()
+a6 = HydraulicNetworkAssembler(m5, flux_degree=3)
+a6.compute_forms(p_bc_ex=lambda x: x[1])
+s6 = Solver(a6, options=SolverOptions(method="host_lu")); s6.assemble(); so6 = s6.solve()
+err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(so5,so6))
+check("k3-condensation-vs-LU", err < 1e-8, f"err={err:.1e}")
+
+# 6. sweep + global flux on TPU
+asm = HydraulicNetworkAssembler(mesh)
+asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.ones(mesh.num_edges))
+res = solve_sweep(asm, R=np.ones((4, mesh.num_edges)) * np.array([1,2,3,4])[:,None])
+q0 = np.asarray(res.x[:,0])
+check("sweep-linearity", np.allclose(q0 * np.array([1,2,3,4]), q0[0], rtol=1e-9), f"q0={q0}")
+
+n_fail = sum(1 for _,ok,_ in results if not ok)
+print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
+sys.exit(1 if n_fail else 0)
