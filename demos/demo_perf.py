@@ -39,7 +39,14 @@ def p_bc(x):
 
 
 # Full reference sweep is ns = [3, 6, 12, 16]; default trimmed for CI speed.
-ns = [3, 6, 12, 16] if os.environ.get("NXFX_PERF_FULL") else [3, 6, 10]
+# NXFX_PERF_XL additionally solves n=20 (1,048,575 segments) — a size the
+# reference harness explicitly skips solving (its demo_perf.py:144 gates
+# the MUMPS solve behind n < 20).
+ns = [3, 6, 10]
+if os.environ.get("NXFX_PERF_FULL"):
+    ns = [3, 6, 12, 16]
+if os.environ.get("NXFX_PERF_XL"):
+    ns = [3, 6, 12, 16, 20]
 
 phases = [
     "BuildMesh",

@@ -244,6 +244,11 @@ class ShardedNetworkSolver:
     def solve(self, functions: list[NetworkFunction] | None = None) -> list[NetworkFunction]:
         asm = self._assembler
         net = asm.network
+        if net.has_floating_component():
+            raise RuntimeError(
+                "Solver did not converge: network has a component with no "
+                "boundary node — the system is singular"
+            )
         if self._edge_data is None:
             self.assemble()
         D = int(np.prod([self._mesh.shape[a] for a in self._mesh.axis_names]))
