@@ -515,7 +515,7 @@ def _tree_eliminate(
     r = rhs
     saved = []
     for elim, parents, pair_ids in plan.rounds:
-        e = jnp.asarray(elim)
+        e = jnp.asarray(elim)  # host-sorted ascending, unique
         par = jnp.asarray(parents)
         has_par = par >= 0
         par_safe = jnp.where(has_par, par, 0)
@@ -526,8 +526,22 @@ def _tree_eliminate(
         db = d[e]
         rb = r[e]
         factor = w / db
-        d = d.at[par_safe].add(jnp.where(has_par, -w * factor, 0.0))
-        r = r.at[par_safe].add(jnp.where(has_par, factor * rb, 0.0))
+        # Scatter-add the parent updates.  Siblings duplicate parents, so
+        # pre-aggregate onto the host-computed sorted-unique parent list —
+        # the sorted+unique hints let XLA lower the scatter efficiently.
+        upar, inv = np.unique(parents[parents >= 0], return_inverse=True)
+        if upar.size:
+            sel = jnp.asarray(np.flatnonzero(parents >= 0))
+            inv_d = jnp.asarray(inv)
+            d_contrib = jax.ops.segment_sum(
+                (-w * factor)[sel], inv_d, num_segments=upar.size
+            )
+            r_contrib = jax.ops.segment_sum(
+                (factor * rb)[sel], inv_d, num_segments=upar.size
+            )
+            up = jnp.asarray(upar)
+            d = d.at[up].add(d_contrib, indices_are_sorted=True, unique_indices=True)
+            r = r.at[up].add(r_contrib, indices_are_sorted=True, unique_indices=True)
         saved.append((e, par_safe, has_par, w, db, rb))
 
     lam = jnp.zeros_like(rhs)
@@ -563,7 +577,9 @@ def _tree_eliminate(
         lam = lam.at[cn].set(lam_core)
     for e, par_safe, has_par, w, db, rb in reversed(saved):
         lam_par = jnp.where(has_par, lam[par_safe], 0.0)
-        lam = lam.at[e].set((rb + w * lam_par) / db)
+        lam = lam.at[e].set(
+            (rb + w * lam_par) / db, indices_are_sorted=True, unique_indices=True
+        )
     return lam
 
 
