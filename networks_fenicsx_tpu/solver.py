@@ -353,6 +353,61 @@ def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
     )
 
 
+class _LambdaPlan(typing.NamedTuple):
+    """Static sorted-scatter plan for assembling the bifurcation system.
+
+    TPU scatters with arbitrary indices serialize; sorting the edge→
+    bifurcation incidences once on the host turns the (E → B) reductions
+    into sorted segment-sums plus sorted-unique dense updates."""
+
+    t_sel: np.ndarray  # edges with a bifurcation at their target, sorted by it
+    t_bins: np.ndarray  # sorted unique target bifurcations
+    t_seg: np.ndarray  # segment id of each t_sel entry
+    s_sel: np.ndarray
+    s_bins: np.ndarray
+    s_seg: np.ndarray
+
+
+def _build_lambda_plan(asm: _assembly.HydraulicNetworkAssembler) -> _LambdaPlan:
+    def side(bif: np.ndarray):
+        sel = np.flatnonzero(bif >= 0)
+        order = sel[np.argsort(bif[sel], kind="stable")]
+        bins, seg = np.unique(bif[order], return_inverse=True)
+        return order.astype(np.int32), bins.astype(np.int32), seg.astype(np.int32)
+
+    t_sel, t_bins, t_seg = side(asm._edge_end_bif)
+    s_sel, s_bins, s_seg = side(asm._edge_start_bif)
+    return _LambdaPlan(t_sel, t_bins, t_seg, s_sel, s_bins, s_seg)
+
+
+def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
+    """diag/rhs of the bifurcation system via sorted segment reductions."""
+    w = 1.0 / ed.W
+    s_is_bif = ed.start_bif >= 0
+    t_is_bif = ed.end_bif >= 0
+    const = (-ed.start_pbc * (~s_is_bif) + ed.end_pbc * (~t_is_bif) - ed.g) / ed.W
+    Ftot = ed.cumF[:, -1]
+
+    def reduce_side(vals, sel, bins, seg):
+        contrib = jax.ops.segment_sum(
+            vals[jnp.asarray(sel)], jnp.asarray(seg), num_segments=len(bins),
+            indices_are_sorted=True,
+        )
+        return jnp.asarray(bins), contrib
+
+    out_diag = jnp.zeros(B, dtype=ed.W.dtype)
+    out_rhs = jnp.zeros(B, dtype=ed.W.dtype)
+    for vals_d, vals_r, sel, bins, seg in (
+        (w, const + Ftot, lp.t_sel, lp.t_bins, lp.t_seg),
+        (w, -const, lp.s_sel, lp.s_bins, lp.s_seg),
+    ):
+        b_idx, dsum = reduce_side(vals_d, sel, bins, seg)
+        _, rsum = reduce_side(vals_r, sel, bins, seg)
+        out_diag = out_diag.at[b_idx].add(dsum, indices_are_sorted=True, unique_indices=True)
+        out_rhs = out_rhs.at[b_idx].add(rsum, indices_are_sorted=True, unique_indices=True)
+    return out_diag, out_rhs
+
+
 def _schur_lambda_system(ed: _EdgeData, B: int):
     """Weighted bifurcation-graph Laplacian L and RHS for  L λ = rhs."""
     w = 1.0 / ed.W
@@ -611,6 +666,7 @@ def build_schur_executor(
     B = mesh.num_multipliers
     schur_method = opts.schur_method
     tree_plan = None
+    lam_plan = None
     if schur_method in ("auto", "tree") and B > 0:
         tree_plan = _plan_tree_elimination(asm)
     if schur_method == "auto":
@@ -620,6 +676,8 @@ def build_schur_executor(
             schur_method = "tree"
         else:
             schur_method = "dense" if B <= 4096 else "cg"
+    if schur_method == "tree" and B > 0:
+        lam_plan = _build_lambda_plan(asm)
 
     R_mode, f_mode = (
         asm.coefficient_modes() if inputs == "coefficients" else (None, None)
@@ -668,12 +726,19 @@ def build_schur_executor(
         else:
             cell_mass, cell_f_int = arg0, arg1
             ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
-        if B > 0:
+        if B > 0 and schur_method == "tree":
+            # Sorted-segment system assembly (no arbitrary-index scatters)
+            # and no residual matvec: peel-then-core elimination is a
+            # direct method — correctness is guarded by the core pivot
+            # check and the finiteness flag.
+            diag, rhs = _lambda_system_sorted(ed, B, lam_plan)
+            lam = _tree_schur_solve(tree_plan, diag, rhs, 1.0 / ed.W, None)
+            iters = jnp.zeros((), dtype=jnp.int32)
+            residual = jnp.zeros(())
+            rhs_norm = jnp.linalg.norm(rhs)
+        elif B > 0:
             matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
-            if schur_method == "tree":
-                lam = _tree_schur_solve(tree_plan, diag, rhs, 1.0 / ed.W, both)
-                iters = jnp.zeros((), dtype=jnp.int32)
-            elif schur_method in ("dense", "dense_f64"):
+            if schur_method in ("dense", "dense_f64"):
                 L = jnp.zeros((B, B), dtype=ed.W.dtype)
                 L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
                 L = L.at[s_idx, t_idx].add(-off_w)
