@@ -534,6 +534,204 @@ def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePla
     return _TreePlan(pairs, edge_pair, tuple(rounds), core_nodes, core_pairs)
 
 
+class _LevelPlan(typing.NamedTuple):
+    """Scatter-free elimination plan for FOREST bifurcation graphs.
+
+    Bifurcations are internally permuted into root-down level order, each
+    level grouped by parent.  Elimination then runs deepest-level-first:
+    every per-level read is a contiguous dynamic slice, parent updates are
+    full-level sorted segment-sums placed back with dynamic_update_slice,
+    and the only gathers are parent lookups — no arbitrary-index scatter
+    remains (TPU scatters serialize; slices and sorted segment reductions
+    vectorize)."""
+
+    perm: np.ndarray  # (B,) original bif index -> permuted position
+    inv_perm: np.ndarray  # (B,) permuted position -> original bif index
+    level_offsets: np.ndarray  # (L+1,) slice bounds per depth level
+    parent_pos: np.ndarray  # (B,) permuted parent position (-1 for roots)
+    parent_pair: np.ndarray  # (B,) pair id to parent (-1 for roots)
+    # λ-system assembly (full-width sorted segment-sums in permuted order)
+    t_sel: np.ndarray
+    t_seg: np.ndarray
+    s_sel: np.ndarray
+    s_seg: np.ndarray
+    # sorted edge→pair aggregation for the pair conductances
+    p_sel: np.ndarray
+    p_seg: np.ndarray
+    num_pairs: int
+
+
+def _plan_level_elimination(
+    asm: _assembly.HydraulicNetworkAssembler, tree_plan: _TreePlan
+) -> _LevelPlan | None:
+    """Build the level plan; None when the bifurcation graph has cycles."""
+    if tree_plan.core_size > 0:
+        return None
+    mesh = asm.network
+    B = mesh.num_multipliers
+    pairs = tree_plan.pair_nodes
+    P = pairs.shape[0]
+
+    # adjacency over pairs
+    nbrs: list[list[tuple[int, int]]] = [[] for _ in range(B)]
+    for pid, (u, v) in enumerate(pairs):
+        nbrs[int(u)].append((int(v), pid))
+        nbrs[int(v)].append((int(u), pid))
+
+    depth = np.full(B, -1, np.int64)
+    parent = np.full(B, -1, np.int64)
+    parent_pairid = np.full(B, -1, np.int64)
+    order: list[int] = []
+    for root in range(B):
+        if depth[root] >= 0:
+            continue
+        depth[root] = 0
+        stack = [root]
+        while stack:
+            u = stack.pop()
+            order.append(u)
+            for v, pid in nbrs[u]:
+                if depth[v] < 0:
+                    depth[v] = depth[u] + 1
+                    parent[v] = u
+                    parent_pairid[v] = pid
+                    stack.append(v)
+
+    # permute: levels ascending; within a level group by (already-assigned)
+    # parent position so per-level parent segment ids come out sorted.
+    max_depth = int(depth.max())
+    perm = np.empty(B, np.int64)
+    pos = 0
+    level_offsets = [0]
+    prev_positions = np.full(B, -1, np.int64)
+    for d in range(max_depth + 1):
+        nodes = np.flatnonzero(depth == d)
+        if d > 0:
+            nodes = nodes[np.argsort(prev_positions[parent[nodes]], kind="stable")]
+        for n in nodes:
+            perm[n] = pos
+            prev_positions[n] = pos
+            pos += 1
+        level_offsets.append(pos)
+
+    inv_perm = np.argsort(perm)
+    parent_pos = np.full(B, -1, np.int64)
+    has_parent = parent >= 0
+    parent_pos[perm[has_parent.nonzero()[0]]] = perm[parent[has_parent]]
+    parent_pair = np.full(B, -1, np.int64)
+    parent_pair[perm[has_parent.nonzero()[0]]] = parent_pairid[has_parent]
+
+    def side(bif: np.ndarray):
+        sel = np.flatnonzero(bif >= 0)
+        key = perm[bif[sel]]
+        order_ = sel[np.argsort(key, kind="stable")]
+        return order_.astype(np.int32), np.sort(key).astype(np.int32)
+
+    t_sel, t_seg = side(asm._edge_end_bif)
+    s_sel, s_seg = side(asm._edge_start_bif)
+    ep = tree_plan.edge_pair
+    p_sel = np.flatnonzero(ep >= 0)
+    p_order = p_sel[np.argsort(ep[p_sel], kind="stable")]
+    return _LevelPlan(
+        perm=perm.astype(np.int32),
+        inv_perm=inv_perm.astype(np.int32),
+        level_offsets=np.asarray(level_offsets, np.int64),
+        parent_pos=parent_pos.astype(np.int32),
+        parent_pair=parent_pair.astype(np.int32),
+        t_sel=t_sel,
+        t_seg=t_seg,
+        s_sel=s_sel,
+        s_seg=s_seg,
+        p_sel=p_order.astype(np.int32),
+        p_seg=np.sort(ep[p_sel]).astype(np.int32),
+        num_pairs=P,
+    )
+
+
+def _level_eliminate(
+    lp: _LevelPlan, ed: _EdgeData, B: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free forward elimination + back-substitution; returns
+    (λ in the ORIGINAL bifurcation ordering, ‖rhs‖)."""
+    dt = ed.W.dtype
+    w_edges = 1.0 / ed.W
+    if lp.num_pairs > 0:
+        w_pairs = jax.ops.segment_sum(
+            w_edges[jnp.asarray(lp.p_sel)],
+            jnp.asarray(lp.p_seg),
+            num_segments=lp.num_pairs,
+            indices_are_sorted=True,
+        )
+    else:
+        w_pairs = jnp.zeros(0, dtype=dt)
+    s_is_bif = ed.start_bif >= 0
+    t_is_bif = ed.end_bif >= 0
+    const = (-ed.start_pbc * (~s_is_bif) + ed.end_pbc * (~t_is_bif) - ed.g) / ed.W
+    Ftot = ed.cumF[:, -1]
+
+    # permuted-order diag/rhs via full-width sorted segment-sums
+    def full_reduce(vals, sel, seg):
+        return jax.ops.segment_sum(
+            vals[jnp.asarray(sel)],
+            jnp.asarray(seg),
+            num_segments=B,
+            indices_are_sorted=True,
+        )
+
+    d = full_reduce(w_edges, lp.t_sel, lp.t_seg) + full_reduce(
+        w_edges, lp.s_sel, lp.s_seg
+    )
+    r = full_reduce(const + Ftot, lp.t_sel, lp.t_seg) + full_reduce(
+        -const, lp.s_sel, lp.s_seg
+    )
+    rhs_norm = jnp.linalg.norm(r)
+
+    # per-node parent conductance (0 for roots)
+    pp = jnp.asarray(lp.parent_pair)
+    w_node = jnp.where(
+        pp >= 0,
+        w_pairs[jnp.where(pp >= 0, pp, 0)] if w_pairs.shape[0] else jnp.zeros(B, dt),
+        0.0,
+    )
+    par = jnp.asarray(lp.parent_pos)
+
+    offs = lp.level_offsets
+    L = len(offs) - 1
+    saved = []
+    # forward: deepest level first
+    for lev in range(L - 1, 0, -1):
+        o, o1, op, op1 = int(offs[lev]), int(offs[lev + 1]), int(offs[lev - 1]), int(offs[lev])
+        n, npar = o1 - o, op1 - op
+        db = jax.lax.dynamic_slice(d, (o,), (n,))
+        rb = jax.lax.dynamic_slice(r, (o,), (n,))
+        w = jax.lax.dynamic_slice(w_node, (o,), (n,))
+        seg = jax.lax.dynamic_slice(par, (o,), (n,)) - op  # sorted by construction
+        factor = w / db
+        d_upd = jax.ops.segment_sum(
+            -w * factor, seg, num_segments=npar, indices_are_sorted=True
+        )
+        r_upd = jax.ops.segment_sum(
+            factor * rb, seg, num_segments=npar, indices_are_sorted=True
+        )
+        d = jax.lax.dynamic_update_slice(d, jax.lax.dynamic_slice(d, (op,), (npar,)) + d_upd, (op,))
+        r = jax.lax.dynamic_update_slice(r, jax.lax.dynamic_slice(r, (op,), (npar,)) + r_upd, (op,))
+        saved.append((lev, o, n, db, rb, w))
+
+    # roots (level 0): no parents
+    o0, n0 = int(offs[0]), int(offs[1]) - int(offs[0])
+    lam = jnp.zeros(B, dtype=dt)
+    lam = jax.lax.dynamic_update_slice(
+        lam,
+        jax.lax.dynamic_slice(r, (o0,), (n0,)) / jax.lax.dynamic_slice(d, (o0,), (n0,)),
+        (o0,),
+    )
+    # back-substitution: root-down
+    for lev, o, n, db, rb, w in reversed(saved):
+        lam_par = lam[jax.lax.dynamic_slice(par, (o,), (n,))]
+        lam = jax.lax.dynamic_update_slice(lam, (rb + w * lam_par) / db, (o,))
+    return lam[jnp.asarray(lp.perm)], rhs_norm
+
+
 def _tree_schur_solve(
     plan: _TreePlan,
     diag: jnp.ndarray,
@@ -676,8 +874,11 @@ def build_schur_executor(
             schur_method = "tree"
         else:
             schur_method = "dense" if B <= 4096 else "cg"
+    level_plan = None
     if schur_method == "tree" and B > 0:
-        lam_plan = _build_lambda_plan(asm)
+        level_plan = _plan_level_elimination(asm, tree_plan)
+        if level_plan is None:
+            lam_plan = _build_lambda_plan(asm)
 
     R_mode, f_mode = (
         asm.coefficient_modes() if inputs == "coefficients" else (None, None)
@@ -727,15 +928,18 @@ def build_schur_executor(
             cell_mass, cell_f_int = arg0, arg1
             ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         if B > 0 and schur_method == "tree":
-            # Sorted-segment system assembly (no arbitrary-index scatters)
-            # and no residual matvec: peel-then-core elimination is a
-            # direct method — correctness is guarded by the core pivot
-            # check and the finiteness flag.
-            diag, rhs = _lambda_system_sorted(ed, B, lam_plan)
-            lam = _tree_schur_solve(tree_plan, diag, rhs, 1.0 / ed.W, None)
+            # Direct elimination — no residual matvec; correctness is
+            # guarded by the core pivot check and the finiteness flag.
+            if level_plan is not None:
+                # Forest: fully scatter-free level-ordered elimination.
+                lam, rhs_norm = _level_eliminate(level_plan, ed, B)
+            else:
+                # Cycle core present: sorted assembly + peel-then-core.
+                diag, rhs = _lambda_system_sorted(ed, B, lam_plan)
+                lam = _tree_schur_solve(tree_plan, diag, rhs, 1.0 / ed.W, None)
+                rhs_norm = jnp.linalg.norm(rhs)
             iters = jnp.zeros((), dtype=jnp.int32)
             residual = jnp.zeros(())
-            rhs_norm = jnp.linalg.norm(rhs)
         elif B > 0:
             matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
             if schur_method in ("dense", "dense_f64"):
