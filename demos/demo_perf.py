@@ -108,7 +108,7 @@ for n in ns:
 
     # Solve (steady-state execution, full pipeline through Solver)
     solver = Solver(assembler, options=opts)
-    solver._executor = executor
+    solver.set_executor(executor)
     t0 = time.perf_counter()
     sol = solver.solve()
     timings["Solve"][n] = time.perf_counter() - t0

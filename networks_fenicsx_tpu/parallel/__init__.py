@@ -1,6 +1,7 @@
 """Multi-device (sharded) execution of the network solve."""
 
-from . import sharding
+from . import sharding, sweep
 from .sharding import ShardedNetworkSolver, shard_solve
+from .sweep import sharded_sweep
 
-__all__ = ["sharding", "ShardedNetworkSolver", "shard_solve"]
+__all__ = ["sharding", "sweep", "ShardedNetworkSolver", "shard_solve", "sharded_sweep"]

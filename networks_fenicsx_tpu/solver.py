@@ -139,6 +139,12 @@ class Solver:
         """Diagnostics of the last solve."""
         return self._info
 
+    def set_executor(self, executor) -> None:
+        """Install a pre-built (pre-compiled) fused schur executor, keyed to
+        the assembler's current coefficient kinds."""
+        self._executor = executor
+        self._executor_key = self._assembler.coefficient_modes()
+
     def _method(self) -> str:
         m = self._options.method
         if m != "auto":

@@ -82,6 +82,24 @@ def test_sharded_cg_matches_dense():
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-10)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_sweep_2d_mesh(mesh_shape):
+    """Scenario × edge 2D-mesh sweep == serial vmapped sweep."""
+    from networks_fenicsx_tpu import solve_sweep
+    from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
+
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    R0 = np.linspace(1.0, 2.0, mesh.num_edges)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R0)
+    rng = np.random.default_rng(1)
+    R_batch = R0[None, :] * rng.uniform(0.5, 2.0, (6, mesh.num_edges))
+    ref = solve_sweep(asm, R=R_batch)
+    out = sharded_sweep(asm, R_batch, mesh_shape=mesh_shape)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-12)
+
+
 def test_sharded_higher_degree_and_source():
     G = network_generation.make_tree(4, 1.0, 2.0)
     mesh = NetworkMesh(G, N=2, color_strategy="smallest_last")
