@@ -130,7 +130,9 @@ def solve_sweep(
     # small-to-medium bifurcation counts.
     B = mesh.num_multipliers
     if opts.schur_method == "auto" and 0 < B <= 4096:
-        opts = SolverOptions(**{**opts.__dict__, "schur_method": "dense"})
+        import dataclasses
+
+        opts = dataclasses.replace(opts, schur_method="dense")
     key = (in_axes, opts.schur_method, asm.coefficient_modes())
     cache = getattr(asm, "_sweep_cache", None)
     if cache is None:

@@ -239,8 +239,8 @@ def make_csr_assembler(
         num_scalar_prefetch=3,
         grid=(n_super,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (SUB, block), lambda s, *_: (s, 0), memory_space=pltpu.VMEM

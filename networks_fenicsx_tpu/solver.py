@@ -2,22 +2,28 @@
 
 TPU-native replacement for the reference's PETSc KSP + MUMPS direct solve
 (``src/networks_fenicsx/solver.py:16-143``; default options preonly+LU+MUMPS,
-``solver.py:58-65``).  Four methods:
+``solver.py:58-65``).  Methods:
 
-* ``"schur"`` (default where applicable) — exact static condensation that
+* ``"schur"`` (default for DG0 pressure) — exact static condensation that
   exploits the network structure: with discontinuous pressure the system
   decouples into independent per-edge chains tied together ONLY by the
   bifurcation multipliers λ.  Eliminating flux and pressure edge-by-edge
   (closed-form cumulative sums — no LU at all) reduces the whole
   saddle-point system to an SPD weighted graph Laplacian on the
-  bifurcations, solved by float64 Cholesky (small) or matrix-free CG
-  (large).  All per-edge work is batched over the edge axis — embarrassingly
-  parallel, shardable across TPU devices.
+  bifurcations.  That Laplacian is solved by ``schur_method``:
+  ``"tree"`` (auto for forests / small cycle cores) — scatter-free
+  level-ordered elimination, exact and O(B); ``"dense"`` — mixed-precision
+  Cholesky (f32 factor + f64 iterative refinement; native f64 Cholesky via
+  ``"dense_f64"``); ``"cg"`` — matrix-free Jacobi-preconditioned CG for
+  huge cyclic cores.  All per-edge work is batched over the edge axis —
+  embarrassingly parallel, shardable across TPU devices.
+* ``"schur_p"`` (default for continuous pressure) — per-edge flux
+  elimination (batched f64 Cholesky of the edge mass bands) + CG on the
+  SPD reduced operator over (p, −λ).
 * ``"dense"`` — assembled dense solve; float64 LU on CPU, float32 LU +
   float64 iterative refinement on TPU (XLA's LU expander is f32-only).
 * ``"minres"`` — on-device MINRES on the symmetrized block system with a
-  block-diagonal preconditioner (generic fallback, e.g. continuous
-  pressure).
+  block-diagonal preconditioner (generic saddle-point fallback).
 * ``"host_lu"`` — SciPy sparse LU on the host: the direct-solver
   verification fallback playing MUMPS's role.
 
