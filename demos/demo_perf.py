@@ -57,6 +57,7 @@ phases = [
     "CompileCached",
     "Assemble",
     "Solve",
+    "SolveDirectLU",  # host SuperLU on the identical system (MUMPS stand-in)
 ]
 timings: dict[str, dict[int, float]] = {p: {} for p in phases}
 
@@ -112,6 +113,25 @@ for n in ns:
     t0 = time.perf_counter()
     sol = solver.solve()
     timings["Solve"][n] = time.perf_counter() - t0
+
+    # Comparison series: direct sparse LU on the identical assembled
+    # system (SuperLU as the MUMPS stand-in), skipped at the largest sizes
+    # unless the full sweep is requested.
+    if 2**n - 1 <= 70000:
+        import numpy as np
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        vals = np.concatenate(
+            [np.asarray(assembler._cell_mass).ravel(), assembler._static_vals]
+        )
+        As = sp.csc_matrix(
+            (vals, (assembler._all_rows, assembler._all_cols)),
+            shape=(assembler.num_dofs,) * 2,
+        )
+        t0 = time.perf_counter()
+        spla.splu(As).solve(np.asarray(assembler._b_host))
+        timings["SolveDirectLU"][n] = time.perf_counter() - t0
 
     for phase, key in tracked.items():
         _, total = timing(key)
