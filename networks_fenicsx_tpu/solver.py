@@ -272,17 +272,34 @@ def _make_edge_data_scalar(
     cell_f_int: jnp.ndarray,
     start_pbc: jnp.ndarray,
     end_pbc: jnp.ndarray,
+    f_is_zero: bool = False,
 ) -> _EdgeData:
     """P1 scalar-layout edge data: cell mass = a_c * M̂ with a_c = R_c h_c.
 
     Uses the closed forms 1ᵀM̂1 = 1 and 1ᵀM̂ = [1/2, 1/2], avoiding the
-    (C, 2, 2) tensor entirely."""
+    (C, 2, 2) tensor entirely.  ``f_is_zero`` (a build-time fact) elides
+    the source cumsums."""
     mesh = asm.network
     N, E = mesh.N, mesh.num_edges
     a = cell_scale.reshape(E, N)
+    W = jnp.sum(a, axis=1)
+    if f_is_zero:
+        cumF = jnp.zeros((E, N + 1), a.dtype)
+        g = jnp.zeros(E, a.dtype)
+        return _EdgeData(
+            mt=None,
+            cumF=cumF,
+            W=W,
+            g=g,
+            start_bif=jnp.asarray(asm._edge_start_bif),
+            end_bif=jnp.asarray(asm._edge_end_bif),
+            start_pbc=start_pbc,
+            end_pbc=end_pbc,
+            interior=(),
+            rh=a,
+        )
     F = jnp.broadcast_to(jnp.asarray(cell_f_int), (mesh.num_cells,)).reshape(E, N)
     cumF = jnp.concatenate([jnp.zeros((E, 1), a.dtype), jnp.cumsum(F, axis=1)], axis=1)
-    W = jnp.sum(a, axis=1)
     g = 0.5 * jnp.sum(a * (cumF[:, :-1] + cumF[:, 1:]), axis=1)
     return _EdgeData(
         mt=None,
@@ -936,8 +953,11 @@ def build_schur_executor(
                 cell_f_int = arg1 * h
             if cell_scale is not None and asm.flux_degree == 1:
                 # P1 + cellwise-constant R: scalar layout, no (C,2,2) tensor
+                f_is_zero = bool(
+                    f_mode == "scalar" and float(asm._f_data[0]) == 0.0
+                )
                 ed = _make_edge_data_scalar(
-                    asm, cell_scale, cell_f_int, start_pbc, end_pbc
+                    asm, cell_scale, cell_f_int, start_pbc, end_pbc, f_is_zero
                 )
             else:
                 ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
