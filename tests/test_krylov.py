@@ -1,0 +1,67 @@
+"""Unit tests for the pure-JAX Krylov solvers against random systems."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from networks_fenicsx_tpu.ops.krylov import cg, minres
+
+
+def _spd(n, seed=0, cond=100.0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eig = np.geomspace(1.0, cond, n)
+    return (Q * eig) @ Q.T
+
+
+@pytest.mark.parametrize("n", [20, 100])
+def test_cg_spd(n):
+    A = _spd(n, seed=1)
+    x_true = np.linspace(-1, 1, n)
+    b = A @ x_true
+    Aj = jnp.asarray(A)
+    res = cg(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-13)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-8)
+
+
+def test_cg_jacobi_preconditioner_reduces_iterations():
+    n = 120
+    A = _spd(n, seed=2, cond=1e5)
+    # make the ill-conditioning diagonal so Jacobi helps
+    D = np.diag(np.geomspace(1, 1e5, n))
+    A = D @ _spd(n, seed=3, cond=10.0) @ D
+    b = np.ones(n)
+    Aj = jnp.asarray(A)
+    diag = jnp.asarray(np.diagonal(A))
+    plain = cg(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-10, maxiter=5000)
+    pre = cg(
+        lambda v: Aj @ v, jnp.asarray(b), precond=lambda v: v / diag,
+        rtol=1e-10, maxiter=5000,
+    )
+    assert int(pre.iters) < int(plain.iters)
+    np.testing.assert_allclose(np.asarray(pre.x), np.linalg.solve(A, b), atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [30, 80])
+def test_minres_symmetric_indefinite(n):
+    rng = np.random.default_rng(4)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eig = np.concatenate([np.linspace(1, 5, n // 2), -np.linspace(1, 5, n - n // 2)])
+    A = (Q * eig) @ Q.T
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    Aj = jnp.asarray(A)
+    res = minres(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-12, maxiter=4 * n)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-7)
+
+
+def test_minres_matches_cg_on_spd():
+    n = 50
+    A = _spd(n, seed=5)
+    b = np.sin(np.arange(n))
+    Aj = jnp.asarray(A)
+    r1 = cg(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-13)
+    r2 = minres(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-8)
