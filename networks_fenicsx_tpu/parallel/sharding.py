@@ -32,9 +32,9 @@ from ..solver import (
     SolveInfo,
     _EdgeData,
     _backsub_from_lambda,
+    _plan_level_elimination,
     _plan_tree_elimination,
     _prepare_edge_data,
-    _tree_schur_solve,
 )
 from ..utils.timing import timed
 
@@ -94,7 +94,7 @@ def _sharded_schur_pipeline(
     N: int,
     schur_method: str = "auto",
     tree_plan=None,
-    edge_pair_padded: np.ndarray | None = None,
+    level_plan=None,
 ):
     """Build the jitted shard_map solve: edge shards in → solution shards out."""
     if schur_method == "auto":
@@ -131,8 +131,10 @@ def _sharded_schur_pipeline(
 
         if schur_method == "tree":
             # Aggregate per-pair conductances from device-local edges with
-            # one psum, then run the (replicated) fill-in-free elimination.
-            from ..solver import _tree_eliminate
+            # one psum, then run the (replicated) fill-in-free elimination:
+            # the scatter-free level ordering for forests, peel-then-core
+            # otherwise.
+            from ..solver import _level_eliminate_core, _tree_eliminate
 
             P_pairs = tree_plan.pair_nodes.shape[0]
             sel = edge_pair >= 0
@@ -140,7 +142,13 @@ def _sharded_schur_pipeline(
             w_local = jnp.zeros(P_pairs, dtype=ed.W.dtype)
             w_local = w_local.at[pid].add(jnp.where(sel, w, 0.0))
             w_pairs = jax.lax.psum(w_local, axis)
-            lam = _tree_eliminate(tree_plan, diag, rhs, w_pairs)
+            if level_plan is not None:
+                inv = jnp.asarray(level_plan.inv_perm)
+                lam = _level_eliminate_core(
+                    level_plan, diag[inv], rhs[inv], w_pairs, B
+                )
+            else:
+                lam = _tree_eliminate(tree_plan, diag, rhs, w_pairs)
         elif schur_method == "dense":
             # --- psum the partial Laplacian; replicated mixed-precision
             # Cholesky (identical on every device, avoids a broadcast).
@@ -259,8 +267,10 @@ class ShardedNetworkSolver:
 
         if self._pipeline is None:
             tree_plan = None
+            level_plan = None
             if self._schur_method in ("auto", "tree") and net.num_multipliers > 0:
                 tree_plan = _plan_tree_elimination(asm)
+                level_plan = _plan_level_elimination(asm, tree_plan)
             self._tree_plan = tree_plan
             self._pipeline = _sharded_schur_pipeline(
                 self._mesh,
@@ -270,6 +280,7 @@ class ShardedNetworkSolver:
                 net.N,
                 self._schur_method,
                 tree_plan=tree_plan,
+                level_plan=level_plan,
             )
         edge_pair = np.full(E + n_pad, -1, dtype=np.int32)
         if self._tree_plan is not None:

@@ -723,7 +723,20 @@ def _level_eliminate(
         -const, lp.s_sel, lp.s_seg
     )
     rhs_norm = jnp.linalg.norm(r)
+    return _level_eliminate_core(lp, d, r, w_pairs, B), rhs_norm
 
+
+def _level_eliminate_core(
+    lp: _LevelPlan,
+    d: jnp.ndarray,
+    r: jnp.ndarray,
+    w_pairs: jnp.ndarray,
+    B: int,
+) -> jnp.ndarray:
+    """Level-ordered elimination given (diag, rhs) already in PERMUTED
+    order; returns λ in the ORIGINAL ordering.  Used directly by the serial
+    path and, with psum-reduced replicated inputs, by the sharded path."""
+    dt = d.dtype
     # per-node parent conductance (0 for roots)
     pp = jnp.asarray(lp.parent_pair)
     w_node = jnp.where(
@@ -763,7 +776,7 @@ def _level_eliminate(
     for lev, o, n, db, rb, w in reversed(saved):
         lam_par = lam[jax.lax.dynamic_slice(par, (o,), (n,))]
         lam = jax.lax.dynamic_update_slice(lam, (rb + w * lam_par) / db, (o,))
-    return lam[jnp.asarray(lp.perm)], rhs_norm
+    return lam[jnp.asarray(lp.perm)]
 
 
 def _tree_schur_solve(
