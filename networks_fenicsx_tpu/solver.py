@@ -931,14 +931,23 @@ def build_schur_executor(
         asm.coefficient_modes() if inputs == "coefficients" else (None, None)
     )
 
+    # SolverOptions.dtype = "float32" switches the whole fused solve to
+    # single precision (a fast serving mode on TPU, where f64 is emulated;
+    # expect ~1e-5 relative accuracy instead of the f64 contract).
+    comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
+
     def core(arg0, arg1, start_pbc, end_pbc):
+        arg0 = jnp.asarray(arg0, dtype=comp_dt)
+        arg1 = jnp.asarray(arg1, dtype=comp_dt)
+        start_pbc = jnp.asarray(start_pbc, dtype=comp_dt)
+        end_pbc = jnp.asarray(end_pbc, dtype=comp_dt)
         if inputs == "coefficients":
             # On-device coefficient expansion: host→device traffic scales
             # with the compact representation (a scalar, per-edge or
             # per-cell array), not the quadrature grid.
-            w = jnp.asarray(asm._quad_weights)
-            phi = jnp.asarray(asm._quad_phi)
-            h = jnp.asarray(mesh.cell_h)
+            w = jnp.asarray(asm._quad_weights, dtype=comp_dt)
+            phi = jnp.asarray(asm._quad_phi, dtype=comp_dt)
+            h = jnp.asarray(mesh.cell_h, dtype=comp_dt)
             cell_scale = None
             if R_mode == "quad":
                 cell_mass = (
@@ -954,7 +963,7 @@ def build_schur_executor(
                     R_cells = arg0
                 cell_scale = R_cells * h
                 if asm.flux_degree > 1:
-                    Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree))
+                    Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree), dtype=comp_dt)
                     cell_mass = cell_scale[:, None, None] * Mhat[None]
             if f_mode == "quad":
                 cell_f_int = jnp.einsum("cq,q->c", arg1, w) * h
@@ -975,7 +984,8 @@ def build_schur_executor(
             else:
                 ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         else:
-            cell_mass, cell_f_int = arg0, arg1
+            cell_mass = jnp.asarray(arg0, dtype=comp_dt)
+            cell_f_int = jnp.asarray(arg1, dtype=comp_dt)
             ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         if B > 0 and schur_method == "tree":
             # Direct elimination — no residual matvec; correctness is

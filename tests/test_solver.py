@@ -297,3 +297,21 @@ def test_not_converged_raises():
     solver.assemble()
     with pytest.raises(RuntimeError):
         solver.solve()
+
+
+def test_float32_serving_mode():
+    """SolverOptions(dtype='float32') runs the whole fused solve in single
+    precision (the TPU serving mode) within ~1e-5 of the f64 result."""
+    G = network_generation.make_arterial_tree(N=4, direction=np.array([0.1, 1, 0]))
+    mesh = NetworkMesh(G, N=4, color_strategy="fast")
+
+    def go(dtype):
+        asm = HydraulicNetworkAssembler(mesh)
+        asm.compute_forms(p_bc_ex=p_bc_y, R=1.0 / mesh.edge_radius**4)
+        s = Solver(asm, options=SolverOptions(dtype=dtype))
+        s.assemble()
+        return np.concatenate([f.values for f in s.solve()])
+
+    x64, x32 = go("float64"), go("float32")
+    rel = np.max(np.abs(x64 - x32)) / np.max(np.abs(x64))
+    assert rel < 1e-4, rel
