@@ -25,7 +25,7 @@ import numpy.typing as npt
 
 from .utils.timing import timed
 
-__all__ = ["make_tree", "make_arterial_tree"]
+__all__ = ["make_tree", "make_arterial_tree", "make_grid"]
 
 
 def _binary_tree_edges(num_nodes: int) -> np.ndarray:
@@ -90,6 +90,47 @@ def make_tree(n: int, H: float, W: float, dim: int = 3) -> nx.DiGraph:
     for i in range(num_nodes):
         G.nodes[i]["pos"] = coords[i].tolist() if dim == 2 else list(coords[i])
     G.add_edges_from(map(tuple, _binary_tree_edges(num_nodes)))
+    return G
+
+
+@timed("nxfx:make_grid")
+def make_grid(nx_cells: int, ny_cells: int, W: float = 1.0, H: float = 1.0) -> nx.DiGraph:
+    """Rectangular lattice network with one inlet and one outlet stub.
+
+    A fully cyclic topology (capillary-mesh style) complementing the
+    reference's tree generators: every interior node is a junction with
+    loops, exercising the cycle-core direct solver and iterative paths.
+    Edges are directed rightward and upward; an inlet stub feeds the
+    bottom-left corner and an outlet stub drains the top-right one.
+
+    Args:
+        nx_cells, ny_cells: Lattice dimensions (number of nodes per side).
+        W, H: Physical extent.
+    """
+    if nx_cells < 2 or ny_cells < 2:
+        raise ValueError("grid needs at least 2 nodes per side")
+    G = nx.DiGraph()
+    dx = W / (nx_cells - 1)
+    dy = H / (ny_cells - 1)
+
+    def nid(i: int, j: int) -> int:
+        return j * nx_cells + i
+
+    for j in range(ny_cells):
+        for i in range(nx_cells):
+            G.add_node(nid(i, j), pos=np.array([i * dx, j * dy]))
+    for j in range(ny_cells):
+        for i in range(nx_cells):
+            if i + 1 < nx_cells:
+                G.add_edge(nid(i, j), nid(i + 1, j))
+            if j + 1 < ny_cells:
+                G.add_edge(nid(i, j), nid(i, j + 1))
+    inlet = nx_cells * ny_cells
+    outlet = inlet + 1
+    G.add_node(inlet, pos=np.array([-dx, 0.0]))
+    G.add_node(outlet, pos=np.array([W + dx, H]))
+    G.add_edge(inlet, nid(0, 0))
+    G.add_edge(nid(nx_cells - 1, ny_cells - 1), outlet)
     return G
 
 

@@ -1,0 +1,77 @@
+"""Lattice (fully cyclic) networks: the topology family the tree-specific
+fast paths do NOT cover — exercises cycle-core elimination, dense and CG
+Schur variants, and the iterative fallbacks, all cross-checked against
+host sparse LU."""
+
+import numpy as np
+import pytest
+
+from networks_fenicsx_tpu import (
+    HydraulicNetworkAssembler,
+    NetworkMesh,
+    Solver,
+    SolverOptions,
+    network_generation,
+)
+
+
+def p_bc_x(x):
+    return x[0]
+
+
+def _solve(mesh, method, sm="auto", R=None):
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_x, R=R)
+    s = Solver(asm, options=SolverOptions(method=method, schur_method=sm, rtol=1e-13))
+    s.assemble()
+    return s, s.solve()
+
+
+def test_grid_structure():
+    G = network_generation.make_grid(4, 3)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    # all 12 lattice nodes are junctions; the two stub ends are boundaries
+    assert len(mesh.boundary_values) == 2
+    assert len(mesh.bifurcation_values) == 12
+    from networks_fenicsx_tpu.solver import _plan_tree_elimination
+
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_x)
+    plan = _plan_tree_elimination(asm)
+    assert plan.core_size > 0  # genuinely cyclic
+
+
+@pytest.mark.parametrize("sm", ["tree", "dense", "cg"])
+def test_grid_schur_variants_vs_lu(sm):
+    G = network_generation.make_grid(5, 4)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    rng = np.random.default_rng(0)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    s1, sol1 = _solve(mesh, "schur", sm=sm, R=R)
+    assert s1.info.converged
+    s2, sol2 = _solve(mesh, "host_lu", R=R)
+    for a, b in zip(sol1, sol2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-8)
+
+
+def test_grid_conservation_and_flow_direction():
+    G = network_generation.make_grid(6, 6)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    s, sol = _solve(mesh, "schur")
+    flux_start, flux_end = {}, {}
+    for fn in sol[:-2]:
+        view = mesh.submeshes[fn.space.color]
+        per_edge = fn.values.reshape(view.edge_ids.size, -1)
+        for i, e in enumerate(view.edge_ids):
+            flux_start[int(e)] = per_edge[i, 0]
+            flux_end[int(e)] = per_edge[i, -1]
+    for b_idx in range(len(mesh.bifurcation_values)):
+        qin = sum(flux_end[int(e)] for e in mesh.in_edge_ids(b_idx))
+        qout = sum(flux_start[int(e)] for e in mesh.out_edge_ids(b_idx))
+        assert abs(qin - qout) < 1e-10
+    # inlet and outlet stubs carry the same net flow
+    inlet_edge = int(np.flatnonzero(mesh.edges[:, 0] == mesh.num_graph_nodes - 2)[0])
+    outlet_edge = int(np.flatnonzero(mesh.edges[:, 1] == mesh.num_graph_nodes - 1)[0])
+    np.testing.assert_allclose(
+        flux_start[inlet_edge], flux_end[outlet_edge], atol=1e-10
+    )
