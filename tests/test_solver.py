@@ -315,3 +315,22 @@ def test_float32_serving_mode():
     x64, x32 = go("float64"), go("float32")
     rel = np.max(np.abs(x64 - x32)) / np.max(np.abs(x64))
     assert rel < 1e-4, rel
+
+
+def test_most_general_configuration():
+    """k=2 flux + nonzero source + per-edge resistance simultaneously:
+    condensed schur == dense == host LU."""
+    G = network_generation.make_tree(3, 1.5, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(11)
+    R = rng.uniform(0.5, 3.0, mesh.num_edges)
+    f = 1.25
+    sols = {}
+    for method in ("schur", "dense", "host_lu"):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=2)
+        asm.compute_forms(p_bc_ex=p_bc_y, f=f, R=R)
+        s = Solver(asm, options=SolverOptions(method=method))
+        s.assemble()
+        sols[method] = np.concatenate([fn.values for fn in s.solve()])
+    np.testing.assert_allclose(sols["schur"], sols["dense"], atol=1e-9)
+    np.testing.assert_allclose(sols["schur"], sols["host_lu"], atol=1e-9)
