@@ -334,3 +334,18 @@ def test_most_general_configuration():
         sols[method] = np.concatenate([fn.values for fn in s.solve()])
     np.testing.assert_allclose(sols["schur"], sols["dense"], atol=1e-9)
     np.testing.assert_allclose(sols["schur"], sols["host_lu"], atol=1e-9)
+
+
+def test_schur_p_with_source():
+    """Continuous-pressure reduced solver with a nonzero source term."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=3)
+
+    def go(method):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=2, pressure_degree=1)
+        asm.compute_forms(p_bc_ex=p_bc_y, f=0.75)
+        s = Solver(asm, options=SolverOptions(method=method, rtol=1e-13))
+        s.assemble()
+        return np.concatenate([fn.values for fn in s.solve()])
+
+    np.testing.assert_allclose(go("schur_p"), go("dense"), atol=1e-9)
