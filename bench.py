@@ -1,7 +1,9 @@
 """Headline benchmark: arterial-tree assemble+solve throughput.
 
 BASELINE.md target: arterial-tree assemble+solve wall-clock vs. MPI
-DOLFINx+MUMPS at 10 tree generations; headline metric DOFs/sec.  DOLFINx is
+DOLFINx+MUMPS at >= 10 tree generations, DOFs/sec as the headline metric.
+The default configuration is 16 generations (65,535 vessels, 5.34M dofs);
+set NXFX_BENCH_GENS=10 for the minimal BASELINE configuration.  DOLFINx is
 not installed in this image, so the recorded ``vs_baseline`` compares the
 TPU Schur pipeline against the strongest available stand-in for the
 reference's direct solver: SciPy SuperLU factorise+solve of the identical
