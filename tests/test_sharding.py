@@ -88,6 +88,9 @@ def test_sharded_sweep_2d_mesh(mesh_shape):
     from networks_fenicsx_tpu import solve_sweep
     from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
 
+    if len(jax.devices()) < mesh_shape[0] * mesh_shape[1]:
+        pytest.skip("needs more devices than available")
+
     G = network_generation.make_tree(4, 1.0, 2.0)
     mesh = NetworkMesh(G, N=3, color_strategy="fast")
     asm = HydraulicNetworkAssembler(mesh)
