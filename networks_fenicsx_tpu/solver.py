@@ -509,6 +509,20 @@ def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePla
     edge_pair[both] = pair_of_bb
     P = pairs.shape[0]
 
+    # Forest fast path: a graph is a forest iff #pairs == #nodes − #components;
+    # the peel rounds are then never consulted (the level plan supersedes
+    # them), so skip the Python peel loop entirely.
+    if P > 0:
+        import scipy.sparse as _sp
+        from scipy.sparse.csgraph import connected_components as _cc
+
+        adjm = _sp.coo_matrix((np.ones(P), (pairs[:, 0], pairs[:, 1])), shape=(B, B))
+        n_comp = _cc(adjm, directed=False)[0]
+    else:
+        n_comp = B
+    if P == B - n_comp:
+        return _TreePlan(pairs, edge_pair, ())
+
     # adjacency over pairs
     adj: list[dict[int, int]] = [dict() for _ in range(B)]  # node -> {nbr: pair}
     for p_id, (u, v) in enumerate(pairs):
@@ -601,30 +615,70 @@ def _plan_level_elimination(
     pairs = tree_plan.pair_nodes
     P = pairs.shape[0]
 
-    # adjacency over pairs
-    nbrs: list[list[tuple[int, int]]] = [[] for _ in range(B)]
-    for pid, (u, v) in enumerate(pairs):
-        nbrs[int(u)].append((int(v), pid))
-        nbrs[int(v)].append((int(u), pid))
+    # Vectorized frontier BFS (one numpy pass per depth level): symmetric
+    # half-edge arrays (src, dst, pair id) both ways.
+    if P > 0:
+        src = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        dst = np.concatenate([pairs[:, 1], pairs[:, 0]])
+        pid2 = np.concatenate([np.arange(P), np.arange(P)])
+        order_by_src = np.argsort(src, kind="stable")
+        src_s, dst_s, pid_s = src[order_by_src], dst[order_by_src], pid2[order_by_src]
+        starts = np.searchsorted(src_s, np.arange(B + 1))
+    else:
+        dst_s = pid_s = np.empty(0, np.int64)
+        starts = np.zeros(B + 1, np.int64)
 
     depth = np.full(B, -1, np.int64)
     parent = np.full(B, -1, np.int64)
     parent_pairid = np.full(B, -1, np.int64)
-    order: list[int] = []
-    for root in range(B):
-        if depth[root] >= 0:
-            continue
-        depth[root] = 0
-        stack = [root]
-        while stack:
-            u = stack.pop()
-            order.append(u)
-            for v, pid in nbrs[u]:
-                if depth[v] < 0:
-                    depth[v] = depth[u] + 1
-                    parent[v] = u
-                    parent_pairid[v] = pid
-                    stack.append(v)
+    frontier = np.flatnonzero(
+        np.bincount(pairs.ravel(), minlength=B) == 0
+    )  # isolated bifurcations are their own roots
+    # choose one root per component: smallest-id node not yet visited; do
+    # this in frontier rounds so every component gets exactly one root.
+    unvisited = np.ones(B, dtype=bool)
+    roots = []
+    # initial roots: all components' minimum-id nodes.  Compute components
+    # cheaply via connected_components on the pair graph.
+    import scipy.sparse as _sp
+    from scipy.sparse.csgraph import connected_components as _cc
+
+    if P > 0:
+        adjm = _sp.coo_matrix(
+            (np.ones(P), (pairs[:, 0], pairs[:, 1])), shape=(B, B)
+        )
+        _, labels = _cc(adjm, directed=False)
+    else:
+        labels = np.arange(B)
+    # root of each component = first occurrence (min id)
+    _, first_idx = np.unique(labels, return_index=True)
+    roots = np.sort(first_idx)
+    depth[roots] = 0
+    unvisited[roots] = False
+    frontier = roots
+    d = 0
+    while frontier.size:
+        # expand all half-edges leaving the frontier (ragged-range gather)
+        counts = starts[frontier + 1] - starts[frontier]
+        total = int(counts.sum())
+        if total:
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            idx = np.repeat(starts[frontier] - offsets, counts) + np.arange(total)
+            cand_dst = dst_s[idx]
+            cand_pid = pid_s[idx]
+            cand_src = np.repeat(frontier, counts)
+            new_mask = unvisited[cand_dst]
+            nd, npid, nsrc = cand_dst[new_mask], cand_pid[new_mask], cand_src[new_mask]
+            # dedupe (a node can only be discovered once in a tree, but be safe)
+            uniq, ui = np.unique(nd, return_index=True)
+            depth[uniq] = d + 1
+            parent[uniq] = nsrc[ui]
+            parent_pairid[uniq] = npid[ui]
+            unvisited[uniq] = False
+            frontier = uniq
+        else:
+            frontier = np.empty(0, np.int64)
+        d += 1
 
     # permute: levels ascending; within a level group by (already-assigned)
     # parent position so per-level parent segment ids come out sorted.
@@ -637,10 +691,9 @@ def _plan_level_elimination(
         nodes = np.flatnonzero(depth == d)
         if d > 0:
             nodes = nodes[np.argsort(prev_positions[parent[nodes]], kind="stable")]
-        for n in nodes:
-            perm[n] = pos
-            prev_positions[n] = pos
-            pos += 1
+        perm[nodes] = pos + np.arange(nodes.size)
+        prev_positions[nodes] = perm[nodes]
+        pos += nodes.size
         level_offsets.append(pos)
 
     inv_perm = np.argsort(perm)
