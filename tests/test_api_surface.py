@@ -105,3 +105,20 @@ def test_solution_vector_roundtrip(y_assembler):
     offs = asm.block_offsets
     for i, fn in enumerate(sol):
         np.testing.assert_array_equal(fn.values, x[offs[i] : offs[i + 1]])
+
+
+def test_solve_into_provided_functions(y_assembler):
+    """The reference allows passing pre-created functions to solve()
+    (solver.py:109-125); values must be assigned in place."""
+    from networks_fenicsx_tpu import NetworkFunction
+
+    _, asm = y_assembler
+    solver = Solver(asm)
+    solver.assemble()
+    provided = [NetworkFunction(sp, name=f"custom_{i}") for i, sp in enumerate(asm.function_spaces)]
+    out = solver.solve(functions=provided)
+    assert out is provided
+    assert out[0].name == "custom_0"
+    ref = solver.solve()  # fresh functions
+    for a, b in zip(provided, ref):
+        np.testing.assert_array_equal(a.values, b.values)
