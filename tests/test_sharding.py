@@ -115,3 +115,25 @@ def test_sharded_higher_degree_and_source():
     out = sharded.solve()
     for fs, fd in zip(serial, out):
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-12)
+
+
+def test_sharded_deeper_tree_with_radii():
+    """1023-edge arterial-like problem across 8 devices: level elimination
+    under shard_map with per-edge resistance."""
+    G = network_generation.make_arterial_tree(N=8, direction=np.array([0.1, 1.0, 0.0]))
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    R = 1.0 / mesh.edge_radius**4
+
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R)
+    serial_solver = Solver(asm, options=SolverOptions(method="schur"))
+    serial_solver.assemble()
+    serial = serial_solver.solve()
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y, R=R)
+    sharded = ShardedNetworkSolver(asm2, devices=jax.devices()[:8])
+    sharded.assemble()
+    out = sharded.solve()
+    for fs, fd in zip(serial, out):
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-10)
