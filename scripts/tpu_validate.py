@@ -78,6 +78,27 @@ res = solve_sweep(asm, R=np.ones((4, mesh.num_edges)) * np.array([1,2,3,4])[:,No
 q0 = np.asarray(res.x[:,0])
 check("sweep-linearity", np.allclose(q0 * np.array([1,2,3,4]), q0[0], rtol=1e-9), f"q0={q0}")
 
+# 7. grid (fully cyclic) network vs host LU
+Gg = ng_grid = None
+from networks_fenicsx_tpu.network_generation import make_grid
+Gg = make_grid(5, 4)
+mg = NetworkMesh(Gg, N=2, color_strategy="fast")
+ag1 = HydraulicNetworkAssembler(mg); ag1.compute_forms(p_bc_ex=lambda x: x[0])
+sg1 = Solver(ag1); sg1.assemble(); sog1 = sg1.solve()
+ag2 = HydraulicNetworkAssembler(mg); ag2.compute_forms(p_bc_ex=lambda x: x[0])
+sg2 = Solver(ag2, options=SolverOptions(method="host_lu")); sg2.assemble(); sog2 = sg2.solve()
+err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(sog1,sog2))
+check("grid-cyclic-vs-LU", err < 1e-8, f"err={err:.1e}")
+
+# 8. float32 serving mode
+af1 = HydraulicNetworkAssembler(m5); af1.compute_forms(p_bc_ex=lambda x: x[1])
+sf1 = Solver(af1, options=SolverOptions(dtype="float32")); sf1.assemble(); sof1 = sf1.solve()
+af2 = HydraulicNetworkAssembler(m5); af2.compute_forms(p_bc_ex=lambda x: x[1])
+sf2 = Solver(af2); sf2.assemble(); sof2 = sf2.solve()
+x32 = np.concatenate([f.values for f in sof1]); x64 = np.concatenate([f.values for f in sof2])
+rel = float(np.max(np.abs(x64-x32))/np.max(np.abs(x64)))
+check("float32-serving-mode", rel < 1e-4, f"rel={rel:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)
