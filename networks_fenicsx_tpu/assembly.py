@@ -70,18 +70,29 @@ def compute_integration_data(
     ``local_endpoint`` is 0/1 in along-edge orientation.
     """
     N = network_mesh.N
-    in_entities: dict[int, list] = {c: [] for c in range(network_mesh.num_edge_colors)}
-    out_entities: dict[int, list] = {c: [] for c in range(network_mesh.num_edge_colors)}
-    for b in range(len(network_mesh.bifurcation_values)):
-        for e in network_mesh.in_edge_ids(b):
-            c = int(network_mesh.edge_color[e])
-            in_entities[c].extend([int(e) * N + (N - 1), 1])  # last cell, end point
-        for e in network_mesh.out_edge_ids(b):
-            c = int(network_mesh.edge_color[e])
-            out_entities[c].extend([int(e) * N, 0])  # first cell, start point
+    M = network_mesh.num_edge_colors
+    colors = np.asarray(network_mesh.edge_color)
+
+    def _group(edges_flat: np.ndarray, cell_off: int, endpoint: int):
+        # edges_flat is bifurcation-major (the CSR data array), matching the
+        # reference's per-bifurcation iteration order; a stable color sort
+        # preserves that order within each color bucket.
+        edges_flat = np.asarray(edges_flat, dtype=np.int64)
+        order = np.argsort(colors[edges_flat], kind="stable")
+        sorted_edges = edges_flat[order]
+        sorted_colors = colors[edges_flat][order]
+        bounds = np.searchsorted(sorted_colors, np.arange(M + 1))
+        entities = (sorted_edges * N + cell_off).astype(np.int32)
+        flat = np.empty(2 * entities.shape[0], dtype=np.int32)
+        flat[0::2] = entities
+        flat[1::2] = endpoint
+        return {c: flat[2 * bounds[c] : 2 * bounds[c + 1]] for c in range(M)}
+
+    in_edges_flat, _ = network_mesh.bif_in_csr
+    out_edges_flat, _ = network_mesh.bif_out_csr
     return (
-        {c: np.asarray(v, dtype=np.int32) for c, v in in_entities.items()},
-        {c: np.asarray(v, dtype=np.int32) for c, v in out_entities.items()},
+        _group(in_edges_flat, N - 1, 1),  # last cell, end point
+        _group(out_edges_flat, 0, 0),  # first cell, start point
     )
 
 
@@ -605,11 +616,17 @@ class HydraulicNetworkAssembler:
             out = np.zeros((self._network_mesh.num_cells, self._quad_weights.shape[0]))
         return out
 
-    def coefficient_modes(self) -> tuple[str, str]:
-        """Static classification of (R, f): 'scalar' | 'edge' | 'cell' | 'quad'.
-        Determines the (compact) executor argument shapes."""
+    def coefficient_modes(self) -> tuple[str, str, bool]:
+        """Static classification of the coefficient structure: the (R, f)
+        kinds ('scalar' | 'edge' | 'cell' | 'quad') plus whether the source
+        is the scalar zero.  Determines the (compact) executor argument
+        shapes AND which executor variant is valid (the zero-source variant
+        elides the source cumsums), so every executor cache must key on the
+        full tuple — a ``compute_forms`` call that switches f between 0 and
+        a nonzero scalar changes this key."""
         self._require_forms()
-        return self._R_mode, self._f_mode
+        f_zero = self._f_mode == "scalar" and float(self._f_data[0]) == 0.0
+        return self._R_mode, self._f_mode, f_zero
 
     def schur_arguments(self):
         """Device-ready compact arguments for the fused schur executor:

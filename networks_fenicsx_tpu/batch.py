@@ -139,7 +139,11 @@ def solve_sweep(
         cache = asm._sweep_cache = {}
     batched = cache.get(key)
     if batched is None:
-        executor = build_schur_executor(asm, opts, jit=False)
+        # A batched f must flow through the executor's f argument — the
+        # zero-source program variant would silently ignore it.
+        executor = build_schur_executor(
+            asm, opts, jit=False, elide_zero_f=(f is None)
+        )
 
         def one(Ra, fa, spa, epa):
             return executor(Ra, fa, spa, epa)[0]

@@ -44,6 +44,10 @@ def save_solution(
 ) -> Path:
     """Save a solution (the function list returned by ``Solver.solve``)."""
     path = Path(path)
+    if path.suffix != ".npz":
+        # np.savez appends '.npz' to suffix-less names; normalise up front
+        # so the returned Path is the file actually written.
+        path = path.with_suffix(path.suffix + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {
         "fingerprint": _fingerprint(assembler),

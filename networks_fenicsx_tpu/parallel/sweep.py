@@ -52,8 +52,14 @@ def sharded_sweep(
     net = asm.network
     if asm.pressure_degree != 0 or asm.flux_degree != 1:
         raise ValueError("sharded_sweep currently requires P1 flux / DG0 pressure")
-    if asm.coefficient_modes()[0] != "edge":
+    modes = asm.coefficient_modes()
+    if modes[0] != "edge":
         raise ValueError("compute_forms must have been called with per-edge R")
+    if not modes[2]:
+        raise ValueError(
+            "sharded_sweep assumes a zero source (f=0); forms were computed "
+            "with a nonzero f — use solve_sweep for source sweeps"
+        )
     if net.has_floating_component():
         raise RuntimeError("network has a component with no boundary node")
 

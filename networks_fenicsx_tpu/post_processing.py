@@ -96,10 +96,13 @@ def export_functions(functions: list[NetworkFunction], outpath: Path | str) -> N
             cell_data={"pressure": pressure.values},
         )
     else:
+        # Vertex dofs lead the dof layout, so the vertex slice of the value
+        # array pairs with mesh.vertices; writing dof_coordinates() here
+        # would leave NumberOfPoints > len(PointData), which VTK rejects.
         write_vtu(
             export_path / "pressure.vtu",
-            pressure.space.dof_coordinates(),
-            mesh.cells,  # vertex dofs lead the layout, so connectivity holds
+            mesh.vertices[:],
+            mesh.cells,
             VTK_LINE,
             point_data={"pressure": pressure.values[: mesh.num_vertices]},
         )

@@ -941,6 +941,7 @@ def build_schur_executor(
     opts: SolverOptions,
     jit: bool = True,
     inputs: str = "coefficients",
+    elide_zero_f: bool = True,
 ):
     """Build the (optionally jitted) end-to-end Schur solve.
 
@@ -959,6 +960,11 @@ def build_schur_executor(
             ``"cell_mass"`` — signature is ``(cell_mass (C, k+1, k+1),
             cell_f_int (C,), start_pbc, end_pbc)`` for precomputed element
             matrices.
+        elide_zero_f: When the forms were computed with a zero scalar source
+            the traced program skips the source cumsums (and thereafter
+            ignores its ``f_data`` argument).  Pass ``False`` when the
+            executor will be fed varying ``f`` values (e.g. vmapped source
+            sweeps).
     """
     mesh = asm.network
     B = mesh.num_multipliers
@@ -980,9 +986,14 @@ def build_schur_executor(
         if level_plan is None:
             lam_plan = _build_lambda_plan(asm)
 
-    R_mode, f_mode = (
-        asm.coefficient_modes() if inputs == "coefficients" else (None, None)
+    R_mode, f_mode, f_zero = (
+        asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
     )
+    # The zero-source elision is a *variant* of the traced program, valid
+    # only while f stays zero; callers that feed varying f through the
+    # executor's f argument (batched sweeps) must pass elide_zero_f=False.
+    # Executor caches key on coefficient_modes(), which includes f_zero.
+    f_is_zero = f_zero and elide_zero_f
 
     # SolverOptions.dtype = "float32" switches the whole fused solve to
     # single precision (a fast serving mode on TPU, where f64 is emulated;
@@ -1028,9 +1039,6 @@ def build_schur_executor(
                 cell_f_int = arg1 * h
             if cell_scale is not None and asm.flux_degree == 1:
                 # P1 + cellwise-constant R: scalar layout, no (C,2,2) tensor
-                f_is_zero = bool(
-                    f_mode == "scalar" and float(asm._f_data[0]) == 0.0
-                )
                 ed = _make_edge_data_scalar(
                     asm, cell_scale, cell_f_int, start_pbc, end_pbc, f_is_zero
                 )

@@ -42,3 +42,22 @@ def test_checkpoint_incompatible_raises(tmp_path):
     other = HydraulicNetworkAssembler(other_mesh)
     with pytest.raises(ValueError):
         load_solution(path, other)
+
+
+def test_checkpoint_suffixless_path(tmp_path):
+    """Regression: np.savez appends '.npz'; the returned path must be the
+    file actually written so load_solution(save_solution(p, ...)) works."""
+    G = network_generation.make_tree(2, 1, 2)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    solver = Solver(asm)
+    solver.assemble()
+    sol = solver.solve()
+
+    for name in ("state", "state.dat"):
+        path = save_solution(tmp_path / name, asm, sol)
+        assert path.exists() and path.suffix == ".npz"
+        restored = load_solution(path, asm)
+        for a, b in zip(sol, restored):
+            np.testing.assert_array_equal(a.values, b.values)

@@ -74,3 +74,22 @@ def test_global_flux_continuous_at_junction_balance():
         qin = sum(vals[int(e) * N + (N - 1), -1] for e in mesh.in_edge_ids(b_idx))
         qout = sum(vals[int(e) * N, 0] for e in mesh.out_edge_ids(b_idx))
         assert abs(qin - qout) < 1e-9
+
+
+def test_export_functions_high_degree_pressure(tmp_path):
+    """Regression: continuous pressure of degree >= 2 has cell-interior dofs;
+    the VTU must pair every written point with a value (VTK rejects
+    NumberOfPoints > len(PointData))."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=2, pressure_degree=2)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    solver = Solver(asm)
+    solver.assemble()
+    sol = solver.solve()
+    export_functions(sol, outpath=tmp_path)
+    import re
+
+    text = (tmp_path / "pressure.vtu").read_text()
+    n_points = int(re.search(r'NumberOfPoints="(\d+)"', text).group(1))
+    assert n_points == mesh.num_vertices

@@ -349,3 +349,47 @@ def test_schur_p_with_source():
         return np.concatenate([fn.values for fn in s.solve()])
 
     np.testing.assert_allclose(go("schur_p"), go("dense"), atol=1e-9)
+
+
+def test_recompute_forms_zero_to_nonzero_f():
+    """Regression: a Solver whose executor was built for f=0 must not be
+    reused verbatim after compute_forms() switches to a nonzero scalar f
+    (the zero-source program variant ignores its f argument)."""
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=4)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y)  # f defaults to 0
+    solver = Solver(asm, options=SolverOptions(method="schur"))
+    solver.assemble()
+    sol0 = solver.solve()
+    p0 = np.array(sol0[-2].values)
+
+    asm.compute_forms(p_bc_ex=p_bc_y, f=2.5)
+    solver.assemble()
+    sol1 = solver.solve()
+    p1 = np.array(sol1[-2].values)
+    assert np.max(np.abs(p1 - p0)) > 1e-3, "nonzero f was silently ignored"
+
+    # and the result must agree with an independent direct solve
+    _, _, ref = _solve(mesh, "host_lu", f=2.5)
+    np.testing.assert_allclose(p1, ref[-2].values, atol=1e-9)
+
+
+def test_solve_sweep_batched_f_over_zero_f_forms():
+    """Regression: batched scalar f through solve_sweep when forms were
+    computed with f=None (advertised API shape) must flow through."""
+    from networks_fenicsx_tpu import solve_sweep
+
+    G = network_generation.make_tree(2, 1, 3)
+    mesh = NetworkMesh(G, N=4)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y)  # f = 0 scalar
+    f_batch = np.array([0.0, 1.0, 2.5])[:, None]  # (S, 1) scalar kind
+    res = solve_sweep(asm, f=f_batch)
+
+    for s, fval in enumerate(f_batch[:, 0]):
+        _, _, ref = _solve(mesh, "host_lu", f=float(fval))
+        offs = asm.block_offsets
+        M = mesh.num_edge_colors
+        p_sweep = np.asarray(res.x[s, offs[M] : offs[M + 1]])
+        np.testing.assert_allclose(p_sweep, ref[-2].values, atol=1e-9)
