@@ -47,6 +47,14 @@ def main() -> None:
     GENS = int(os.environ.get("NXFX_BENCH_GENS", "16"))
     N_ELEM = int(os.environ.get("NXFX_BENCH_N", "40"))
 
+    # Persistent XLA compilation cache (the FFCx-cache analog): a warm
+    # process start loads the serialized executable instead of recompiling.
+    if os.environ.get("NXFX_COMPILATION_CACHE", "1") != "0":
+        from networks_fenicsx_tpu.utils.platform import enable_compilation_cache
+
+        cache_dir = enable_compilation_cache()
+        log(f"persistent XLA cache: {cache_dir}")
+
     t0 = time.perf_counter()
     G = make_arterial_tree(N=GENS, direction=np.array([0.1, 1.0, 0.0]))
     mesh = NetworkMesh(G, N=N_ELEM, color_strategy="fast")
@@ -78,7 +86,8 @@ def main() -> None:
     t0 = time.perf_counter()
     out = assemble_and_solve()
     x = np.asarray(out[0])
-    log(f"warmup (incl. XLA compile): {time.perf_counter() - t0:.3f}s")
+    t_warmup = time.perf_counter() - t0
+    log(f"warmup (XLA compile or cache load + d2h init): {t_warmup:.3f}s")
     assert np.all(np.isfinite(x)), "non-finite solution"
 
     # steady-state assemble+solve
@@ -105,11 +114,23 @@ def main() -> None:
         (vals, (asm._all_rows, asm._all_cols)), shape=(n_dofs, n_dofs)
     )
     bh = np.asarray(asm._b_host)
-    t0 = time.perf_counter()
-    lu = spla.splu(As)
-    x_lu = lu.solve(bh)
-    t_baseline = time.perf_counter() - t0
-    log(f"baseline SuperLU factor+solve: {t_baseline * 1e3:.2f} ms")
+    # SuperLU is a *stand-in* for the reference's MUMPS (dolfinx is not
+    # installable in this image) and its wall-clock swings with host load —
+    # report the median over several repetitions plus the spread so the
+    # speedup is read with the right error bars.
+    base_reps = int(os.environ.get("NXFX_BENCH_BASELINE_REPS", "3"))
+    base_times = []
+    for _ in range(base_reps):
+        t0 = time.perf_counter()
+        lu = spla.splu(As)
+        x_lu = lu.solve(bh)
+        base_times.append(time.perf_counter() - t0)
+    t_baseline = float(np.median(base_times))
+    log(
+        f"baseline SuperLU (MUMPS stand-in) factor+solve: median "
+        f"{t_baseline * 1e3:.2f} ms over {base_reps} reps "
+        f"(min {min(base_times) * 1e3:.2f}, max {max(base_times) * 1e3:.2f})"
+    )
 
     # correctness cross-check vs the direct solve (BASELINE: 1e-8 matching)
     err = float(np.max(np.abs(x - x_lu)) / max(1.0, np.max(np.abs(x_lu))))
@@ -126,7 +147,12 @@ def main() -> None:
             "elements_per_vessel": N_ELEM,
             "num_dofs": int(n_dofs),
             "assemble_solve_ms": round(t_solve * 1e3, 3),
-            "baseline_superlu_ms": round(t_baseline * 1e3, 3),
+            "baseline": "scipy SuperLU factor+solve of the identical system "
+            "(MUMPS stand-in; host-load dependent)",
+            "baseline_superlu_ms_median": round(t_baseline * 1e3, 3),
+            "baseline_superlu_ms_min": round(min(base_times) * 1e3, 3),
+            "baseline_superlu_ms_max": round(max(base_times) * 1e3, 3),
+            "warmup_s": round(t_warmup, 3),
             "max_rel_err_vs_direct": err,
             "backend": jax.default_backend(),
         },

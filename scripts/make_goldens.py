@@ -1,0 +1,111 @@
+"""Generate committed golden solution files from the exact-rational solver.
+
+Each golden pins the exact discrete solution of one reference demo
+configuration (BASELINE.md's 1e-8 matching set: Y-bifurcation, double-Y,
+tree N-sweep, arterial n=5/N=40) computed by ``scripts/exact_golden.py`` —
+an implementation-independent Fraction-arithmetic solver sharing no code
+with the production path.  ``tests/test_golden.py`` asserts every
+production solver method reproduces these files.
+
+Regenerate with real DOLFINx/MUMPS instead via
+``scripts/make_goldens_dolfinx.py`` (requires the reference's container).
+
+Usage: python scripts/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from exact_golden import exact_solve  # noqa: E402
+
+OUTDIR = Path(__file__).resolve().parent.parent / "tests" / "goldens"
+
+
+def p_bc_x(x):
+    return x[0]
+
+
+def p_bc_y(x):
+    return x[1]
+
+
+def build_graph(spec: dict):
+    from networks_fenicsx_tpu import network_generation
+
+    kind = spec["graph"]
+    if kind == "tree":
+        return network_generation.make_tree(spec["n"], spec["H"], spec["W"])
+    if kind == "arterial":
+        return network_generation.make_arterial_tree(
+            N=spec["n"], direction=np.asarray(spec["direction"])
+        )
+    raise ValueError(kind)
+
+
+def edge_R(spec: dict, G):
+    if spec.get("R") == "poiseuille":
+        radius = np.array([G.edges[e]["radius"] for e in G.edges], dtype=np.float64)
+        return 1.0 / radius**4
+    return spec.get("R")
+
+
+# The reference demo configurations (reference demos/demo_Y_bifurcation.py,
+# demo_double_Y_bifurcation.py, demo_tree.py, demo_arterial_tree.py) plus
+# two hardening variants: a nonzero source (within-edge flux variation) and
+# Poiseuille R ~ 1/r^4 (wide-dynamic-range conductances).
+CONFIGS: dict[str, dict] = {
+    "y_bifurcation": dict(graph="tree", n=2, H=1.0, W=3.0, N=4, p_bc="y"),
+    "double_y": dict(graph="tree", n=2, H=3.1, W=7.3, N=5, p_bc="x"),
+    "tree_N2": dict(graph="tree", n=2, H=1.0, W=1.0, N=2, p_bc="y"),
+    "tree_N16": dict(graph="tree", n=2, H=1.0, W=1.0, N=16, p_bc="y"),
+    "tree_N256": dict(graph="tree", n=2, H=1.0, W=1.0, N=256, p_bc="y"),
+    "tree4": dict(graph="tree", n=4, H=1.0, W=2.0, N=3, p_bc="y"),
+    "y_source": dict(graph="tree", n=2, H=1.0, W=3.0, N=4, p_bc="y", f=2.5),
+    "arterial": dict(
+        graph="arterial", n=5, direction=[0.1, 1.0, 0.0], N=40, p_bc="y"
+    ),
+    "arterial_poiseuille": dict(
+        graph="arterial",
+        n=5,
+        direction=[0.1, 1.0, 0.0],
+        N=40,
+        p_bc="y",
+        R="poiseuille",
+    ),
+}
+
+P_BC = {"x": p_bc_x, "y": p_bc_y}
+
+
+def main() -> None:
+    OUTDIR.mkdir(parents=True, exist_ok=True)
+    for name, spec in CONFIGS.items():
+        G = build_graph(spec)
+        res = exact_solve(
+            G, spec["N"], P_BC[spec["p_bc"]], R=edge_R(spec, G), f=spec.get("f")
+        )
+        payload = {
+            "config": {k: v for k, v in spec.items()},
+            "edges": res["edges"],
+            "N": res["N"],
+            "flux": res["flux"].tolist(),
+            "pressure": res["pressure"].tolist(),
+            "lam": {str(k): v for k, v in res["lam"].items()},
+            "generator": "scripts/exact_golden.py (exact Fraction arithmetic)",
+        }
+        out = OUTDIR / f"{name}.json"
+        out.write_text(json.dumps(payload))
+        print(f"{name}: {len(res['edges'])} edges, N={res['N']}, "
+              f"{len(res['lam'])} multipliers -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Golden-solution tests: every solver method vs an independent oracle.
+
+The committed files in ``tests/goldens/`` hold the exact discrete solutions
+of the reference demo configurations (BASELINE.md's 1e-8 matching set),
+computed by ``scripts/exact_golden.py`` — an exact-rational (Fraction)
+solver that shares no code with the production assembly/solve path.  This
+breaks the round-1 self-agreement loop (production schur vs production
+host_lu of the production-assembled matrix): a sign/scaling bug common to
+the whole package would fail here.
+
+Regenerate via ``python scripts/make_goldens.py`` (or, inside the reference
+container, ``scripts/make_goldens_dolfinx.py`` for DOLFINx/MUMPS goldens).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from networks_fenicsx_tpu import (
+    HydraulicNetworkAssembler,
+    NetworkMesh,
+    Solver,
+    SolverOptions,
+    network_generation,
+)
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+GOLDEN_NAMES = sorted(p.stem for p in GOLDEN_DIR.glob("*.json"))
+
+
+def _load(name: str) -> dict:
+    return json.loads((GOLDEN_DIR / f"{name}.json").read_text())
+
+
+def _build_problem(golden: dict):
+    spec = golden["config"]
+    if spec["graph"] == "tree":
+        G = network_generation.make_tree(spec["n"], spec["H"], spec["W"])
+    else:
+        G = network_generation.make_arterial_tree(
+            N=spec["n"], direction=np.asarray(spec["direction"])
+        )
+    mesh = NetworkMesh(G, N=spec["N"])
+    asm = HydraulicNetworkAssembler(mesh)
+    p_bc = (lambda x: x[0]) if spec["p_bc"] == "x" else (lambda x: x[1])
+    if spec.get("R") == "poiseuille":
+        R = 1.0 / mesh.edge_radius**4
+    else:
+        R = spec.get("R")
+    asm.compute_forms(p_bc_ex=p_bc, R=R, f=spec.get("f"))
+    return G, mesh, asm
+
+
+def _canonical(mesh, asm, sol):
+    """Map the production function list onto the golden's canonical layout:
+    per-edge along-edge flux chains (E, N+1), per-edge cell pressures
+    (E, N), multipliers keyed by bifurcation node id."""
+    E, N = mesh.num_edges, mesh.N
+    flux = np.zeros((E, N + 1))
+    for fn in sol[:-2]:
+        view = mesh.submeshes[fn.space.color]
+        per_edge = fn.values.reshape(view.edge_ids.size, N + 1)
+        flux[np.asarray(view.edge_ids)] = per_edge
+    pressure = np.asarray(sol[-2].values).reshape(E, N)
+    lam = {
+        int(node): float(v)
+        for node, v in zip(mesh.bifurcation_values, sol[-1].values)
+    }
+    return flux, pressure, lam
+
+
+def _check(golden, mesh, asm, sol, tol):
+    flux, pressure, lam = _canonical(mesh, asm, sol)
+    # align golden edge order with the mesh's edge order via (u, v) pairs
+    mesh_edges = [tuple(int(x) for x in e) for e in mesh.edges]
+    order = [mesh_edges.index(tuple(e)) for e in golden["edges"]]
+    scale_q = max(1.0, np.abs(np.asarray(golden["flux"])).max())
+    scale_p = max(1.0, np.abs(np.asarray(golden["pressure"])).max())
+    np.testing.assert_allclose(
+        flux[order], np.asarray(golden["flux"]), atol=tol * scale_q, rtol=0
+    )
+    np.testing.assert_allclose(
+        pressure[order], np.asarray(golden["pressure"]), atol=tol * scale_p, rtol=0
+    )
+    for node, lam_exact in golden["lam"].items():
+        assert abs(lam[int(node)] - lam_exact) <= tol * max(1.0, abs(lam_exact))
+
+
+@pytest.mark.parametrize("name", GOLDEN_NAMES)
+@pytest.mark.parametrize("method", ["schur", "dense", "host_lu"])
+def test_golden_direct_methods(name: str, method: str):
+    golden = _load(name)
+    _, mesh, asm = _build_problem(golden)
+    solver = Solver(asm, options=SolverOptions(method=method))
+    solver.assemble()
+    sol = solver.solve()
+    _check(golden, mesh, asm, sol, tol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["y_bifurcation", "arterial_poiseuille"])
+@pytest.mark.parametrize("schur_method", ["tree", "dense", "cg"])
+def test_golden_schur_variants(name: str, schur_method: str):
+    golden = _load(name)
+    _, mesh, asm = _build_problem(golden)
+    solver = Solver(
+        asm, options=SolverOptions(method="schur", schur_method=schur_method)
+    )
+    solver.assemble()
+    sol = solver.solve()
+    _check(golden, mesh, asm, sol, tol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["y_bifurcation", "tree4"])
+def test_golden_minres(name: str):
+    golden = _load(name)
+    _, mesh, asm = _build_problem(golden)
+    solver = Solver(asm, options=SolverOptions(method="minres", rtol=1e-13))
+    solver.assemble()
+    sol = solver.solve()
+    _check(golden, mesh, asm, sol, tol=1e-7)
+
+
+def test_goldens_exist():
+    """All nine demo-parity configurations are committed."""
+    expected = {
+        "y_bifurcation", "double_y", "tree_N2", "tree_N16", "tree_N256",
+        "tree4", "y_source", "arterial", "arterial_poiseuille",
+    }
+    assert expected.issubset(set(GOLDEN_NAMES))
