@@ -93,3 +93,41 @@ def test_export_functions_high_degree_pressure(tmp_path):
     text = (tmp_path / "pressure.vtu").read_text()
     n_points = int(re.search(r'NumberOfPoints="(\d+)"', text).group(1))
     assert n_points == mesh.num_vertices
+
+
+def test_vtu_binary_roundtrip(tmp_path):
+    """Binary (inline base64) VTU round-trips points/cells/data bit-exactly."""
+    from networks_fenicsx_tpu.io.vtk import VTK_LINE, read_vtu, write_vtu
+
+    rng = np.random.default_rng(7)
+    pts = rng.standard_normal((23, 3))
+    cells = np.stack([np.arange(22), np.arange(1, 23)], axis=1)
+    pd = {"speed": rng.standard_normal(23)}
+    cd = {"mark": rng.standard_normal(22)}
+    for fmt in ("binary", "ascii"):
+        p = write_vtu(tmp_path / f"{fmt}.vtu", pts, cells, VTK_LINE,
+                      point_data=pd, cell_data=cd, fmt=fmt)
+        rp, rc, rpd, rcd = read_vtu(p)
+        np.testing.assert_array_equal(rp, pts)  # exact: f64 through base64/repr
+        np.testing.assert_array_equal(rc, cells)
+        np.testing.assert_array_equal(rpd["speed"], pd["speed"])
+        np.testing.assert_array_equal(rcd["mark"], cd["mark"])
+
+
+def test_vtu_auto_binary_at_scale(tmp_path):
+    """Large grids default to the binary encoding and stay compact."""
+    from networks_fenicsx_tpu.io.vtk import VTK_LINE, read_vtu, write_vtu
+
+    n = 60_000
+    pts = np.random.default_rng(0).standard_normal((n, 3))
+    cells = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    p = write_vtu(tmp_path / "big.vtu", pts, cells, VTK_LINE,
+                  point_data={"v": pts[:, 0]})
+    text = p.read_text()
+    assert 'format="binary"' in text
+    # ~480k values total (pts + conn + offsets + types + v) at ~10.7 B/value
+    # base64 vs ~19 B/value ascii
+    assert p.stat().st_size < 6_000_000
+    rp, _, rpd, _ = read_vtu(p)
+    np.testing.assert_array_equal(rp, pts)
+    np.testing.assert_array_equal(rpd["v"], pts[:, 0])
