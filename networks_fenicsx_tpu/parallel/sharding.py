@@ -45,6 +45,11 @@ except AttributeError:  # pragma: no cover
 
 __all__ = ["ShardedNetworkSolver", "shard_solve", "make_device_mesh"]
 
+# distributed λ elimination kicks in automatically above this multiplier
+# count (below it the replicated elimination is cheaper than the extra
+# plumbing; above it per-device O(B) memory/work caps scaling)
+_DIST_LAMBDA_THRESHOLD = 4096
+
 
 def make_device_mesh(devices=None, axis_name: str = "edges") -> Mesh:
     """1D device mesh over which the edge axis is partitioned."""
@@ -84,6 +89,56 @@ def _pad_edge_data(ed: _EdgeData, n_pad: int) -> _EdgeData:
         end_pbc=cat(ed.end_pbc, jnp.zeros(n_pad, dt)),
         interior=interior,
     )
+
+
+def _distributed_tree_pipeline(mesh: Mesh, axis: str, plan, k: int, N: int):
+    """shard_map pipeline with the λ elimination itself distributed: local
+    subtree elimination per device + one psum of the tiny replicated top
+    system (see :mod:`.distributed_tree`)."""
+    from .distributed_tree import local_eliminate
+
+    B_loc = plan.B_loc
+
+    def local_solve(ed: _EdgeData, rows: dict):
+        lam_all = local_eliminate(plan, rows, ed, axis)
+        q_edge, p_cells = _backsub_from_lambda(ed, lam_all, k, N)
+        return q_edge, p_cells, lam_all[:B_loc], lam_all[B_loc:]
+
+    spec_e = P(axis)
+    in_specs = (
+        _EdgeData(
+            mt=spec_e,
+            cumF=spec_e,
+            W=spec_e,
+            g=spec_e,
+            start_bif=spec_e,
+            end_bif=spec_e,
+            start_pbc=spec_e,
+            end_pbc=spec_e,
+            interior=(spec_e,) if k > 1 else (),
+        ),
+        {f: spec_e for f in _dist_row_fields()},
+    )
+    out_specs = (spec_e, spec_e, spec_e, P())  # λ_T replicated
+    # λ_T is replicated by construction (psum-reduced inputs + identical
+    # dense solve on every device); the static vma checker cannot see
+    # through the scatter/cholesky chain, so the check is disabled and
+    # replication is instead pinned numerically by tests/test_sharding.py
+    # (sharded == serial at 1e-10).
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _dist_row_fields():
+    from .distributed_tree import ROW_FIELDS
+
+    return ROW_FIELDS
 
 
 def _sharded_schur_pipeline(
@@ -234,6 +289,7 @@ class ShardedNetworkSolver:
         self._edge_data: _EdgeData | None = None
         self._pipeline = None
         self._tree_plan = None
+        self._dist_plan = None
         self._info: SolveInfo | None = None
 
     @property
@@ -261,6 +317,26 @@ class ShardedNetworkSolver:
             self.assemble()
         D = int(np.prod([self._mesh.shape[a] for a in self._mesh.axis_names]))
         E = net.num_edges
+
+        # --- distributed λ elimination (multiplier axis sharded too)
+        if self._dist_plan is None and self._schur_method in ("auto", "tree_dist"):
+            B = net.num_multipliers
+            forced = self._schur_method == "tree_dist"
+            want = forced or (B > _DIST_LAMBDA_THRESHOLD and D > 1)
+            if want and B > 0:
+                tree_plan = _plan_tree_elimination(asm)
+                from .distributed_tree import plan_distributed_tree
+
+                self._dist_plan = plan_distributed_tree(asm, tree_plan, D)
+                if self._dist_plan is None and self._schur_method == "tree_dist":
+                    raise ValueError(
+                        "tree_dist requires a forest bifurcation graph with "
+                        "a bounded top tree (chain-like or cyclic networks "
+                        "fall back to schur_method='auto')"
+                    )
+        if self._dist_plan is not None:
+            return self._solve_distributed(functions)
+
         n_pad = (-E) % D
         ed = _pad_edge_data(self._edge_data, n_pad)
         ed = jax.device_put(ed, self._edge_sharding(ed))
@@ -278,7 +354,7 @@ class ShardedNetworkSolver:
                 net.num_multipliers,
                 asm.flux_degree,
                 net.N,
-                self._schur_method,
+                self._schur_method if self._schur_method != "tree_dist" else "auto",
                 tree_plan=tree_plan,
                 level_plan=level_plan,
             )
@@ -293,8 +369,70 @@ class ShardedNetworkSolver:
         p_cells = np.asarray(p_cells)[:E]
         lam = np.asarray(lam)
         self._info = SolveInfo("schur_sharded", 0, 0.0, True)
+        return self._scatter_solution(q_edge, p_cells, lam, functions)
 
-        # scatter into block functions
+    def _solve_distributed(
+        self, functions: list[NetworkFunction] | None
+    ) -> list[NetworkFunction]:
+        """Distributed-λ path: edges re-partitioned to follow the subtree
+        node partition; per-device local elimination + psum'd top system."""
+        from .distributed_tree import plan_rows
+
+        asm = self._assembler
+        net = asm.network
+        plan = self._dist_plan
+        E = net.num_edges
+        k, N = asm.flux_degree, net.N
+
+        # one inert pad edge at index E backs every padding slot
+        ed = _pad_edge_data(self._edge_data, 1)
+        perm = plan.edge_perm.reshape(-1)
+
+        def take(a):
+            return jnp.asarray(np.asarray(a)[perm])
+
+        interior = ed.interior
+        if interior:
+            (Minv_IE,) = interior
+            per_edge = np.asarray(Minv_IE).reshape(E + 1, N, *Minv_IE.shape[1:])
+            interior = (jnp.asarray(per_edge[perm].reshape(perm.size * N, *Minv_IE.shape[1:])),)
+        ed = _EdgeData(
+            mt=take(ed.mt),
+            cumF=take(ed.cumF),
+            W=take(ed.W),
+            g=take(ed.g),
+            start_bif=jnp.asarray(plan.e_start_loc.reshape(-1)),
+            end_bif=jnp.asarray(plan.e_end_loc.reshape(-1)),
+            start_pbc=take(ed.start_pbc),
+            end_pbc=take(ed.end_pbc),
+            interior=interior,
+        )
+        sharding = NamedSharding(self._mesh, P(self._axis))
+        ed = jax.device_put(ed, self._edge_sharding(ed))
+        rows = jax.device_put(plan_rows(plan), {f: sharding for f in plan_rows(plan)})
+
+        if self._pipeline is None:
+            self._pipeline = _distributed_tree_pipeline(
+                self._mesh, self._axis, plan, k, N
+            )
+        q_edge, p_cells, lam_loc, lam_T = self._pipeline(ed, rows)
+        inv = plan.edge_inv
+        q_edge = np.asarray(q_edge)[inv]
+        p_cells = np.asarray(p_cells)[inv]
+        lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)])
+        lam = lam_flat[plan.lam_src]
+        self._info = SolveInfo("schur_sharded_dist", 0, 0.0, True)
+        return self._scatter_solution(q_edge, p_cells, lam, functions)
+
+    def _scatter_solution(
+        self,
+        q_edge: np.ndarray,
+        p_cells: np.ndarray,
+        lam: np.ndarray,
+        functions: list[NetworkFunction] | None,
+    ) -> list[NetworkFunction]:
+        asm = self._assembler
+        net = asm.network
         if functions is None:
             functions = [
                 NetworkFunction(sp, name=f"flux_color_{i}")
