@@ -352,13 +352,13 @@ class HydraulicNetworkAssembler:
         f_q = self._f_quad_host()
         if f_q is None:
             self._cell_f_load = None
-            self._cell_f_int = np.zeros(C)
+            self._cell_f_int_cache = None  # lazy zeros(C): generic paths only
         else:
             psi = elements.tabulate(kp, xi) if kp > 0 else np.ones((nq, 1))
             self._cell_f_load = (
                 np.einsum("cq,q,qm->cm", f_q, w, psi) * mesh.cell_h[:, None]
             )
-            self._cell_f_int = np.einsum("cq,q->c", f_q, w) * mesh.cell_h
+            self._cell_f_int_cache = np.einsum("cq,q->c", f_q, w) * mesh.cell_h
 
         # Boundary pressure values at graph nodes (only boundary nodes used).
         if callable(p_bc_ex):
@@ -370,25 +370,11 @@ class HydraulicNetworkAssembler:
             node_pbc = np.full(mesh.num_graph_nodes, float(p_bc_ex))
         self._node_pbc = node_pbc
 
-        # RHS: L[i] = p_bc v ds(in) − p_bc v ds(out)   (assembly.py:258-260)
-        b = np.zeros(self._num_dofs, dtype=np.float64)
-        # (f-load contribution added below, after boundary terms)
-        end_dof = self._edge_flux_base + self._dofs_per_edge - 1
-        start_dof = self._edge_flux_base
-        bin_nodes = mesh.boundary_in_nodes
-        bout_nodes = mesh.boundary_out_nodes
-        # in-boundary node = terminus of its unique in-edge.
+        # The global RHS vector (O(dofs) to materialise) is only needed by
+        # the generic assembly paths — built lazily via the _b_host property
+        # so the fused schur pipeline never pays for it.
+        self._b_host_cache = None
         edges = mesh.edges
-        in_edge_of_node = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
-        in_edge_of_node[edges[:, 1]] = np.arange(mesh.num_edges)
-        out_edge_of_node = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
-        out_edge_of_node[edges[:, 0]] = np.arange(mesh.num_edges)
-        b[end_dof[in_edge_of_node[bin_nodes]]] += node_pbc[bin_nodes]
-        b[start_dof[out_edge_of_node[bout_nodes]]] -= node_pbc[bout_nodes]
-        # L[M] += ∫ f φ dx  (assembly.py:262)
-        if self._cell_f_load is not None:
-            np.add.at(b, self._cell_p_dofs.ravel(), self._cell_f_load.ravel())
-        self._b_host = b
 
         # Per-edge effective endpoint data for the Schur solver.
         self._edge_start_pbc = np.where(
@@ -397,6 +383,40 @@ class HydraulicNetworkAssembler:
         self._edge_end_pbc = np.where(self._edge_end_bif < 0, node_pbc[edges[:, 1]], 0.0)
 
         self._forms_computed = True
+
+    @property
+    def _b_host(self) -> np.ndarray:
+        """Global RHS vector (lazy; reference ``assembly.py:258-262``)."""
+        self._require_forms()
+        if self._b_host_cache is None:
+            mesh = self._network_mesh
+            node_pbc = self._node_pbc
+            b = np.zeros(self._num_dofs, dtype=np.float64)
+            end_dof = self._edge_flux_base + self._dofs_per_edge - 1
+            start_dof = self._edge_flux_base
+            bin_nodes = mesh.boundary_in_nodes
+            bout_nodes = mesh.boundary_out_nodes
+            # in-boundary node = terminus of its unique in-edge.
+            edges = mesh.edges
+            in_edge_of_node = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
+            in_edge_of_node[edges[:, 1]] = np.arange(mesh.num_edges)
+            out_edge_of_node = np.full(mesh.num_graph_nodes, -1, dtype=np.int64)
+            out_edge_of_node[edges[:, 0]] = np.arange(mesh.num_edges)
+            b[end_dof[in_edge_of_node[bin_nodes]]] += node_pbc[bin_nodes]
+            b[start_dof[out_edge_of_node[bout_nodes]]] -= node_pbc[bout_nodes]
+            # L[M] += ∫ f φ dx  (assembly.py:262)
+            if self._cell_f_load is not None:
+                np.add.at(b, self._cell_p_dofs.ravel(), self._cell_f_load.ravel())
+            self._b_host_cache = b
+        return self._b_host_cache
+
+    @property
+    def _cell_f_int(self) -> np.ndarray:
+        """Per-cell source integrals (lazy zeros for f == 0)."""
+        self._require_forms()
+        if self._cell_f_int_cache is None:
+            self._cell_f_int_cache = np.zeros(self._network_mesh.num_cells)
+        return self._cell_f_int_cache
 
     # ------------------------------------------------------------- assemble
     @timed("nxfx:HydraulicNetworkAssembler:assemble")

@@ -59,26 +59,29 @@ class DistTreePlan(typing.NamedTuple):
     e_start_loc: np.ndarray  # (D, E_loc) remapped start_bif: local pos,
     #     B_loc + t for T nodes, -1 for boundary/pad
     e_end_loc: np.ndarray  # (D, E_loc)
-    # --- local diag/rhs assembly (sorted segment sums, trash slot last)
+    # --- local diag/rhs assembly (gather-fold reductions)
     t_sel: np.ndarray  # (D, S_t) local edge index of end-bif contributions
-    t_seg: np.ndarray  # (D, S_t) sorted local node position (B_loc = trash)
+    t_fold: np.ndarray  # (D, B_loc, K) gather-fold into the sel stream
     t_mask: np.ndarray  # (D, S_t) 1.0 valid / 0.0 pad
     s_sel: np.ndarray  # (D, S_s) start-bif contributions
-    s_seg: np.ndarray
+    s_fold: np.ndarray
     s_mask: np.ndarray
-    w_sel: np.ndarray  # (D, S_w) pair edges, seg = child node position
-    w_seg: np.ndarray
+    w_sel: np.ndarray  # (D, S_w) pair edges, folded onto the child node
+    w_fold: np.ndarray
     w_mask: np.ndarray
     # --- direct-to-T contributions (edges touching T nodes)
     tT_sel: np.ndarray  # (D, S_T) end-bif in T
-    tT_seg: np.ndarray  # sorted T index (Tn = trash)
+    tT_fold: np.ndarray  # (D, Tn, K)
     tT_mask: np.ndarray
     sT_sel: np.ndarray  # (D, S_T2) start-bif in T
-    sT_seg: np.ndarray
+    sT_fold: np.ndarray
     sT_mask: np.ndarray
-    wT_sel: np.ndarray  # (D, S_WT) T-T pair edges, seg = child T index
-    wT_seg: np.ndarray
+    wT_sel: np.ndarray  # (D, S_WT) T-T pair edges, child T index
+    wT_fold: np.ndarray
     wT_mask: np.ndarray
+    # --- per-level child->parent fold (tuple over levels 1..L-1, each
+    #     (D, npar, K) indices into the level's child slice; n = pad)
+    level_folds: tuple
     # --- local elimination structure
     parent_pos: np.ndarray  # (D, B_loc) local parent position (self-pos for
     #     level-0 / pads; unused there)
@@ -242,6 +245,29 @@ def plan_distributed_tree(
                 # whole level is padding on this device: any valid slot
                 parent_pos[k, off : off + int(lvl_w[lev])] = int(level_offsets[lev - 1])
 
+    # per-level child->parent gather folds (pads excluded: folds PULL only
+    # real children, so padding slots are simply never read)
+    level_folds = []
+    for lev in range(1, L):
+        o, op = int(level_offsets[lev]), int(level_offsets[lev - 1])
+        n, npar = int(lvl_w[lev]), int(lvl_w[lev - 1])
+        counts = np.zeros((D, npar), np.int64)
+        segs_k = []
+        for k in range(D):
+            real = np.flatnonzero((depth_local == lev) & (node_dev == k))
+            seg = np.sort(parent_pos[k, o : o + real.size] - op)
+            segs_k.append(seg)
+            if real.size:
+                counts[k] = np.bincount(seg, minlength=npar)
+        K = max(1, int(counts.max()))
+        fold = np.full((D, npar, K), n, np.int64)  # n = zero-pad slot
+        for k in range(D):
+            offs_ = np.concatenate([[0], np.cumsum(counts[k])])
+            idx = offs_[:-1, None] + np.arange(K)[None, :]
+            valid = np.arange(K)[None, :] < counts[k][:, None]
+            fold[k] = np.where(valid, idx, n)
+        level_folds.append(fold)
+
     W0 = int(lvl_w[0])
     root_T_idx = np.full((D, W0), Tn, np.int64)
     for k in range(D):
@@ -251,8 +277,12 @@ def plan_distributed_tree(
         root_T_idx[k, pos_local[roots_k]] = np.where(pp >= 0, tidx[np.where(pp >= 0, pp, 0)], Tn)
 
     # --- sorted segment-sum plans -------------------------------------
-    def seg_plan(edge_ids: np.ndarray, targets: np.ndarray, n_seg_trash: int):
-        """Per-device (sel into local edges, sorted seg, mask) stacks."""
+    def seg_plan(edge_ids: np.ndarray, targets: np.ndarray, width: int):
+        """Per-device (sel into local edges, mask, gather-fold idx) stacks.
+
+        The reduction is expressed as a PULL (each target gathers its
+        boundedly-many contributions) because TPU scatter-adds serialize
+        while gathers vectorize; pad slots point past the valid stream."""
         sels, segs = [], []
         for k in range(D):
             mine = edge_dev[edge_ids] == k
@@ -264,34 +294,44 @@ def plan_distributed_tree(
         S = max((len(s) for s in sels), default=0)
         S = max(S, 1)
         sel = np.zeros((D, S), np.int64)
-        seg = np.full((D, S), n_seg_trash, np.int64)
         mask = np.zeros((D, S))
+        if width == 0:  # e.g. no top tree (Tn = 0)
+            return sel, np.zeros((D, 0, 1), np.int64), mask  # (sel, fold, mask)
+        counts = np.zeros((D, width), np.int64)
         for k in range(D):
             n = len(sels[k])
             sel[k, :n] = sels[k]
-            seg[k, :n] = segs[k]
             mask[k, :n] = 1.0
-        return sel, seg, mask
+            if n:
+                counts[k] = np.bincount(segs[k], minlength=width)
+        K = max(1, int(counts.max()))
+        fold = np.full((D, width, K), S, np.int64)  # S = zero-pad slot
+        for k in range(D):
+            offs_ = np.concatenate([[0], np.cumsum(counts[k])])
+            idx = offs_[:-1, None] + np.arange(K)[None, :]
+            valid = np.arange(K)[None, :] < counts[k][:, None]
+            fold[k] = np.where(valid, idx, S)
+        return sel, fold, mask
 
     # end-bif contributions (w to diag, const+Ftot to rhs)
     t_edges = np.flatnonzero(t_bif >= 0)
     t_local = t_edges[~inT[t_bif[t_edges]]]
     t_inT = t_edges[inT[t_bif[t_edges]]]
-    t_sel, t_seg, t_mask = seg_plan(t_local, pos_local[t_bif[t_local]], B_loc)
-    tT_sel, tT_seg, tT_mask = seg_plan(t_inT, tidx[t_bif[t_inT]], Tn)
+    t_sel, t_fold, t_mask = seg_plan(t_local, pos_local[t_bif[t_local]], B_loc)
+    tT_sel, tT_fold, tT_mask = seg_plan(t_inT, tidx[t_bif[t_inT]], Tn)
     # start-bif contributions
     s_edges = np.flatnonzero(s_bif >= 0)
     s_local = s_edges[~inT[s_bif[s_edges]]]
     s_inT = s_edges[inT[s_bif[s_edges]]]
-    s_sel, s_seg, s_mask = seg_plan(s_local, pos_local[s_bif[s_local]], B_loc)
-    sT_sel, sT_seg, sT_mask = seg_plan(s_inT, tidx[s_bif[s_inT]], Tn)
+    s_sel, s_fold, s_mask = seg_plan(s_local, pos_local[s_bif[s_local]], B_loc)
+    sT_sel, sT_fold, sT_mask = seg_plan(s_inT, tidx[s_bif[s_inT]], Tn)
     # pair conductances: child side decides the segment
     pair_edges = np.flatnonzero(both)
     pc = child_bif[pair_edges]
     pw_local = pair_edges[~inT[pc]]
     pw_T = pair_edges[inT[pc]]
-    w_sel, w_seg, w_mask = seg_plan(pw_local, pos_local[child_bif[pw_local]], B_loc)
-    wT_sel, wT_seg, wT_mask = seg_plan(pw_T, tidx[child_bif[pw_T]], Tn)
+    w_sel, w_fold, w_mask = seg_plan(pw_local, pos_local[child_bif[pw_local]], B_loc)
+    wT_sel, wT_fold, wT_mask = seg_plan(pw_T, tidx[child_bif[pw_T]], Tn)
 
     # --- per-edge remapped bif indices (into [local B_loc | T Tn | -1])
     def remap(bifs: np.ndarray) -> np.ndarray:
@@ -320,12 +360,13 @@ def plan_distributed_tree(
         edge_perm=edge_perm,
         e_start_loc=e_start_loc,
         e_end_loc=e_end_loc,
-        t_sel=t_sel, t_seg=t_seg, t_mask=t_mask,
-        s_sel=s_sel, s_seg=s_seg, s_mask=s_mask,
-        w_sel=w_sel, w_seg=w_seg, w_mask=w_mask,
-        tT_sel=tT_sel, tT_seg=tT_seg, tT_mask=tT_mask,
-        sT_sel=sT_sel, sT_seg=sT_seg, sT_mask=sT_mask,
-        wT_sel=wT_sel, wT_seg=wT_seg, wT_mask=wT_mask,
+        t_sel=t_sel, t_fold=t_fold, t_mask=t_mask,
+        s_sel=s_sel, s_fold=s_fold, s_mask=s_mask,
+        w_sel=w_sel, w_fold=w_fold, w_mask=w_mask,
+        tT_sel=tT_sel, tT_fold=tT_fold, tT_mask=tT_mask,
+        sT_sel=sT_sel, sT_fold=sT_fold, sT_mask=sT_mask,
+        wT_sel=wT_sel, wT_fold=wT_fold, wT_mask=wT_mask,
+        level_folds=tuple(level_folds),
         parent_pos=parent_pos,
         root_T_idx=root_T_idx,
         T_parent=T_parent,
@@ -337,22 +378,19 @@ def plan_distributed_tree(
 # plan fields with a leading device axis, shipped as sharded shard_map
 # operands (everything else is baked into the traced program as constants)
 ROW_FIELDS = (
-    "t_sel", "t_seg", "t_mask", "s_sel", "s_seg", "s_mask",
-    "w_sel", "w_seg", "w_mask", "tT_sel", "tT_seg", "tT_mask",
-    "sT_sel", "sT_seg", "sT_mask", "wT_sel", "wT_seg", "wT_mask",
+    "t_sel", "t_fold", "t_mask", "s_sel", "s_fold", "s_mask",
+    "w_sel", "w_fold", "w_mask", "tT_sel", "tT_fold", "tT_mask",
+    "sT_sel", "sT_fold", "sT_mask", "wT_sel", "wT_fold", "wT_mask",
     "parent_pos", "root_T_idx",
 )
 
 
 def plan_rows(plan: DistTreePlan) -> dict:
     """The per-device plan arrays as a dict pytree for shard_map."""
-    return {f: jnp.asarray(getattr(plan, f)) for f in ROW_FIELDS}
-
-
-def _segsum_sorted(vals, seg, num_segments):
-    return jax.ops.segment_sum(
-        vals, seg, num_segments=num_segments, indices_are_sorted=True
-    )
+    rows = {f: jnp.asarray(getattr(plan, f)) for f in ROW_FIELDS}
+    for i, fold in enumerate(plan.level_folds):
+        rows[f"lvlfold_{i}"] = jnp.asarray(fold)
+    return rows
 
 
 def local_eliminate(plan: DistTreePlan, rows: dict, ed, axis: str):
@@ -378,23 +416,24 @@ def local_eliminate(plan: DistTreePlan, rows: dict, ed, axis: str):
     const = (-ed.start_pbc * (~s_is_bif) + ed.end_pbc * (~t_is_bif) - ed.g) / ed.W
     Ftot = ed.cumF[:, -1]
 
-    def reduce_local(vals, sel, seg, mask, width):
-        picked = vals[row(sel)] * row(mask)
-        return _segsum_sorted(picked, row(seg), width + 1)[:width]
+    def reduce_local(vals, name):
+        # pull-style reduction: each target gathers its contributions
+        # through the host-built fold (TPU scatters serialize, gathers
+        # vectorize); the fold's pad entries point at the appended zero.
+        picked = vals[row(rows[f"{name}_sel"])] * row(rows[f"{name}_mask"])
+        vp = jnp.concatenate([picked, jnp.zeros(1, dtype=picked.dtype)])
+        fold = rows[f"{name}_fold"]
+        return jnp.sum(vp[fold.reshape(fold.shape[-2], fold.shape[-1])], axis=1)
 
-    d = reduce_local(w_edges, rows["t_sel"], rows["t_seg"], rows["t_mask"], B_loc)
-    d = d + reduce_local(w_edges, rows["s_sel"], rows["s_seg"], rows["s_mask"], B_loc)
-    r = reduce_local(const + Ftot, rows["t_sel"], rows["t_seg"], rows["t_mask"], B_loc)
-    r = r + reduce_local(-const, rows["s_sel"], rows["s_seg"], rows["s_mask"], B_loc)
-    w_node = reduce_local(w_edges, rows["w_sel"], rows["w_seg"], rows["w_mask"], B_loc)
+    d = reduce_local(w_edges, "t") + reduce_local(w_edges, "s")
+    r = reduce_local(const + Ftot, "t") + reduce_local(-const, "s")
+    w_node = reduce_local(w_edges, "w")
     # padded slots: inert (d=1 so divisions are safe, w=0, r=0)
     d = jnp.where(d == 0.0, 1.0, d)
 
-    dT_part = reduce_local(w_edges, rows["tT_sel"], rows["tT_seg"], rows["tT_mask"], Tn)
-    dT_part = dT_part + reduce_local(w_edges, rows["sT_sel"], rows["sT_seg"], rows["sT_mask"], Tn)
-    rT_part = reduce_local(const + Ftot, rows["tT_sel"], rows["tT_seg"], rows["tT_mask"], Tn)
-    rT_part = rT_part + reduce_local(-const, rows["sT_sel"], rows["sT_seg"], rows["sT_mask"], Tn)
-    wT_part = reduce_local(w_edges, rows["wT_sel"], rows["wT_seg"], rows["wT_mask"], Tn)
+    dT_part = reduce_local(w_edges, "tT") + reduce_local(w_edges, "sT")
+    rT_part = reduce_local(const + Ftot, "tT") + reduce_local(-const, "sT")
+    wT_part = reduce_local(w_edges, "wT")
 
     par = row(rows["parent_pos"])
 
@@ -407,10 +446,12 @@ def local_eliminate(plan: DistTreePlan, rows: dict, ed, axis: str):
         db = jax.lax.dynamic_slice(d, (o,), (n,))
         rb = jax.lax.dynamic_slice(r, (o,), (n,))
         wb = jax.lax.dynamic_slice(w_node, (o,), (n,))
-        seg = jax.lax.dynamic_slice(par, (o,), (n,)) - op  # sorted by layout
+        fold = rows[f"lvlfold_{lev - 1}"]
+        fold = fold.reshape(fold.shape[-2], fold.shape[-1])  # (npar, K)
         factor = wb / db
-        d_upd = _segsum_sorted(-wb * factor, seg, npar)
-        r_upd = _segsum_sorted(factor * rb, seg, npar)
+        zero = jnp.zeros(1, dtype=dt)
+        d_upd = jnp.sum(jnp.concatenate([-wb * factor, zero])[fold], axis=1)
+        r_upd = jnp.sum(jnp.concatenate([factor * rb, zero])[fold], axis=1)
         d = jax.lax.dynamic_update_slice(
             d, jax.lax.dynamic_slice(d, (op,), (npar,)) + d_upd, (op,)
         )

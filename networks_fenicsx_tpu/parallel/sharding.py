@@ -95,7 +95,7 @@ def _distributed_tree_pipeline(mesh: Mesh, axis: str, plan, k: int, N: int):
     """shard_map pipeline with the λ elimination itself distributed: local
     subtree elimination per device + one psum of the tiny replicated top
     system (see :mod:`.distributed_tree`)."""
-    from .distributed_tree import local_eliminate
+    from .distributed_tree import local_eliminate, plan_rows
 
     B_loc = plan.B_loc
 
@@ -117,7 +117,7 @@ def _distributed_tree_pipeline(mesh: Mesh, axis: str, plan, k: int, N: int):
             end_pbc=spec_e,
             interior=(spec_e,) if k > 1 else (),
         ),
-        {f: spec_e for f in _dist_row_fields()},
+        {key: spec_e for key in plan_rows(plan)},
     )
     out_specs = (spec_e, spec_e, spec_e, P())  # λ_T replicated
     # λ_T is replicated by construction (psum-reduced inputs + identical
@@ -133,12 +133,6 @@ def _distributed_tree_pipeline(mesh: Mesh, axis: str, plan, k: int, N: int):
         check_vma=False,
     )
     return jax.jit(fn)
-
-
-def _dist_row_fields():
-    from .distributed_tree import ROW_FIELDS
-
-    return ROW_FIELDS
 
 
 def _sharded_schur_pipeline(

@@ -264,6 +264,55 @@ class _EdgeData(typing.NamedTuple):
     end_pbc: jnp.ndarray  # (E,) +p_bc contribution at target boundary
     interior: tuple  # () or (Minv_IE (C,k-1,2),) interior recovery data
     rh: jnp.ndarray | None = None  # (E, N) cell scalars for the P1 layout
+    # uniform-coefficient layout (P1 + per-edge-constant R and f): all
+    # per-cell arrays collapse to closed forms of these two (E,) vectors
+    ua: jnp.ndarray | None = None  # a_e = R_e h_e
+    uF: jnp.ndarray | None = None  # F_e = f_e h_e (per-cell source integral)
+
+
+def _make_edge_data_uniform(
+    asm: _assembly.HydraulicNetworkAssembler,
+    R_data: jnp.ndarray,
+    f_data: jnp.ndarray,
+    start_pbc: jnp.ndarray,
+    end_pbc: jnp.ndarray,
+    R_mode: str,
+    f_mode: str,
+) -> _EdgeData:
+    """Uniform-coefficient layout: P1 flux with R and f constant per edge
+    (the BASELINE benchmark configuration — per-edge Poiseuille resistance).
+
+    Subdivision is uniform (h_c = L_e/N), so every per-cell quantity has a
+    closed form in the two (E,) vectors a_e = R_e h_e and F_e = f_e h_e:
+    W = a N, cumF_j = F j, g = 1ᵀM·cumF = a F N²/2.  No (C,)-sized array is
+    ever materialised on the hot path — the condensation cost drops from
+    O(cells) to O(edges) and the only O(dofs) work left is writing the
+    solution itself (see ``_backsub_from_lambda``)."""
+    mesh = asm.network
+    N, E = mesh.N, mesh.num_edges
+    dt = R_data.dtype
+    h_e = jnp.asarray(mesh.edge_length, dtype=dt) / N
+    R_e = R_data[0] * jnp.ones(E, dt) if R_mode == "scalar" else R_data
+    f_e = f_data[0] * jnp.ones(E, dt) if f_mode == "scalar" else f_data
+    a = R_e * h_e
+    F = f_e * h_e
+    W = a * N
+    Ftot = F * N
+    g = a * F * (N * N / 2.0)
+    return _EdgeData(
+        mt=None,
+        cumF=Ftot[:, None],  # only column -1 (= Ftot) is ever read
+        W=W,
+        g=g,
+        start_bif=jnp.asarray(asm._edge_start_bif),
+        end_bif=jnp.asarray(asm._edge_end_bif),
+        start_pbc=start_pbc,
+        end_pbc=end_pbc,
+        interior=(),
+        rh=None,
+        ua=a,
+        uF=F,
+    )
 
 
 def _make_edge_data_scalar(
@@ -730,19 +779,46 @@ def _plan_level_elimination(
     )
 
 
-def _segsum_sorted(vals: jnp.ndarray, seg_sorted: np.ndarray, num_segments: int):
+def _segsum_sorted(
+    vals: jnp.ndarray,
+    seg_sorted: np.ndarray,
+    num_segments: int,
+    max_fold_width: int = 32,
+):
     """Sorted-segment sum with static (host-known) segment ids.
 
-    Note: a cumsum+boundary-difference formulation is faster on TPU but
+    Lowering note: ``jax.ops.segment_sum`` becomes an XLA scatter-add,
+    which SERIALIZES on TPU (~50ns/row — 3-5 ms per reduction at benchmark
+    sizes, measured).  Since the segment ids are host-static and network
+    segments are tiny (a bifurcation has a handful of incident edges, a
+    tree parent a couple of children), the reduction is instead folded
+    through a host-precomputed ``(num_segments, K)`` gather matrix —
+    gathers vectorize on TPU.  Exact f64 (only the within-segment addition
+    order changes).  Falls back to segment_sum for pathological K (a hub
+    node with thousands of incident edges).
+
+    A cumsum+boundary-difference formulation would also vectorize but
     loses ~eps * (prefix magnitude / segment magnitude) of relative
     accuracy — with the 4-orders-of-magnitude conductance spread of deep
-    arterial trees that breached the 1e-8 solution contract, so the exact
-    segment reduction is used.
+    arterial trees that breached the 1e-8 solution contract, so exact
+    per-segment reductions are required.
     """
     if vals.shape[0] == 0:
         return jnp.zeros(num_segments, dtype=vals.dtype)
+    seg_np = np.asarray(seg_sorted)
+    if num_segments > 0:
+        counts = np.bincount(seg_np, minlength=num_segments)
+        K = int(counts.max())
+        if 0 < K <= max_fold_width:
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            n = seg_np.shape[0]
+            idx = offsets[:-1, None] + np.arange(K)[None, :]
+            valid = np.arange(K)[None, :] < counts[:, None]
+            idx = np.where(valid, idx, n)  # pad slot
+            vp = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])
+            return jnp.sum(vp[jnp.asarray(idx)], axis=1)
     return jax.ops.segment_sum(
-        vals, jnp.asarray(seg_sorted), num_segments=num_segments,
+        vals, jnp.asarray(seg_np), num_segments=num_segments,
         indices_are_sorted=True,
     )
 
@@ -1000,54 +1076,8 @@ def build_schur_executor(
     # expect ~1e-5 relative accuracy instead of the f64 contract).
     comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
 
-    def core(arg0, arg1, start_pbc, end_pbc):
-        arg0 = jnp.asarray(arg0, dtype=comp_dt)
-        arg1 = jnp.asarray(arg1, dtype=comp_dt)
-        start_pbc = jnp.asarray(start_pbc, dtype=comp_dt)
-        end_pbc = jnp.asarray(end_pbc, dtype=comp_dt)
-        if inputs == "coefficients":
-            # On-device coefficient expansion: host→device traffic scales
-            # with the compact representation (a scalar, per-edge or
-            # per-cell array), not the quadrature grid.
-            w = jnp.asarray(asm._quad_weights, dtype=comp_dt)
-            phi = jnp.asarray(asm._quad_phi, dtype=comp_dt)
-            h = jnp.asarray(mesh.cell_h, dtype=comp_dt)
-            cell_scale = None
-            if R_mode == "quad":
-                cell_mass = (
-                    jnp.einsum("cq,q,qi,qj->cij", arg0, w, phi, phi)
-                    * h[:, None, None]
-                )
-            else:
-                if R_mode == "scalar":
-                    R_cells = arg0[0] * jnp.ones_like(h)
-                elif R_mode == "edge":
-                    R_cells = arg0[jnp.asarray(mesh.cell_edge)]
-                else:  # "cell"
-                    R_cells = arg0
-                cell_scale = R_cells * h
-                if asm.flux_degree > 1:
-                    Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree), dtype=comp_dt)
-                    cell_mass = cell_scale[:, None, None] * Mhat[None]
-            if f_mode == "quad":
-                cell_f_int = jnp.einsum("cq,q->c", arg1, w) * h
-            elif f_mode == "scalar":
-                cell_f_int = arg1[0] * h
-            elif f_mode == "edge":
-                cell_f_int = arg1[jnp.asarray(mesh.cell_edge)] * h
-            else:  # "cell"
-                cell_f_int = arg1 * h
-            if cell_scale is not None and asm.flux_degree == 1:
-                # P1 + cellwise-constant R: scalar layout, no (C,2,2) tensor
-                ed = _make_edge_data_scalar(
-                    asm, cell_scale, cell_f_int, start_pbc, end_pbc, f_is_zero
-                )
-            else:
-                ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
-        else:
-            cell_mass = jnp.asarray(arg0, dtype=comp_dt)
-            cell_f_int = jnp.asarray(arg1, dtype=comp_dt)
-            ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
+    def _finish(ed):
+        """λ solve + back-substitution given condensed edge data."""
         if B > 0 and schur_method == "tree":
             # Direct elimination — no residual matvec; correctness is
             # guarded by the core pivot check and the finiteness flag.
@@ -1121,6 +1151,67 @@ def build_schur_executor(
         finite = jnp.all(jnp.isfinite(x))
         return x, iters, residual, rhs_norm, finite
 
+    def core(arg0, arg1, start_pbc, end_pbc):
+        arg0 = jnp.asarray(arg0, dtype=comp_dt)
+        arg1 = jnp.asarray(arg1, dtype=comp_dt)
+        start_pbc = jnp.asarray(start_pbc, dtype=comp_dt)
+        end_pbc = jnp.asarray(end_pbc, dtype=comp_dt)
+        if inputs == "coefficients":
+            # On-device coefficient expansion: host→device traffic scales
+            # with the compact representation (a scalar, per-edge or
+            # per-cell array), not the quadrature grid.
+            if (
+                asm.flux_degree == 1
+                and R_mode in ("scalar", "edge")
+                and f_mode in ("scalar", "edge")
+            ):
+                # Uniform-coefficient fast path: never touch (C,)-sized
+                # arrays during condensation (closed forms per edge).
+                ed = _make_edge_data_uniform(
+                    asm, arg0, arg1, start_pbc, end_pbc, R_mode, f_mode
+                )
+                return _finish(ed)
+            w = jnp.asarray(asm._quad_weights, dtype=comp_dt)
+            phi = jnp.asarray(asm._quad_phi, dtype=comp_dt)
+            h = jnp.asarray(mesh.cell_h, dtype=comp_dt)
+            cell_scale = None
+            if R_mode == "quad":
+                cell_mass = (
+                    jnp.einsum("cq,q,qi,qj->cij", arg0, w, phi, phi)
+                    * h[:, None, None]
+                )
+            else:
+                if R_mode == "scalar":
+                    R_cells = arg0[0] * jnp.ones_like(h)
+                elif R_mode == "edge":
+                    R_cells = arg0[jnp.asarray(mesh.cell_edge)]
+                else:  # "cell"
+                    R_cells = arg0
+                cell_scale = R_cells * h
+                if asm.flux_degree > 1:
+                    Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree), dtype=comp_dt)
+                    cell_mass = cell_scale[:, None, None] * Mhat[None]
+            if f_mode == "quad":
+                cell_f_int = jnp.einsum("cq,q->c", arg1, w) * h
+            elif f_mode == "scalar":
+                cell_f_int = arg1[0] * h
+            elif f_mode == "edge":
+                cell_f_int = arg1[jnp.asarray(mesh.cell_edge)] * h
+            else:  # "cell"
+                cell_f_int = arg1 * h
+            if cell_scale is not None and asm.flux_degree == 1:
+                # P1 + cellwise-constant R: scalar layout, no (C,2,2) tensor
+                ed = _make_edge_data_scalar(
+                    asm, cell_scale, cell_f_int, start_pbc, end_pbc, f_is_zero
+                )
+            else:
+                ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
+        else:
+            cell_mass = jnp.asarray(arg0, dtype=comp_dt)
+            cell_f_int = jnp.asarray(arg1, dtype=comp_dt)
+            ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
+        return _finish(ed)
+
     return jax.jit(core) if jit else core
 
 
@@ -1162,6 +1253,22 @@ def _backsub_from_lambda(
     rN = jnp.where(t_is_bif, -lam_pad[ed.end_bif], ed.end_pbc)
 
     q0 = (r0 + rN - ed.g) / ed.W
+
+    if ed.ua is not None:
+        # Uniform-coefficient closed forms (see _make_edge_data_uniform):
+        # q_j = q0 + F j and the pressure prefix sums are quadratic in the
+        # cell index — pure broadcast-over-iota, no cumsum, no (C,) input.
+        dt = ed.W.dtype
+        a, F = ed.ua, ed.uF
+        j = jnp.arange(N + 1, dtype=dt)
+        q_edge = q0[:, None] + F[:, None] * j[None, :]
+        c = jnp.arange(N, dtype=dt)
+        p_cells = r0[:, None] - a[:, None] * (
+            q0[:, None] * (c + 0.5)[None, :]
+            + F[:, None] * (c * c / 2.0 + (3.0 * c + 1.0) / 6.0)[None, :]
+        )
+        return q_edge, p_cells
+
     q_chain = q0[:, None] + ed.cumF  # (E, N+1)
 
     # chain momentum values m_i and pressure back-substitution.

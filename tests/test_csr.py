@@ -1,5 +1,5 @@
 """CSR assembly write path: pattern planning, duplicate folding (gather /
-segment / pallas-interpret), CSRMatrix algebra."""
+segment), CSRMatrix algebra."""
 
 import numpy as np
 import pytest
@@ -41,21 +41,14 @@ def test_fold_exact(method):
     np.testing.assert_allclose(np.asarray(data), S.data, atol=1e-13)
 
 
-def test_pallas_kernel_interpret():
-    """The Mosaic kernel (f32) in interpreter mode — the CI stand-in for the
-    compiled TPU path."""
-    import scipy.sparse as sp
-
+def test_pallas_method_removed():
+    """Round-2 decision (VERDICT item 8): the f32 Mosaic fold kernel was
+    removed — it could never be validated compiled on the benchmark TPU —
+    and requesting it must fail loudly, not silently fall back."""
     rows, cols, vals, n = _random_coo(n=150, nraw=3000)
     pat = pa.build_csr_pattern(rows, cols, (n, n))
-    S = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
-    S.sum_duplicates()
-    data = pa.make_csr_assembler(pat, method="pallas", interpret=True, block=128)(
-        jnp.asarray(vals)
-    )
-    np.testing.assert_allclose(
-        np.asarray(data), S.data.astype(np.float32), atol=1e-4, rtol=1e-4
-    )
+    with pytest.raises(ValueError, match="removed"):
+        pa.make_csr_assembler(pat, method="pallas")
 
 
 def test_assembler_csr_kind():
