@@ -9,7 +9,10 @@
 #   BuildMesh / BuildSubMeshes / CreateLMSubmesh — same named registry keys;
 #   ComputeIntegrationData — assembler construction (dof maps + sparsity);
 #   Compile — first execution of the jitted end-to-end Schur solve (XLA
-#       trace+compile replaces FFCx C-kernel JIT, cache cleared per size);
+#       trace+compile replaces FFCx C-kernel JIT; with
+#       NXFX_COMPILATION_CACHE set this loads the persistent executable
+#       cache instead — the cross-process cold-vs-warm study the reference
+#       runs on the FFCx cache lives in scripts/compile_cache_study.py);
 #   CompileCached — second dispatch of the already-compiled executable;
 #   Assemble — coefficient evaluation + per-edge condensation;
 #   Solve — jitted condensation→Laplacian→back-substitution execution.
