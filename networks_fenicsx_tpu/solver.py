@@ -467,10 +467,7 @@ def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
     Ftot = ed.cumF[:, -1]
 
     def reduce_side(vals, sel, bins, seg):
-        contrib = jax.ops.segment_sum(
-            vals[jnp.asarray(sel)], jnp.asarray(seg), num_segments=len(bins),
-            indices_are_sorted=True,
-        )
+        contrib = _segsum_sorted(vals[jnp.asarray(sel)], seg, len(bins))
         return jnp.asarray(bins), contrib
 
     out_diag = jnp.zeros(B, dtype=ed.W.dtype)
@@ -484,6 +481,38 @@ def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
         out_diag = out_diag.at[b_idx].add(dsum, indices_are_sorted=True, unique_indices=True)
         out_rhs = out_rhs.at[b_idx].add(rsum, indices_are_sorted=True, unique_indices=True)
     return out_diag, out_rhs
+
+
+def _build_matvec_plan(asm: _assembly.HydraulicNetworkAssembler):
+    """Host incidence plan for a scatter-free Laplacian matvec: the two
+    directed half-edges of every interior (bif-bif) edge, sorted by the
+    owning node so per-node neighbour sums reduce via the gather fold."""
+    s = np.asarray(asm._edge_start_bif)
+    t = np.asarray(asm._edge_end_bif)
+    e = np.flatnonzero((s >= 0) & (t >= 0))
+    own = np.concatenate([t[e], s[e]])
+    other = np.concatenate([s[e], t[e]])
+    edge = np.concatenate([e, e])
+    order = np.argsort(own, kind="stable")
+    return (
+        edge[order].astype(np.int32),
+        other[order].astype(np.int32),
+        own[order].astype(np.int32),
+    )
+
+
+def _matvec_from_plan(ed: _EdgeData, diag: jnp.ndarray, plan, B: int):
+    """λ ↦ L λ with the off-diagonal apply as gather + fold (no scatter)."""
+    edge_sel, other_sel, own_sorted = plan
+    w = 1.0 / ed.W
+    w_inc = w[jnp.asarray(edge_sel)]
+    other_dev = jnp.asarray(other_sel)
+
+    def matvec(lam):
+        contrib = -w_inc * lam[other_dev]
+        return diag * lam + _segsum_sorted(contrib, own_sorted, B)
+
+    return matvec
 
 
 def _schur_lambda_system(ed: _EdgeData, B: int):
@@ -923,10 +952,11 @@ def _tree_schur_solve(
     """
     P = plan.pair_nodes.shape[0]
     if P > 0:
-        pair_sel = jnp.asarray(np.flatnonzero(plan.edge_pair >= 0))
-        pair_ids_all = jnp.asarray(plan.edge_pair[plan.edge_pair >= 0])
-        w_pairs = jax.ops.segment_sum(
-            w_edges[pair_sel], pair_ids_all, num_segments=P
+        sel = np.flatnonzero(plan.edge_pair >= 0)
+        ids = plan.edge_pair[sel]
+        order = np.argsort(ids, kind="stable")
+        w_pairs = _segsum_sorted(
+            w_edges[jnp.asarray(sel[order])], ids[order], P
         )
     else:
         w_pairs = jnp.zeros(0, dtype=diag.dtype)
@@ -1057,10 +1087,16 @@ def build_schur_executor(
         else:
             schur_method = "dense" if B <= 4096 else "cg"
     level_plan = None
+    matvec_plan = None
     if schur_method == "tree" and B > 0:
         level_plan = _plan_level_elimination(asm, tree_plan)
         if level_plan is None:
             lam_plan = _build_lambda_plan(asm)
+    elif B > 0:
+        # dense / cg: assemble diag+rhs through the sorted host plan and run
+        # the matvec scatter-free (both fold through host gather matrices).
+        lam_plan = _build_lambda_plan(asm)
+        matvec_plan = _build_matvec_plan(asm)
 
     R_mode, f_mode, f_zero = (
         asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
@@ -1092,7 +1128,17 @@ def build_schur_executor(
             iters = jnp.zeros((), dtype=jnp.int32)
             residual = jnp.zeros(())
         elif B > 0:
-            matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
+            if matvec_plan is not None:
+                diag, rhs = _lambda_system_sorted(ed, B, lam_plan)
+                matvec = _matvec_from_plan(ed, diag, matvec_plan, B)
+                s_is_bif = ed.start_bif >= 0
+                t_is_bif = ed.end_bif >= 0
+                both = s_is_bif & t_is_bif
+                s_idx = jnp.where(s_is_bif, ed.start_bif, 0)
+                t_idx = jnp.where(t_is_bif, ed.end_bif, 0)
+                off_w = jnp.where(both, 1.0 / ed.W, 0.0)
+            else:  # pragma: no cover - kept for completeness
+                matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
             if schur_method in ("dense", "dense_f64"):
                 L = jnp.zeros((B, B), dtype=ed.W.dtype)
                 L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
