@@ -466,20 +466,19 @@ def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
     const = (-ed.start_pbc * (~s_is_bif) + ed.end_pbc * (~t_is_bif) - ed.g) / ed.W
     Ftot = ed.cumF[:, -1]
 
-    def reduce_side(vals, sel, bins, seg):
-        contrib = _segsum_sorted(vals[jnp.asarray(sel)], seg, len(bins))
-        return jnp.asarray(bins), contrib
-
     out_diag = jnp.zeros(B, dtype=ed.W.dtype)
     out_rhs = jnp.zeros(B, dtype=ed.W.dtype)
     for vals_d, vals_r, sel, bins, seg in (
         (w, const + Ftot, lp.t_sel, lp.t_bins, lp.t_seg),
         (w, -const, lp.s_sel, lp.s_bins, lp.s_seg),
     ):
-        b_idx, dsum = reduce_side(vals_d, sel, bins, seg)
-        _, rsum = reduce_side(vals_r, sel, bins, seg)
-        out_diag = out_diag.at[b_idx].add(dsum, indices_are_sorted=True, unique_indices=True)
-        out_rhs = out_rhs.at[b_idx].add(rsum, indices_are_sorted=True, unique_indices=True)
+        # two-channel fold: (diag, rhs) share the side's segment layout
+        both = _segsum_sorted(
+            jnp.stack([vals_d, vals_r], axis=-1)[jnp.asarray(sel)], seg, len(bins)
+        )
+        b_idx = jnp.asarray(bins)
+        out_diag = out_diag.at[b_idx].add(both[:, 0], indices_are_sorted=True, unique_indices=True)
+        out_rhs = out_rhs.at[b_idx].add(both[:, 1], indices_are_sorted=True, unique_indices=True)
     return out_diag, out_rhs
 
 
@@ -831,9 +830,14 @@ def _segsum_sorted(
     accuracy — with the 4-orders-of-magnitude conductance spread of deep
     arterial trees that breached the 1e-8 solution contract, so exact
     per-segment reductions are required.
+
+    ``vals`` may be (n,) or multi-channel (n, C) — channels sharing one
+    segment layout reduce through a single gather (one kernel instead of
+    C, which matters under f64 emulation where gathers dominate).
     """
+    out_shape = (num_segments,) + vals.shape[1:]
     if vals.shape[0] == 0:
-        return jnp.zeros(num_segments, dtype=vals.dtype)
+        return jnp.zeros(out_shape, dtype=vals.dtype)
     seg_np = np.asarray(seg_sorted)
     if num_segments > 0:
         counts = np.bincount(seg_np, minlength=num_segments)
@@ -844,7 +848,8 @@ def _segsum_sorted(
             idx = offsets[:-1, None] + np.arange(K)[None, :]
             valid = np.arange(K)[None, :] < counts[:, None]
             idx = np.where(valid, idx, n)  # pad slot
-            vp = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])
+            pad = jnp.zeros((1,) + vals.shape[1:], dtype=vals.dtype)
+            vp = jnp.concatenate([vals, pad])
             return jnp.sum(vp[jnp.asarray(idx)], axis=1)
     return jax.ops.segment_sum(
         vals, jnp.asarray(seg_np), num_segments=num_segments,
@@ -870,16 +875,15 @@ def _level_eliminate(
     const = (-ed.start_pbc * (~s_is_bif) + ed.end_pbc * (~t_is_bif) - ed.g) / ed.W
     Ftot = ed.cumF[:, -1]
 
-    # permuted-order diag/rhs via cumsum-based sorted-segment reductions
-    def full_reduce(vals, sel, seg):
-        return _segsum_sorted(vals[jnp.asarray(sel)], seg, B)
+    # permuted-order diag/rhs: the (w, rhs) channels share each side's
+    # segment layout, so both reduce through ONE two-channel gather fold
+    def full_reduce2(vals2, sel, seg):
+        return _segsum_sorted(vals2[jnp.asarray(sel)], seg, B)
 
-    d = full_reduce(w_edges, lp.t_sel, lp.t_seg) + full_reduce(
-        w_edges, lp.s_sel, lp.s_seg
-    )
-    r = full_reduce(const + Ftot, lp.t_sel, lp.t_seg) + full_reduce(
-        -const, lp.s_sel, lp.s_seg
-    )
+    dt_t = full_reduce2(jnp.stack([w_edges, const + Ftot], axis=-1), lp.t_sel, lp.t_seg)
+    dt_s = full_reduce2(jnp.stack([w_edges, -const], axis=-1), lp.s_sel, lp.s_seg)
+    d = dt_t[:, 0] + dt_s[:, 0]
+    r = dt_t[:, 1] + dt_s[:, 1]
     rhs_norm = jnp.linalg.norm(r)
     return _level_eliminate_core(lp, d, r, w_pairs, B), rhs_norm
 
@@ -916,8 +920,10 @@ def _level_eliminate_core(
         w = jax.lax.dynamic_slice(w_node, (o,), (n,))
         seg_host = lp.parent_pos[o:o1] - op  # sorted by construction
         factor = w / db
-        d_upd = _segsum_sorted(-w * factor, seg_host, npar)
-        r_upd = _segsum_sorted(factor * rb, seg_host, npar)
+        upd = _segsum_sorted(
+            jnp.stack([-w * factor, factor * rb], axis=-1), seg_host, npar
+        )
+        d_upd, r_upd = upd[:, 0], upd[:, 1]
         d = jax.lax.dynamic_update_slice(d, jax.lax.dynamic_slice(d, (op,), (npar,)) + d_upd, (op,))
         r = jax.lax.dynamic_update_slice(r, jax.lax.dynamic_slice(r, (op,), (npar,)) + r_upd, (op,))
         saved.append((lev, o, n, db, rb, w))
