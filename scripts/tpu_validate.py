@@ -99,6 +99,57 @@ x32 = np.concatenate([f.values for f in sof1]); x64 = np.concatenate([f.values f
 rel = float(np.max(np.abs(x64-x32))/np.max(np.abs(x64)))
 check("float32-serving-mode", rel < 1e-4, f"rel={rel:.1e}")
 
+# 9. committed exact-rational goldens reproduced on the TPU
+import json
+from pathlib import Path
+for gname in ("y_source", "arterial_poiseuille"):
+    gpath = Path(__file__).resolve().parent.parent / "tests" / "goldens" / f"{gname}.json"
+    g = json.loads(gpath.read_text())
+    spec = g["config"]
+    if spec["graph"] == "tree":
+        Gq = network_generation.make_tree(spec["n"], spec["H"], spec["W"])
+    else:
+        Gq = network_generation.make_arterial_tree(N=spec["n"], direction=np.asarray(spec["direction"]))
+    mq = NetworkMesh(Gq, N=spec["N"])
+    aq = HydraulicNetworkAssembler(mq)
+    Rq = 1.0 / mq.edge_radius**4 if spec.get("R") == "poiseuille" else spec.get("R")
+    aq.compute_forms(p_bc_ex=(lambda x: x[0]) if spec["p_bc"] == "x" else (lambda x: x[1]),
+                     R=Rq, f=spec.get("f"))
+    sq = Solver(aq); sq.assemble(); soq = sq.solve()
+    lamq = {int(n_): float(v) for n_, v in zip(mq.bifurcation_values, soq[-1].values)}
+    err = max(abs(lamq[int(k)] - v) for k, v in g["lam"].items())
+    check(f"golden[{gname}]", err < 1e-10, f"lam-err={err:.1e}")
+
+# 10. distributed lambda elimination (single chip, subtree plan exercised)
+ad1 = HydraulicNetworkAssembler(m5); ad1.compute_forms(p_bc_ex=lambda x: x[1])
+from networks_fenicsx_tpu.parallel import ShardedNetworkSolver
+sd = ShardedNetworkSolver(ad1, schur_method="tree_dist")
+sd.assemble(); sod = sd.solve()
+ad2 = HydraulicNetworkAssembler(m5); ad2.compute_forms(p_bc_ex=lambda x: x[1])
+sref = Solver(ad2); sref.assemble(); soref = sref.solve()
+err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(sod,soref))
+check("tree-dist-single-chip", err < 1e-10 and sd.info.method == "schur_sharded_dist", f"err={err:.1e}")
+
+# 11. binary VTU round trip of a TPU solution
+import tempfile
+from networks_fenicsx_tpu.io.vtk import VTK_LINE, read_vtu, write_vtu
+td = Path(tempfile.mkdtemp())
+vals = np.asarray(soref[-2].values)
+pv = write_vtu(td / "p.vtu", m5.vertices, m5.cells, VTK_LINE, cell_data={"p": vals}, fmt="binary")
+_, _, _, cd = read_vtu(pv)
+check("binary-vtu-roundtrip", bool(np.array_equal(cd["p"], vals)), f"{pv.stat().st_size}B")
+
+# 12. uniform closed-form path == generic per-cell path (same coefficients)
+au = HydraulicNetworkAssembler(m5)
+R_edge = np.linspace(1.0, 3.0, m5.num_edges)
+au.compute_forms(p_bc_ex=lambda x: x[1], R=R_edge, f=1.7)     # uniform path (edge R, scalar f)
+su = Solver(au); su.assemble(); sou = su.solve()
+ac = HydraulicNetworkAssembler(m5)
+ac.compute_forms(p_bc_ex=lambda x: x[1], R=R_edge[m5.cell_edge], f=1.7)  # per-cell: generic path
+sc = Solver(ac); sc.assemble(); soc = sc.solve()
+err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(sou,soc))
+check("uniform-vs-generic-path", err < 1e-10, f"err={err:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)
