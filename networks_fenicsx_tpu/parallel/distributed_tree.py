@@ -420,19 +420,29 @@ def local_eliminate(plan: DistTreePlan, rows: dict, ed, axis: str):
         # pull-style reduction: each target gathers its contributions
         # through the host-built fold (TPU scatters serialize, gathers
         # vectorize); the fold's pad entries point at the appended zero.
-        picked = vals[row(rows[f"{name}_sel"])] * row(rows[f"{name}_mask"])
-        vp = jnp.concatenate([picked, jnp.zeros(1, dtype=picked.dtype)])
+        # ``vals`` may be (n,) or (n, C) — channels sharing the layout
+        # reduce through one gather.
+        mask = row(rows[f"{name}_mask"])
+        if vals.ndim > 1:
+            mask = mask[:, None]
+        picked = vals[row(rows[f"{name}_sel"])] * mask
+        pad = jnp.zeros((1,) + picked.shape[1:], dtype=picked.dtype)
+        vp = jnp.concatenate([picked, pad])
         fold = rows[f"{name}_fold"]
         return jnp.sum(vp[fold.reshape(fold.shape[-2], fold.shape[-1])], axis=1)
 
-    d = reduce_local(w_edges, "t") + reduce_local(w_edges, "s")
-    r = reduce_local(const + Ftot, "t") + reduce_local(-const, "s")
+    dr_t = reduce_local(jnp.stack([w_edges, const + Ftot], axis=-1), "t")
+    dr_s = reduce_local(jnp.stack([w_edges, -const], axis=-1), "s")
+    d = dr_t[:, 0] + dr_s[:, 0]
+    r = dr_t[:, 1] + dr_s[:, 1]
     w_node = reduce_local(w_edges, "w")
     # padded slots: inert (d=1 so divisions are safe, w=0, r=0)
     d = jnp.where(d == 0.0, 1.0, d)
 
-    dT_part = reduce_local(w_edges, "tT") + reduce_local(w_edges, "sT")
-    rT_part = reduce_local(const + Ftot, "tT") + reduce_local(-const, "sT")
+    drT_t = reduce_local(jnp.stack([w_edges, const + Ftot], axis=-1), "tT")
+    drT_s = reduce_local(jnp.stack([w_edges, -const], axis=-1), "sT")
+    dT_part = drT_t[:, 0] + drT_s[:, 0]
+    rT_part = drT_t[:, 1] + drT_s[:, 1]
     wT_part = reduce_local(w_edges, "wT")
 
     par = row(rows["parent_pos"])
@@ -449,9 +459,11 @@ def local_eliminate(plan: DistTreePlan, rows: dict, ed, axis: str):
         fold = rows[f"lvlfold_{lev - 1}"]
         fold = fold.reshape(fold.shape[-2], fold.shape[-1])  # (npar, K)
         factor = wb / db
-        zero = jnp.zeros(1, dtype=dt)
-        d_upd = jnp.sum(jnp.concatenate([-wb * factor, zero])[fold], axis=1)
-        r_upd = jnp.sum(jnp.concatenate([factor * rb, zero])[fold], axis=1)
+        both = jnp.concatenate(
+            [jnp.stack([-wb * factor, factor * rb], axis=-1), jnp.zeros((1, 2), dt)]
+        )
+        upd = jnp.sum(both[fold], axis=1)
+        d_upd, r_upd = upd[:, 0], upd[:, 1]
         d = jax.lax.dynamic_update_slice(
             d, jax.lax.dynamic_slice(d, (op,), (npar,)) + d_upd, (op,)
         )
