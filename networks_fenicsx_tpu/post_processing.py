@@ -119,13 +119,18 @@ def export_functions(functions: list[NetworkFunction], outpath: Path | str) -> N
 
 
 def export_submeshes(
-    network_mesh: NetworkMesh, outpath: str | Path, format: str = "xdmf"
+    network_mesh: NetworkMesh, outpath: str | Path, format: str = "xdmf",
+    fmt: str = "auto",
 ) -> None:
     """Export each color submesh with its vertex markers
-    (reference ``post_processing.py:81-97``; the reference writes XDMF).
+    (reference ``post_processing.py:81-97``; the reference writes XDMF with
+    HDF5-backed heavy data).
 
     Args:
-        format: ``"xdmf"`` (reference-parity, inline data) or ``"vtu"``.
+        format: ``"xdmf"`` (reference-parity) or ``"vtu"``.
+        fmt: XDMF data placement — ``"auto"`` (HDF5 sidecar once the grid is
+            large, like the reference's ``XDMFFile``), ``"hdf5"`` or ``"xml"``
+            (inline, self-contained).
     """
     from .io.xdmf import write_xdmf
 
@@ -141,6 +146,7 @@ def export_submeshes(
                 view.cells,
                 point_data={"vertex_markers": markers},
                 grid_name=f"submesh_{i}",
+                fmt=fmt,
             )
         else:
             write_vtu(

@@ -131,3 +131,59 @@ def test_vtu_auto_binary_at_scale(tmp_path):
     rp, _, rpd, _ = read_vtu(p)
     np.testing.assert_array_equal(rp, pts)
     np.testing.assert_array_equal(rpd["v"], pts[:, 0])
+
+
+def test_xdmf_roundtrip_xml_and_hdf5(tmp_path):
+    """XDMF round-trips in both storage formats; HDF5 sidecar matches the
+    reference's XDMFFile layout (heavy data in <name>.h5, Format="HDF")."""
+    from networks_fenicsx_tpu.io.xdmf import read_xdmf, write_xdmf
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((17, 3))
+    cells = np.stack([np.arange(16), np.arange(1, 17)], axis=1)
+    pd = {"marker": rng.standard_normal(17)}
+    cd = {"color": rng.standard_normal(16)}
+    for fmt in ("xml", "hdf5"):
+        p = write_xdmf(tmp_path / f"{fmt}.xdmf", pts, cells,
+                       point_data=pd, cell_data=cd, fmt=fmt)
+        rp, rc, rpd, rcd = read_xdmf(p)
+        np.testing.assert_array_equal(rc, cells)
+        np.testing.assert_array_equal(rpd["marker"], pd["marker"])
+        np.testing.assert_array_equal(rcd["color"], cd["color"])
+        if fmt == "hdf5":
+            np.testing.assert_array_equal(rp, pts)  # bit-exact via HDF5
+            assert (tmp_path / "hdf5.h5").exists()
+            assert 'Format="HDF"' in p.read_text()
+        else:
+            np.testing.assert_allclose(rp, pts, rtol=1e-15)
+            assert "Format=\"HDF\"" not in p.read_text()
+
+
+def test_xdmf_auto_hdf5_at_scale(tmp_path):
+    """Large grids default to the HDF5 sidecar (reference XDMFFile layout)
+    and the .xdmf stays tiny."""
+    from networks_fenicsx_tpu.io.xdmf import read_xdmf, write_xdmf
+
+    n = 30_000
+    pts = np.random.default_rng(1).standard_normal((n, 3))
+    cells = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    p = write_xdmf(tmp_path / "big.xdmf", pts, cells,
+                   cell_data={"q": pts[:-1, 0]})
+    assert (tmp_path / "big.h5").exists()
+    assert p.stat().st_size < 5_000  # XML holds only references
+    rp, rc, _, rcd = read_xdmf(p)
+    np.testing.assert_array_equal(rp, pts)
+    np.testing.assert_array_equal(rcd["q"], pts[:-1, 0])
+
+
+def test_export_submeshes_hdf5(tmp_path):
+    mesh, _ = _solve_y()
+    export_submeshes(mesh, tmp_path, fmt="hdf5")
+    from networks_fenicsx_tpu.io.xdmf import read_xdmf
+
+    for i, view in enumerate(mesh.submeshes):
+        f = tmp_path / f"submesh_{i}.xdmf"
+        assert f.exists() and (tmp_path / f"submesh_{i}.h5").exists()
+        pts, cells, pd, _ = read_xdmf(f)
+        assert cells.shape == view.cells.shape
+        assert "vertex_markers" in pd
