@@ -90,8 +90,10 @@ def main() -> None:
     log(f"warmup (XLA compile or cache load + d2h init): {t_warmup:.3f}s")
     assert np.all(np.isfinite(x)), "non-finite solution"
 
-    # steady-state assemble+solve
-    reps = 3
+    # steady-state assemble+solve.  One synchronized dispatch over the
+    # tunneled runtime pays a noisy ~30-130 ms host<->device round trip on
+    # top of the ~11 ms device program, so take the best of several reps.
+    reps = int(os.environ.get("NXFX_BENCH_REPS", "5"))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -101,6 +103,24 @@ def main() -> None:
     dofs_per_sec = n_dofs / t_solve
     log(f"assemble+solve: best {t_solve * 1e3:.2f} ms over {reps} reps "
         f"-> {dofs_per_sec:.3e} dofs/s")
+
+    # Pipelined serving throughput: dispatch K solves back-to-back and
+    # synchronize once.  This amortises the per-dispatch tunnel round trip
+    # and measures the actual device-side program cost — the steady-state
+    # rate a production serving loop gets (dispatches overlap the previous
+    # solve's execution).
+    # Coefficients live on device in a serving loop (they are the model
+    # state); numpy inputs would re-pay the tunnel h2d transfer per dispatch.
+    args = jax.device_put(asm.schur_arguments())
+    jax.block_until_ready(args)
+    K = int(os.environ.get("NXFX_BENCH_PIPELINE", "16"))
+    t0 = time.perf_counter()
+    outs = [executor(*args) for _ in range(K)]
+    np.asarray(outs[-1][0][:1])  # one sync for the whole batch
+    t_pipe = (time.perf_counter() - t0) / K
+    pipe_dofs_per_sec = n_dofs / t_pipe
+    log(f"pipelined x{K}: {t_pipe * 1e3:.2f} ms/solve "
+        f"-> {pipe_dofs_per_sec:.3e} dofs/s steady-state")
 
     # --- baseline: host sparse direct LU (SuperLU, MUMPS stand-in) on the
     # identical assembled system.
@@ -147,6 +167,9 @@ def main() -> None:
             "elements_per_vessel": N_ELEM,
             "num_dofs": int(n_dofs),
             "assemble_solve_ms": round(t_solve * 1e3, 3),
+            "pipelined_ms_per_solve": round(t_pipe * 1e3, 3),
+            "pipelined_dofs_per_sec": round(pipe_dofs_per_sec, 1),
+            "pipeline_depth": K,
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",
             "baseline_superlu_ms_median": round(t_baseline * 1e3, 3),

@@ -882,10 +882,9 @@ def _level_eliminate(
 
     dt_t = full_reduce2(jnp.stack([w_edges, const + Ftot], axis=-1), lp.t_sel, lp.t_seg)
     dt_s = full_reduce2(jnp.stack([w_edges, -const], axis=-1), lp.s_sel, lp.s_seg)
-    d = dt_t[:, 0] + dt_s[:, 0]
-    r = dt_t[:, 1] + dt_s[:, 1]
-    rhs_norm = jnp.linalg.norm(r)
-    return _level_eliminate_core(lp, d, r, w_pairs, B), rhs_norm
+    dr = dt_t + dt_s  # (B, 2): fused (diag, rhs) channels
+    rhs_norm = jnp.linalg.norm(dr[:, 1])
+    return _level_eliminate_core2(lp, dr, w_pairs, B), rhs_norm
 
 
 def _level_eliminate_core(
@@ -896,9 +895,24 @@ def _level_eliminate_core(
     B: int,
 ) -> jnp.ndarray:
     """Level-ordered elimination given (diag, rhs) already in PERMUTED
-    order; returns λ in the ORIGINAL ordering.  Used directly by the serial
-    path and, with psum-reduced replicated inputs, by the sharded path."""
-    dt = d.dtype
+    order; returns λ in the ORIGINAL ordering.  Used with psum-reduced
+    replicated inputs by the sharded path."""
+    return _level_eliminate_core2(lp, jnp.stack([d, r], axis=-1), w_pairs, B)
+
+
+def _level_eliminate_core2(
+    lp: _LevelPlan,
+    dr: jnp.ndarray,
+    w_pairs: jnp.ndarray,
+    B: int,
+) -> jnp.ndarray:
+    """Level elimination on the fused (B, 2) = (diag, rhs) array.
+
+    Keeping both channels in one array halves the per-level kernel count
+    (one dynamic slice + one update instead of two of each) — the upper
+    tree levels are a handful of nodes each, so their cost is pure launch
+    latency and scales with kernels, not elements."""
+    dt = dr.dtype
     # per-node parent conductance (0 for roots)
     pp = jnp.asarray(lp.parent_pair)
     w_node = jnp.where(
@@ -915,27 +929,24 @@ def _level_eliminate_core(
     for lev in range(L - 1, 0, -1):
         o, o1, op, op1 = int(offs[lev]), int(offs[lev + 1]), int(offs[lev - 1]), int(offs[lev])
         n, npar = o1 - o, op1 - op
-        db = jax.lax.dynamic_slice(d, (o,), (n,))
-        rb = jax.lax.dynamic_slice(r, (o,), (n,))
+        blk = jax.lax.dynamic_slice(dr, (o, 0), (n, 2))
+        db, rb = blk[:, 0], blk[:, 1]
         w = jax.lax.dynamic_slice(w_node, (o,), (n,))
         seg_host = lp.parent_pos[o:o1] - op  # sorted by construction
         factor = w / db
         upd = _segsum_sorted(
             jnp.stack([-w * factor, factor * rb], axis=-1), seg_host, npar
         )
-        d_upd, r_upd = upd[:, 0], upd[:, 1]
-        d = jax.lax.dynamic_update_slice(d, jax.lax.dynamic_slice(d, (op,), (npar,)) + d_upd, (op,))
-        r = jax.lax.dynamic_update_slice(r, jax.lax.dynamic_slice(r, (op,), (npar,)) + r_upd, (op,))
+        dr = jax.lax.dynamic_update_slice(
+            dr, jax.lax.dynamic_slice(dr, (op, 0), (npar, 2)) + upd, (op, 0)
+        )
         saved.append((lev, o, n, db, rb, w))
 
     # roots (level 0): no parents
     o0, n0 = int(offs[0]), int(offs[1]) - int(offs[0])
+    blk0 = jax.lax.dynamic_slice(dr, (o0, 0), (n0, 2))
     lam = jnp.zeros(B, dtype=dt)
-    lam = jax.lax.dynamic_update_slice(
-        lam,
-        jax.lax.dynamic_slice(r, (o0,), (n0,)) / jax.lax.dynamic_slice(d, (o0,), (n0,)),
-        (o0,),
-    )
+    lam = jax.lax.dynamic_update_slice(lam, blk0[:, 1] / blk0[:, 0], (o0,))
     # back-substitution: root-down
     for lev, o, n, db, rb, w in reversed(saved):
         lam_par = lam[jax.lax.dynamic_slice(par, (o,), (n,))]
