@@ -474,7 +474,7 @@ def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
     ):
         # two-channel fold: (diag, rhs) share the side's segment layout
         both = _segsum_sorted(
-            jnp.stack([vals_d, vals_r], axis=-1)[jnp.asarray(sel)], seg, len(bins)
+            jnp.stack([vals_d, vals_r], axis=-1), seg, len(bins), sel=sel
         )
         b_idx = jnp.asarray(bins)
         out_diag = out_diag.at[b_idx].add(both[:, 0], indices_are_sorted=True, unique_indices=True)
@@ -807,11 +807,84 @@ def _plan_level_elimination(
     )
 
 
+def _match_slice(sub: np.ndarray) -> int | None:
+    """``sub == c + arange(n)`` → ``c``; else None."""
+    if sub.size and np.array_equal(sub, sub[0] + np.arange(sub.size)):
+        return int(sub[0])
+    return None
+
+
+def _match_repeat(sub: np.ndarray) -> tuple[int, int, int, int] | None:
+    """``sub == c + (arange(n) + o) // K`` → ``(c, K, o, m)`` with
+    ``m = sub[-1] - sub[0] + 1`` table rows covered; else None."""
+    n = sub.size
+    if n == 0:
+        return None
+    d = np.diff(sub)
+    if d.size == 0 or not np.all((d == 0) | (d == 1)):
+        return None
+    # run lengths of equal consecutive values
+    bounds = np.concatenate([[0], np.flatnonzero(d) + 1, [n]])
+    rl = np.diff(bounds)
+    K = int(rl.max())
+    if K <= 1:
+        return None
+    o = K - int(rl[0])
+    if np.array_equal(sub, sub[0] + (np.arange(n) + o) // K):
+        return int(sub[0]), K, o, int(sub[-1] - sub[0] + 1)
+    return None
+
+
+def _structured_take(vec: jnp.ndarray, idx: np.ndarray, max_pieces: int = 6):
+    """``vec[idx]`` (with ``idx < 0`` → 0) WITHOUT a device gather when the
+    host-static index array is structured, else None.
+
+    TPU gathers move ~25M rows/s regardless of row order — two orders of
+    magnitude below slice bandwidth — so the graph-structured index maps
+    (identity/BFS tree numbering: slices and uniform-fanout repeats) are
+    pattern-matched on the host at trace time and emitted as static slices
+    / broadcast-reshapes.  Falls back (returns None) for irregular maps.
+    """
+    idx = np.asarray(idx)
+    n = idx.size
+    if n == 0:
+        return jnp.zeros((0,) + vec.shape[1:], dtype=vec.dtype)
+    valid = idx >= 0
+    # maximal runs of constant validity
+    change = np.flatnonzero(np.diff(valid.view(np.int8)))
+    bounds = np.concatenate([[0], change + 1, [n]])
+    if len(bounds) - 1 > max_pieces:
+        return None
+    tail_shape = vec.shape[1:]
+    pieces = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        a, b = int(a), int(b)
+        if not valid[a]:
+            pieces.append(jnp.zeros((b - a,) + tail_shape, dtype=vec.dtype))
+            continue
+        sub = idx[a:b]
+        c = _match_slice(sub)
+        if c is not None:
+            pieces.append(jax.lax.slice_in_dim(vec, c, c + (b - a), axis=0))
+            continue
+        rep = _match_repeat(sub)
+        if rep is None:
+            return None
+        c, K, o, m = rep
+        window = jax.lax.slice_in_dim(vec, c, c + m, axis=0)
+        expanded = jnp.broadcast_to(
+            window[:, None], (m, K) + tail_shape
+        ).reshape((m * K,) + tail_shape)
+        pieces.append(jax.lax.slice_in_dim(expanded, o, o + (b - a), axis=0))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+
+
 def _segsum_sorted(
     vals: jnp.ndarray,
     seg_sorted: np.ndarray,
     num_segments: int,
     max_fold_width: int = 32,
+    sel: np.ndarray | None = None,
 ):
     """Sorted-segment sum with static (host-known) segment ids.
 
@@ -834,23 +907,45 @@ def _segsum_sorted(
     ``vals`` may be (n,) or multi-channel (n, C) — channels sharing one
     segment layout reduce through a single gather (one kernel instead of
     C, which matters under f64 emulation where gathers dominate).
+
+    ``sel`` (host-static) composes a pre-selection ``vals[sel]`` into the
+    fold's gather matrix, so selection + reduction cost ONE device gather
+    instead of two.  When the composed index map is contiguous with
+    uniform segment width (graph-generator numbering produces exactly
+    this), the whole fold lowers to a static slice + reshape + row-sum —
+    no gather at all (same elements, same addition order: exact).
     """
-    out_shape = (num_segments,) + vals.shape[1:]
-    if vals.shape[0] == 0:
-        return jnp.zeros(out_shape, dtype=vals.dtype)
     seg_np = np.asarray(seg_sorted)
+    n_in = seg_np.shape[0]
+    out_shape = (num_segments,) + vals.shape[1:]
+    if n_in == 0:
+        return jnp.zeros(out_shape, dtype=vals.dtype)
     if num_segments > 0:
         counts = np.bincount(seg_np, minlength=num_segments)
         K = int(counts.max())
         if 0 < K <= max_fold_width:
             offsets = np.concatenate([[0], np.cumsum(counts)])
-            n = seg_np.shape[0]
             idx = offsets[:-1, None] + np.arange(K)[None, :]
             valid = np.arange(K)[None, :] < counts[:, None]
-            idx = np.where(valid, idx, n)  # pad slot
+            if sel is not None:
+                sel = np.asarray(sel)
+                idx = np.where(valid, sel[np.minimum(idx, n_in - 1)], vals.shape[0])
+            else:
+                idx = np.where(valid, idx, vals.shape[0])  # pad slot
+            if bool(valid.all()):
+                c = _match_slice(idx.ravel())
+                if c is not None:
+                    window = jax.lax.slice_in_dim(
+                        vals, c, c + num_segments * K, axis=0
+                    )
+                    return jnp.sum(
+                        window.reshape((num_segments, K) + vals.shape[1:]), axis=1
+                    )
             pad = jnp.zeros((1,) + vals.shape[1:], dtype=vals.dtype)
             vp = jnp.concatenate([vals, pad])
             return jnp.sum(vp[jnp.asarray(idx)], axis=1)
+    if sel is not None:
+        vals = vals[jnp.asarray(sel)]
     return jax.ops.segment_sum(
         vals, jnp.asarray(seg_np), num_segments=num_segments,
         indices_are_sorted=True,
@@ -865,9 +960,7 @@ def _level_eliminate(
     dt = ed.W.dtype
     w_edges = 1.0 / ed.W
     if lp.num_pairs > 0:
-        w_pairs = _segsum_sorted(
-            w_edges[jnp.asarray(lp.p_sel)], lp.p_seg, lp.num_pairs
-        )
+        w_pairs = _segsum_sorted(w_edges, lp.p_seg, lp.num_pairs, sel=lp.p_sel)
     else:
         w_pairs = jnp.zeros(0, dtype=dt)
     s_is_bif = ed.start_bif >= 0
@@ -876,9 +969,10 @@ def _level_eliminate(
     Ftot = ed.cumF[:, -1]
 
     # permuted-order diag/rhs: the (w, rhs) channels share each side's
-    # segment layout, so both reduce through ONE two-channel gather fold
+    # segment layout, so both reduce through ONE two-channel fold with the
+    # selection composed in (slice/reshape when the layout is structured)
     def full_reduce2(vals2, sel, seg):
-        return _segsum_sorted(vals2[jnp.asarray(sel)], seg, B)
+        return _segsum_sorted(vals2, seg, B, sel=sel)
 
     dt_t = full_reduce2(jnp.stack([w_edges, const + Ftot], axis=-1), lp.t_sel, lp.t_seg)
     dt_s = full_reduce2(jnp.stack([w_edges, -const], axis=-1), lp.s_sel, lp.s_seg)
@@ -947,11 +1041,15 @@ def _level_eliminate_core2(
     blk0 = jax.lax.dynamic_slice(dr, (o0, 0), (n0, 2))
     lam = jnp.zeros(B, dtype=dt)
     lam = jax.lax.dynamic_update_slice(lam, blk0[:, 1] / blk0[:, 0], (o0,))
-    # back-substitution: root-down
+    # back-substitution: root-down (parent lookups are host-static per
+    # level — structured maps become slices/broadcasts, not gathers)
     for lev, o, n, db, rb, w in reversed(saved):
-        lam_par = lam[jax.lax.dynamic_slice(par, (o,), (n,))]
+        lam_par = _structured_take(lam, lp.parent_pos[o : o + n])
+        if lam_par is None:
+            lam_par = lam[jax.lax.dynamic_slice(par, (o,), (n,))]
         lam = jax.lax.dynamic_update_slice(lam, (rb + w * lam_par) / db, (o,))
-    return lam[jnp.asarray(lp.perm)]
+    unperm = _structured_take(lam, lp.perm)
+    return unperm if unperm is not None else lam[jnp.asarray(lp.perm)]
 
 
 def _tree_schur_solve(
@@ -972,9 +1070,7 @@ def _tree_schur_solve(
         sel = np.flatnonzero(plan.edge_pair >= 0)
         ids = plan.edge_pair[sel]
         order = np.argsort(ids, kind="stable")
-        w_pairs = _segsum_sorted(
-            w_edges[jnp.asarray(sel[order])], ids[order], P
-        )
+        w_pairs = _segsum_sorted(w_edges, ids[order], P, sel=sel[order])
     else:
         w_pairs = jnp.zeros(0, dtype=diag.dtype)
     return _tree_eliminate(plan, diag, rhs, w_pairs)
@@ -1303,17 +1399,33 @@ def _schur_solve(
 
 
 def _backsub_from_lambda(
-    ed: _EdgeData, lam: jnp.ndarray, k: int, N: int
+    ed: _EdgeData, lam: jnp.ndarray, k: int, N: int,
+    host_bifs: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-edge flux dof vectors (E, k*N+1) and cell pressures (E, N) given
     the multipliers.  Pure per-edge math — reused by the sharded solver with
-    device-local edge shards."""
+    device-local edge shards.
+
+    ``host_bifs``: host-static (start_bif, end_bif) copies; when given, the
+    λ→edge broadcasts are pattern-matched (see :func:`_structured_take`) —
+    at 1M edges each of these two gathers costs ~30 ms on a v5e, vs <1 ms
+    for the slice/broadcast forms tree numbering admits."""
     E = ed.W.shape[0]
     s_is_bif = ed.start_bif >= 0
     t_is_bif = ed.end_bif >= 0
-    lam_pad = jnp.concatenate([lam, jnp.zeros(1, dtype=ed.W.dtype)])
-    r0 = jnp.where(s_is_bif, lam_pad[ed.start_bif], -ed.start_pbc)
-    rN = jnp.where(t_is_bif, -lam_pad[ed.end_bif], ed.end_pbc)
+    lam_s = lam_t = None
+    if host_bifs is not None:
+        sb, eb = host_bifs
+        lam_s = _structured_take(lam, sb)
+        lam_t = _structured_take(lam, eb)
+    if lam_s is None or lam_t is None:
+        lam_pad = jnp.concatenate([lam, jnp.zeros(1, dtype=ed.W.dtype)])
+        if lam_s is None:
+            lam_s = lam_pad[ed.start_bif]
+        if lam_t is None:
+            lam_t = lam_pad[ed.end_bif]
+    r0 = jnp.where(s_is_bif, lam_s, -ed.start_pbc)
+    rN = jnp.where(t_is_bif, -lam_t, ed.end_pbc)
 
     q0 = (r0 + rN - ed.g) / ed.W
 
@@ -1381,15 +1493,22 @@ def _schur_back_substitute(
     global block layout."""
     mesh = asm.network
     k, N = asm.flux_degree, mesh.N
-    q_edge, p_cells = _backsub_from_lambda(ed, lam, k, N)
+    q_edge, p_cells = _backsub_from_lambda(
+        ed, lam, k, N,
+        host_bifs=(np.asarray(asm._edge_start_bif), np.asarray(asm._edge_end_bif)),
+    )
 
     # Assemble the global block vector scatter-free: the flux dof layout is
     # exactly "edges sorted by (color, id), each contributing k*N+1
-    # consecutive dofs", so a static-permutation gather + concat suffices.
+    # consecutive dofs", so a static-permutation gather + concat suffices
+    # (pure reorder when the coloring already yields sorted runs).
     E = mesh.num_edges
     perm = np.lexsort((np.arange(E), np.asarray(mesh.edge_color)))
+    q_sorted = _structured_take(q_edge, perm)
+    if q_sorted is None:
+        q_sorted = q_edge[perm]
     x = jnp.concatenate(
-        [q_edge[perm].reshape(-1), p_cells.reshape(-1), lam]
+        [q_sorted.reshape(-1), p_cells.reshape(-1), lam]
     )
     return x
 
