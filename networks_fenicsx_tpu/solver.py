@@ -501,14 +501,22 @@ def _build_matvec_plan(asm: _assembly.HydraulicNetworkAssembler):
 
 
 def _matvec_from_plan(ed: _EdgeData, diag: jnp.ndarray, plan, B: int):
-    """λ ↦ L λ with the off-diagonal apply as gather + fold (no scatter)."""
+    """λ ↦ L λ with the off-diagonal apply as gather + fold (no scatter).
+
+    The neighbour lookup runs EVERY Krylov iteration, so the host-static
+    incidence map goes through :func:`_structured_take` first — lattice
+    networks produce strided neighbour maps that lower to strided slices."""
     edge_sel, other_sel, own_sorted = plan
     w = 1.0 / ed.W
-    w_inc = w[jnp.asarray(edge_sel)]
+    w_sel = _structured_take(w, edge_sel)
+    w_inc = w[jnp.asarray(edge_sel)] if w_sel is None else w_sel
     other_dev = jnp.asarray(other_sel)
 
     def matvec(lam):
-        contrib = -w_inc * lam[other_dev]
+        lam_nb = _structured_take(lam, other_sel)
+        if lam_nb is None:
+            lam_nb = lam[other_dev]
+        contrib = -w_inc * lam_nb
         return diag * lam + _segsum_sorted(contrib, own_sorted, B)
 
     return matvec
@@ -835,6 +843,17 @@ def _match_repeat(sub: np.ndarray) -> tuple[int, int, int, int] | None:
     return None
 
 
+def _match_stride(sub: np.ndarray) -> tuple[int, int] | None:
+    """``sub == c + s * arange(n)`` with s >= 2 → ``(c, s)``; else None."""
+    if sub.size < 2:
+        return None
+    d = np.diff(sub)
+    s = int(d[0])
+    if s >= 2 and np.all(d == s):
+        return int(sub[0]), s
+    return None
+
+
 def _structured_take(vec: jnp.ndarray, idx: np.ndarray, max_pieces: int = 6):
     """``vec[idx]`` (with ``idx < 0`` → 0) WITHOUT a device gather when the
     host-static index array is structured, else None.
@@ -868,14 +887,21 @@ def _structured_take(vec: jnp.ndarray, idx: np.ndarray, max_pieces: int = 6):
             pieces.append(jax.lax.slice_in_dim(vec, c, c + (b - a), axis=0))
             continue
         rep = _match_repeat(sub)
-        if rep is None:
+        if rep is not None:
+            c, K, o, m = rep
+            window = jax.lax.slice_in_dim(vec, c, c + m, axis=0)
+            expanded = jnp.broadcast_to(
+                window[:, None], (m, K) + tail_shape
+            ).reshape((m * K,) + tail_shape)
+            pieces.append(jax.lax.slice_in_dim(expanded, o, o + (b - a), axis=0))
+            continue
+        st = _match_stride(sub)
+        if st is None:
             return None
-        c, K, o, m = rep
-        window = jax.lax.slice_in_dim(vec, c, c + m, axis=0)
-        expanded = jnp.broadcast_to(
-            window[:, None], (m, K) + tail_shape
-        ).reshape((m * K,) + tail_shape)
-        pieces.append(jax.lax.slice_in_dim(expanded, o, o + (b - a), axis=0))
+        c, s = st
+        pieces.append(
+            jax.lax.slice_in_dim(vec, c, c + s * (b - a - 1) + 1, stride=s, axis=0)
+        )
     return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
 
 
@@ -1007,13 +1033,15 @@ def _level_eliminate_core2(
     tree levels are a handful of nodes each, so their cost is pure launch
     latency and scales with kernels, not elements."""
     dt = dr.dtype
-    # per-node parent conductance (0 for roots)
-    pp = jnp.asarray(lp.parent_pair)
-    w_node = jnp.where(
-        pp >= 0,
-        w_pairs[jnp.where(pp >= 0, pp, 0)] if w_pairs.shape[0] else jnp.zeros(B, dt),
-        0.0,
-    )
+    # per-node parent conductance (0 for roots; host-static map — a BFS
+    # numbering makes it a shifted identity, so no gather)
+    if w_pairs.shape[0]:
+        w_node = _structured_take(w_pairs, lp.parent_pair)
+        if w_node is None:
+            pp = jnp.asarray(lp.parent_pair)
+            w_node = jnp.where(pp >= 0, w_pairs[jnp.where(pp >= 0, pp, 0)], 0.0)
+    else:
+        w_node = jnp.zeros(B, dt)
     par = jnp.asarray(lp.parent_pos)
 
     offs = lp.level_offsets

@@ -57,7 +57,6 @@ def test_structured_take_multichannel():
     [
         np.array([0, 2, 1, 3]),            # permutation, not monotone
         np.array([0, 0, 0, 1, 1, 2, 2, 2]),  # ragged interior run
-        np.array([0, 2, 4, 6]),            # stride 2
         np.array([0, -1, 1, -1, 2, -1, 3, -1, 4, -1, 5, -1, 6, -1]),  # >6 runs
     ],
 )
@@ -101,3 +100,14 @@ def test_segsum_with_sel_matches_naive(seed, structured):
     want = np.zeros(S)
     np.add.at(want, seg, vals[sel])
     np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-14)
+
+
+def test_structured_take_stride():
+    vec = np.linspace(0.0, 1.0, 40)
+    for idx in (np.arange(0, 30, 3), 5 + 2 * np.arange(10),
+                np.concatenate([-np.ones(2, np.int64), 4 + 5 * np.arange(7)])):
+        got = _structured_take(vec, idx)
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(got), _expected_take(vec, idx))
+    # non-uniform stride still falls back
+    assert _structured_take(vec, np.array([0, 2, 5, 9])) is None
