@@ -69,7 +69,9 @@ def main() -> None:
     log(f"dofs: {n_dofs} (flux+pressure+multipliers), backend: {jax.default_backend()}")
 
     opts = SolverOptions()
-    executor = build_schur_executor(asm, opts)
+    # j-major block outputs: the TPU-native serving contract (no device
+    # relayout/concat pass building the monolithic PETSc-style vector).
+    executor = build_schur_executor(asm, opts, outputs="blocks")
 
     def assemble_and_solve(verbose: bool = False):
         t0 = time.perf_counter()
@@ -85,7 +87,9 @@ def main() -> None:
     # warmup (compile + one-time device->host path initialisation)
     t0 = time.perf_counter()
     out = assemble_and_solve()
-    x = np.asarray(out[0])
+    from networks_fenicsx_tpu.solver import _flatten_blocks_host
+
+    x = _flatten_blocks_host(out[0], out[1], out[2], mesh.edge_color)
     t_warmup = time.perf_counter() - t0
     log(f"warmup (XLA compile or cache load + d2h init): {t_warmup:.3f}s")
     assert np.all(np.isfinite(x)), "non-finite solution"
@@ -116,7 +120,7 @@ def main() -> None:
     K = int(os.environ.get("NXFX_BENCH_PIPELINE", "16"))
     t0 = time.perf_counter()
     outs = [executor(*args) for _ in range(K)]
-    np.asarray(outs[-1][0][:1])  # one sync for the whole batch
+    np.asarray(outs[-1][0][:1, :1])  # one sync for the whole batch
     t_pipe = (time.perf_counter() - t0) / K
     pipe_dofs_per_sec = n_dofs / t_pipe
     log(f"pipelined x{K}: {t_pipe * 1e3:.2f} ms/solve "

@@ -91,7 +91,7 @@ for n in ns:
         assembler.compute_forms(p_bc_ex=p_bc)
 
     opts = SolverOptions()
-    executor = build_schur_executor(assembler, opts)
+    executor = build_schur_executor(assembler, opts, outputs="blocks")
     args = assembler.schur_arguments()
 
     # Compile: first dispatch triggers XLA trace + compile (cold cache —
@@ -101,7 +101,7 @@ for n in ns:
     t0 = time.perf_counter()
     out = executor(*args)
     jax.block_until_ready(out)
-    float(out[2])
+    float(out[4])  # residual scalar pull (absorbs one-time d2h init)
     timings["Compile"][n] = time.perf_counter() - t0
 
     # CompileCached: dispatch of the cached executable.

@@ -193,7 +193,9 @@ class Solver:
             # compute_forms() call with different kinds invalidates the cache.
             key = self._assembler.coefficient_modes()
             if self._executor is None or self._executor_key != key:
-                self._executor = build_schur_executor(self._assembler, self._options)
+                self._executor = build_schur_executor(
+                    self._assembler, self._options, outputs="blocks"
+                )
                 self._executor_key = key
             x, info = _schur_solve(self._assembler, self._options, self._executor)
         elif method == "schur_p":
@@ -1042,40 +1044,51 @@ def _level_eliminate_core2(
             w_node = jnp.where(pp >= 0, w_pairs[jnp.where(pp >= 0, pp, 0)], 0.0)
     else:
         w_node = jnp.zeros(B, dt)
-    par = jnp.asarray(lp.parent_pos)
-
     offs = lp.level_offsets
     L = len(offs) - 1
+    # Per-level arrays instead of one carried (B, 2) buffer: updating a
+    # carried array with dynamic_update_slice forces XLA to COPY the whole
+    # buffer every level (O(B·L) traffic and two extra kernels per level,
+    # measured as ~1/3 of the λ-stage device time); per-level pieces make
+    # the parent update a plain fused add with no slice/update/copy at all.
+    dr_lev = [
+        jax.lax.slice_in_dim(dr, int(offs[lev]), int(offs[lev + 1]), axis=0)
+        for lev in range(L)
+    ]
+    w_lev = [
+        jax.lax.slice_in_dim(w_node, int(offs[lev]), int(offs[lev + 1]), axis=0)
+        for lev in range(L)
+    ]
     saved = []
     # forward: deepest level first
     for lev in range(L - 1, 0, -1):
         o, o1, op, op1 = int(offs[lev]), int(offs[lev + 1]), int(offs[lev - 1]), int(offs[lev])
-        n, npar = o1 - o, op1 - op
-        blk = jax.lax.dynamic_slice(dr, (o, 0), (n, 2))
+        npar = op1 - op
+        blk = dr_lev[lev]
         db, rb = blk[:, 0], blk[:, 1]
-        w = jax.lax.dynamic_slice(w_node, (o,), (n,))
+        w = w_lev[lev]
         seg_host = lp.parent_pos[o:o1] - op  # sorted by construction
         factor = w / db
         upd = _segsum_sorted(
             jnp.stack([-w * factor, factor * rb], axis=-1), seg_host, npar
         )
-        dr = jax.lax.dynamic_update_slice(
-            dr, jax.lax.dynamic_slice(dr, (op, 0), (npar, 2)) + upd, (op, 0)
-        )
-        saved.append((lev, o, n, db, rb, w))
+        dr_lev[lev - 1] = dr_lev[lev - 1] + upd
+        saved.append((lev, o, db, rb, w))
 
     # roots (level 0): no parents
-    o0, n0 = int(offs[0]), int(offs[1]) - int(offs[0])
-    blk0 = jax.lax.dynamic_slice(dr, (o0, 0), (n0, 2))
-    lam = jnp.zeros(B, dtype=dt)
-    lam = jax.lax.dynamic_update_slice(lam, blk0[:, 1] / blk0[:, 0], (o0,))
+    blk0 = dr_lev[0]
+    lam_lev: list = [None] * L
+    lam_lev[0] = blk0[:, 1] / blk0[:, 0]
     # back-substitution: root-down (parent lookups are host-static per
     # level — structured maps become slices/broadcasts, not gathers)
-    for lev, o, n, db, rb, w in reversed(saved):
-        lam_par = _structured_take(lam, lp.parent_pos[o : o + n])
+    for lev, o, db, rb, w in reversed(saved):
+        o1 = int(offs[lev + 1])
+        par_local = lp.parent_pos[o:o1] - int(offs[lev - 1])
+        lam_par = _structured_take(lam_lev[lev - 1], par_local)
         if lam_par is None:
-            lam_par = lam[jax.lax.dynamic_slice(par, (o,), (n,))]
-        lam = jax.lax.dynamic_update_slice(lam, (rb + w * lam_par) / db, (o,))
+            lam_par = lam_lev[lev - 1][jnp.asarray(par_local)]
+        lam_lev[lev] = (rb + w * lam_par) / db
+    lam = lam_lev[0] if L == 1 else jnp.concatenate(lam_lev)
     unperm = _structured_take(lam, lp.perm)
     return unperm if unperm is not None else lam[jnp.asarray(lp.perm)]
 
@@ -1189,6 +1202,7 @@ def build_schur_executor(
     jit: bool = True,
     inputs: str = "coefficients",
     elide_zero_f: bool = True,
+    outputs: str = "flat",
 ):
     """Build the (optionally jitted) end-to-end Schur solve.
 
@@ -1212,6 +1226,14 @@ def build_schur_executor(
             ignores its ``f_data`` argument).  Pass ``False`` when the
             executor will be fed varying ``f`` values (e.g. vmapped source
             sweeps).
+        outputs: ``"flat"`` — executor returns ``(x, iters, residual,
+            rhs_norm, finite)`` with ``x`` the global block vector (the
+            reference's PETSc-vector layout; costs a device relayout +
+            concat pass over all dofs).  ``"blocks"`` — returns
+            ``(q_T, p_T, lam, iters, residual, rhs_norm, finite)`` with
+            the solution in j-major device blocks (see
+            :func:`_solution_blocks_T`): the fast serving contract, used
+            by :class:`Solver` and the benchmark.
     """
     mesh = asm.network
     B = mesh.num_multipliers
@@ -1334,6 +1356,14 @@ def build_schur_executor(
             iters = jnp.zeros((), dtype=jnp.int32)
             residual = jnp.zeros(())
             rhs_norm = jnp.zeros(())
+        if outputs == "blocks":
+            q_T, p_T, lam_b = _solution_blocks_T(asm, ed, lam)
+            finite = (
+                jnp.all(jnp.isfinite(q_T))
+                & jnp.all(jnp.isfinite(p_T))
+                & jnp.all(jnp.isfinite(lam_b))
+            )
+            return q_T, p_T, lam_b, iters, residual, rhs_norm, finite
         x = _schur_back_substitute(asm, ed, lam)
         finite = jnp.all(jnp.isfinite(x))
         return x, iters, residual, rhs_norm, finite
@@ -1416,8 +1446,15 @@ def _schur_solve(
             "undetermined)"
         )
     if executor is None:
-        executor = build_schur_executor(asm, opts, jit=False)
-    x, iters, residual, rhs_norm, finite = executor(*asm.schur_arguments())
+        executor = build_schur_executor(asm, opts, jit=False, outputs="blocks")
+    out = executor(*asm.schur_arguments())
+    if len(out) == 7:
+        # blocks contract: flatten on the host (numpy view-transpose; no
+        # device relayout/concat pass — see _solution_blocks_T)
+        q_T, p_T, lam, iters, residual, rhs_norm, finite = out
+        x = _flatten_blocks_host(q_T, p_T, lam, asm.network.edge_color)
+    else:
+        x, iters, residual, rhs_norm, finite = out
     residual = float(residual)
     converged = (
         residual <= max(opts.rtol * float(rhs_norm) * 10, opts.atol, 1e-9)
@@ -1512,6 +1549,78 @@ def _backsub_from_lambda(
             [cell_block.reshape(E, N * k), q_chain[:, -1:]], axis=1
         )
     return q_edge, p_cells
+
+
+def _solution_blocks_T(
+    asm: _assembly.HydraulicNetworkAssembler, ed: _EdgeData, lam: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Solution as j-major device blocks: ``(q_T (k·N+1, E), p_T (N, E), λ)``.
+
+    The TPU-native output layout: edges run along the 128-wide lane axis.
+    The edge-major ``(E, m)`` form with m ≈ N pads every (8, 128) tile to
+    128 lanes (≈3× wasted HBM write traffic for the benchmark N=40), and
+    the flat global vector costs a further physical relayout plus a concat
+    pass — measured 2.74 ms → 0.30 ms for the 16-generation benchmark
+    tail on a v5e chip.  Both blocks keep EDGE-MAJOR columns (edge id
+    order): the global flux dof order wants edges color-sorted, but the
+    greedy coloring's permutation is unstructured, and a device gather of
+    even the (E,) per-edge scalars serializes on TPU (measured 2×0.88 ms
+    at E=65535 — would dominate the whole solve).  The host applies the
+    color permutation during flatten instead (a numpy fancy-index on the
+    pulled array)."""
+    mesh = asm.network
+    k, N = asm.flux_degree, mesh.N
+    host_bifs = (np.asarray(asm._edge_start_bif), np.asarray(asm._edge_end_bif))
+
+    if ed.ua is not None and k == 1:
+        # Uniform closed forms, natively j-major.
+        dt = ed.W.dtype
+        sb, eb = host_bifs
+        lam_s = _structured_take(lam, sb)
+        lam_t = _structured_take(lam, eb)
+        if lam_s is None or lam_t is None:
+            lam_pad = jnp.concatenate([lam, jnp.zeros(1, dtype=dt)])
+            if lam_s is None:
+                lam_s = lam_pad[ed.start_bif]
+            if lam_t is None:
+                lam_t = lam_pad[ed.end_bif]
+        r0 = jnp.where(ed.start_bif >= 0, lam_s, -ed.start_pbc)
+        rN = jnp.where(ed.end_bif >= 0, -lam_t, ed.end_pbc)
+        q0 = (r0 + rN - ed.g) / ed.W
+        a, F = ed.ua, ed.uF
+        j = jnp.arange(N + 1, dtype=dt)
+        q_T = q0[None, :] + F[None, :] * j[:, None]
+        c = jnp.arange(N, dtype=dt)
+        p_T = (
+            r0[None, :]
+            - (a * q0)[None, :] * (c + 0.5)[:, None]
+            - (a * F)[None, :] * (c * c / 2.0 + (3.0 * c + 1.0) / 6.0)[:, None]
+        )
+        return q_T, p_T, lam
+
+    q_edge, p_cells = _backsub_from_lambda(ed, lam, k, N, host_bifs=host_bifs)
+    return q_edge.T, p_cells.T, lam
+
+
+def _flatten_blocks_host(
+    q_T: jnp.ndarray,
+    p_T: jnp.ndarray,
+    lam: jnp.ndarray,
+    edge_color: np.ndarray | None = None,
+) -> np.ndarray:
+    """Host-side global block vector from j-major, edge-major device blocks.
+
+    ``edge_color``: per-edge colors; when given (and non-trivial), flux
+    columns are re-ordered into the color-sorted global dof layout on the
+    host — the unstructured permutation that would serialize as a device
+    gather."""
+    q = np.asarray(q_T).T  # (E, m) view-transpose
+    if edge_color is not None:
+        E = q.shape[0]
+        perm = np.lexsort((np.arange(E), np.asarray(edge_color)))
+        if not np.array_equal(perm, np.arange(E)):
+            q = q[perm]
+    return np.concatenate([q.ravel(), np.asarray(p_T).T.ravel(), np.asarray(lam)])
 
 
 def _schur_back_substitute(

@@ -393,3 +393,40 @@ def test_solve_sweep_batched_f_over_zero_f_forms():
         M = mesh.num_edge_colors
         p_sweep = np.asarray(res.x[s, offs[M] : offs[M + 1]])
         np.testing.assert_allclose(p_sweep, ref[-2].values, atol=1e-9)
+
+
+@pytest.mark.parametrize("uniform", [True, False])
+def test_blocks_executor_matches_flat(uniform: bool):
+    """outputs="blocks" (j-major serving contract) must equal the flat
+    global vector elementwise, for both the uniform closed-form path and
+    the generic per-cell condensation path."""
+    from networks_fenicsx_tpu.solver import (
+        SolverOptions,
+        _flatten_blocks_host,
+        build_schur_executor,
+    )
+
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3)
+    asm = HydraulicNetworkAssembler(mesh)
+    rng = np.random.default_rng(7)
+    if uniform:
+        R = rng.uniform(0.5, 2.0, mesh.num_edges)  # per-edge -> uniform path
+    else:
+        R = rng.uniform(0.5, 2.0, mesh.num_cells)  # per-cell -> generic path
+    asm.compute_forms(p_bc_ex=lambda x: x[0] + x[1], f=1.3, R=R)
+
+    flat = build_schur_executor(asm, SolverOptions(), jit=False)
+    blocks = build_schur_executor(asm, SolverOptions(), jit=False, outputs="blocks")
+    args = asm.schur_arguments()
+    x, _, _, _, finite_f = flat(*args)
+    q_T, p_T, lam, _, _, _, finite_b = blocks(*args)
+    assert q_T.shape == (mesh.N + 1, mesh.num_edges)
+    assert p_T.shape == (mesh.N, mesh.num_edges)
+    np.testing.assert_allclose(
+        _flatten_blocks_host(q_T, p_T, lam, mesh.edge_color),
+        np.asarray(x),
+        rtol=0,
+        atol=1e-14,
+    )
+    assert bool(finite_f) and bool(finite_b)
