@@ -118,10 +118,14 @@ def main() -> None:
     args = jax.device_put(asm.schur_arguments())
     jax.block_until_ready(args)
     K = int(os.environ.get("NXFX_BENCH_PIPELINE", "16"))
-    t0 = time.perf_counter()
-    outs = [executor(*args) for _ in range(K)]
-    np.asarray(outs[-1][0][:1, :1])  # one sync for the whole batch
-    t_pipe = (time.perf_counter() - t0) / K
+    # The tunnel's dispatch/sync cost is noisy run-to-run; take the best
+    # of several rounds (first round also absorbs any residual warmup).
+    t_pipe = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [executor(*args) for _ in range(K)]
+        np.asarray(outs[-1][0][:1, :1])  # one sync for the whole batch
+        t_pipe = min(t_pipe, (time.perf_counter() - t0) / K)
     pipe_dofs_per_sec = n_dofs / t_pipe
     log(f"pipelined x{K}: {t_pipe * 1e3:.2f} ms/solve "
         f"-> {pipe_dofs_per_sec:.3e} dofs/s steady-state")

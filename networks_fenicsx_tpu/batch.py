@@ -23,16 +23,51 @@ __all__ = ["SweepResult", "solve_sweep"]
 
 
 class SweepResult:
-    """Solutions of a coefficient sweep: ``x`` has shape (S, num_dofs) in
-    the global block layout ``[q_0..q_{M-1}, p, λ]``."""
+    """Solutions of a coefficient sweep.
 
-    def __init__(self, assembler: HydraulicNetworkAssembler, x: jnp.ndarray):
+    Device-side the solutions live as j-major blocks (``q_T`` (S, k·N+1, E),
+    ``p_T`` (S, N, E), ``lam`` (S, B) — see ``_solution_blocks_T``); the
+    flat ``(S, num_dofs)`` global layout ``[q_0..q_{M-1}, p, λ]`` is
+    materialised lazily on the host at first ``.x`` access (the color-sort
+    permutation and relayout would serialize as device gathers)."""
+
+    def __init__(
+        self,
+        assembler: HydraulicNetworkAssembler,
+        x: jnp.ndarray | None = None,
+        blocks: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    ):
         self.assembler = assembler
-        self.x = x
+        self._x = x
+        self.blocks = blocks
+        if x is None and blocks is None:
+            raise ValueError("provide x or blocks")
+
+    @property
+    def x(self) -> np.ndarray | jnp.ndarray:
+        if self._x is None:
+            q_T, p_T, lam = self.blocks
+            S = q_T.shape[0]
+            q = np.asarray(q_T).transpose(0, 2, 1)  # (S, E, m)
+            E = q.shape[1]
+            color = np.asarray(self.assembler.network.edge_color)
+            perm = np.lexsort((np.arange(E), color))
+            if not np.array_equal(perm, np.arange(E)):
+                q = q[:, perm]
+            self._x = np.concatenate(
+                [
+                    q.reshape(S, -1),
+                    np.asarray(p_T).transpose(0, 2, 1).reshape(S, -1),
+                    np.asarray(lam),
+                ],
+                axis=1,
+            )
+        return self._x
 
     @property
     def num_scenarios(self) -> int:
-        return int(self.x.shape[0])
+        src = self._x if self._x is not None else self.blocks[0]
+        return int(src.shape[0])
 
     def block(self, i: int) -> jnp.ndarray:
         """All scenarios of solution block ``i``: shape (S, block_size)."""
@@ -142,18 +177,19 @@ def solve_sweep(
         # A batched f must flow through the executor's f argument — the
         # zero-source program variant would silently ignore it.
         executor = build_schur_executor(
-            asm, opts, jit=False, elide_zero_f=(f is None)
+            asm, opts, jit=False, elide_zero_f=(f is None), outputs="blocks"
         )
 
         def one(Ra, fa, spa, epa):
-            return executor(Ra, fa, spa, epa)[0]
+            q_T, p_T, lam, *_ = executor(Ra, fa, spa, epa)
+            return q_T, p_T, lam
 
         batched = jax.jit(jax.vmap(one, in_axes=in_axes))
         cache[key] = batched
-    x = batched(
+    blocks = batched(
         jnp.asarray(R) if R is not None else base_R,
         jnp.asarray(f) if f is not None else base_f,
         sp_batch if sp_batch is not None else base_sp,
         ep_batch if ep_batch is not None else base_ep,
     )
-    return SweepResult(asm, x)
+    return SweepResult(asm, blocks=blocks)
