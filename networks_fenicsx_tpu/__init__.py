@@ -30,7 +30,7 @@ from . import batch, network_generation, post_processing  # noqa: E402
 from .batch import solve_sweep  # noqa: E402
 from .assembly import HydraulicNetworkAssembler, PressureFunction, compute_integration_data  # noqa: E402
 from .function import FunctionSpace, NetworkFunction  # noqa: E402
-from .mesh import NetworkMesh, color_graph  # noqa: E402
+from .mesh import ArrayNetwork, NetworkMesh, color_graph  # noqa: E402
 from .solver import Solver  # noqa: E402
 from .utils.config import ShardingOptions, SolverOptions  # noqa: E402
 
@@ -44,6 +44,7 @@ __all__ = [
     "compute_integration_data",
     "FunctionSpace",
     "NetworkFunction",
+    "ArrayNetwork",
     "color_graph",
     "SolverOptions",
     "ShardingOptions",

@@ -41,7 +41,56 @@ import numpy.typing as npt
 
 from .utils.timing import timed
 
-__all__ = ["NetworkMesh", "color_graph", "fast_greedy_edge_coloring", "SubmeshView", "MeshTags"]
+__all__ = [
+    "ArrayNetwork",
+    "NetworkMesh",
+    "color_graph",
+    "fast_greedy_edge_coloring",
+    "SubmeshView",
+    "MeshTags",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class ArrayNetwork:
+    """Array-native network description accepted by :class:`NetworkMesh`.
+
+    The TPU-native alternative to ``networkx.DiGraph`` for large generated
+    networks: building a 1M-edge DiGraph costs ~35 s of Python object
+    overhead (per-node attribute dicts, per-edge tuples) while the mesh
+    layer immediately converts everything back to flat arrays.  Generators
+    produce this directly with ``arrays=True``.
+
+    Attributes:
+        pos: ``(V, gdim)`` float64 node coordinates; node ids are the row
+            indices (contiguous by construction).
+        edges: ``(E, 2)`` integer directed edges ``(u, v)``.
+        radius: Optional ``(E,)`` per-edge radius (arterial trees).
+    """
+
+    pos: npt.NDArray[np.float64]
+    edges: npt.NDArray[np.int64]
+    radius: npt.NDArray[np.float64] | None = None
+
+    def number_of_nodes(self) -> int:
+        return int(np.asarray(self.pos).shape[0])
+
+    def number_of_edges(self) -> int:
+        return int(np.asarray(self.edges).shape[0])
+
+    def to_networkx(self) -> nx.DiGraph:
+        """Materialise the equivalent ``networkx.DiGraph`` (slow at scale)."""
+        G = nx.DiGraph()
+        pos = np.asarray(self.pos, dtype=np.float64)
+        G.add_nodes_from((i, {"pos": pos[i].tolist()}) for i in range(pos.shape[0]))
+        if self.radius is not None:
+            G.add_edges_from(
+                (int(u), int(v), {"radius": float(r)})
+                for (u, v), r in zip(np.asarray(self.edges), np.asarray(self.radius))
+            )
+        else:
+            G.add_edges_from((int(u), int(v)) for u, v in np.asarray(self.edges))
+        return G
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,62 +223,109 @@ class NetworkMesh:
         self._create_lm_view()
 
     # ------------------------------------------------------------------ build
-    @timed("nxfx:NetworkMesh:build_mesh")
-    def _build_mesh(self, graph: nx.DiGraph, color_strategy) -> None:
-        if not isinstance(graph, nx.DiGraph):
-            raise TypeError("graph must be a networkx.DiGraph")
-        V = graph.number_of_nodes()
-        E = graph.number_of_edges()
-        if E == 0:
-            raise ValueError("graph has no edges")
-        if set(graph.nodes()) != set(range(V)):
-            raise ValueError(
-                "graph node ids must be contiguous integers 0..V-1 "
-                "(use networkx.convert_node_labels_to_integers first)"
-            )
-        N = self._N
+    @staticmethod
+    def _color_edge_array(
+        graph, edges: np.ndarray, V: int, color_strategy
+    ) -> np.ndarray:
+        """Edge colors as an (E,) array from array inputs.
 
-        pos0 = np.asarray(graph.nodes[0]["pos"], dtype=np.float64)
-        gdim = pos0.shape[0]
-        node_coords = np.empty((V, gdim), dtype=np.float64)
-        for v in graph.nodes():
-            node_coords[v] = graph.nodes[v]["pos"]
-
-        edges = np.asarray(list(graph.edges()), dtype=np.int64).reshape(E, 2)
+        ``"fast"`` uses the native C++ greedy sweep (ctypes; see
+        ``native/netgraph.cpp``) with a pure-Python bitmask sweep as
+        fallback; ``None`` is one color per edge (reference semantics);
+        networkx strategies fall back to the line-graph path (materialising
+        a DiGraph first for :class:`ArrayNetwork` inputs — slow at scale).
+        """
+        E = edges.shape[0]
+        if color_strategy is None:
+            return np.arange(E, dtype=np.int32)
         if color_strategy == "fast":
-            # Native C++ greedy coloring (ctypes; see native/netgraph.cpp),
-            # with the pure-Python sweep as fallback — avoids both the
-            # line-graph materialisation and the Python dict roundtrip.
             from . import _native
 
             colors = _native.color_edges(edges, V)
             if colors is not None:
-                edge_color = colors.astype(np.int32)
-            else:
-                coloring = fast_greedy_edge_coloring(graph)
-                edge_color = np.asarray(
-                    [coloring[(int(u), int(v))] for u, v in edges], dtype=np.int32
-                )
-        else:
-            coloring = color_graph(graph, color_strategy)
-            # Undirected line-graph coloring may key edges in either orientation.
-            edge_color = np.asarray(
-                [
-                    coloring.get((int(u), int(v)), coloring.get((int(v), int(u))))
-                    for u, v in edges
-                ],
-                dtype=np.int32,
-            )
-        num_colors = int(edge_color.max()) + 1
+                return colors.astype(np.int32)
+            used: dict[int, int] = {}
+            out = np.empty(E, dtype=np.int32)
+            for i in range(E):
+                u, v = int(edges[i, 0]), int(edges[i, 1])
+                mask = used.get(u, 0) | used.get(v, 0)
+                color = (~mask & (mask + 1)).bit_length() - 1
+                bit = 1 << color
+                used[u] = used.get(u, 0) | bit
+                used[v] = used.get(v, 0) | bit
+                out[i] = color
+            return out
+        if isinstance(graph, ArrayNetwork):
+            graph = graph.to_networkx()
+        coloring = color_graph(graph, color_strategy)
+        return np.asarray(
+            [
+                coloring.get((int(u), int(v)), coloring.get((int(v), int(u))))
+                for u, v in edges
+            ],
+            dtype=np.int32,
+        )
 
-        # Optional per-edge radius attribute (arterial trees).
-        try:
-            radii = np.asarray(
-                [graph.edges[int(u), int(v)]["radius"] for u, v in edges],
-                dtype=np.float64,
+    @timed("nxfx:NetworkMesh:build_mesh")
+    def _build_mesh(self, graph: nx.DiGraph | ArrayNetwork, color_strategy) -> None:
+        N = self._N
+        if isinstance(graph, ArrayNetwork):
+            node_coords = np.asarray(graph.pos, dtype=np.float64)
+            edges = np.asarray(graph.edges, dtype=np.int64)
+            V, E = node_coords.shape[0], edges.shape[0]
+            if E == 0:
+                raise ValueError("graph has no edges")
+            if edges.size and (edges.min() < 0 or edges.max() >= V):
+                raise ValueError("edge endpoint out of range 0..V-1")
+            gdim = node_coords.shape[1]
+            radii = (
+                np.asarray(graph.radius, dtype=np.float64)
+                if graph.radius is not None
+                else None
             )
-        except KeyError:
-            radii = None
+            edge_color = self._color_edge_array(graph, edges, V, color_strategy)
+        elif isinstance(graph, nx.DiGraph):
+            V = graph.number_of_nodes()
+            E = graph.number_of_edges()
+            if E == 0:
+                raise ValueError("graph has no edges")
+            if set(graph.nodes()) != set(range(V)):
+                raise ValueError(
+                    "graph node ids must be contiguous integers 0..V-1 "
+                    "(use networkx.convert_node_labels_to_integers first)"
+                )
+            pos0 = np.asarray(graph.nodes[0]["pos"], dtype=np.float64)
+            gdim = pos0.shape[0]
+            node_coords = np.empty((V, gdim), dtype=np.float64)
+            for v in graph.nodes():
+                node_coords[v] = graph.nodes[v]["pos"]
+
+            edges = np.asarray(list(graph.edges()), dtype=np.int64).reshape(E, 2)
+            if color_strategy == "fast":
+                edge_color = self._color_edge_array(graph, edges, V, "fast")
+            else:
+                coloring = color_graph(graph, color_strategy)
+                # Undirected line-graph coloring may key edges in either
+                # orientation.
+                edge_color = np.asarray(
+                    [
+                        coloring.get((int(u), int(v)), coloring.get((int(v), int(u))))
+                        for u, v in edges
+                    ],
+                    dtype=np.int32,
+                )
+
+            # Optional per-edge radius attribute (arterial trees).
+            try:
+                radii = np.asarray(
+                    [graph.edges[int(u), int(v)]["radius"] for u, v in edges],
+                    dtype=np.float64,
+                )
+            except KeyError:
+                radii = None
+        else:
+            raise TypeError("graph must be a networkx.DiGraph or ArrayNetwork")
+        num_colors = int(edge_color.max()) + 1
 
         # Degree-based node classification (reference mesh.py:182-187).
         degree = np.zeros(V, dtype=np.int64)

@@ -23,9 +23,10 @@ import networkx as nx
 import numpy as np
 import numpy.typing as npt
 
+from .mesh import ArrayNetwork
 from .utils.timing import timed
 
-__all__ = ["make_tree", "make_arterial_tree", "make_grid"]
+__all__ = ["ArrayNetwork", "make_tree", "make_arterial_tree", "make_grid"]
 
 
 def _binary_tree_edges(num_nodes: int) -> np.ndarray:
@@ -46,7 +47,9 @@ def _binary_tree_edges(num_nodes: int) -> np.ndarray:
 
 
 @timed("nxfx:make_tree")
-def make_tree(n: int, H: float, W: float, dim: int = 3) -> nx.DiGraph:
+def make_tree(
+    n: int, H: float, W: float, dim: int = 3, arrays: bool = False
+) -> nx.DiGraph | ArrayNetwork:
     """Generate a symmetric binary tree rooted at the origin.
 
     Layout matches the reference (``network_generation.py:42-100``): the root
@@ -59,6 +62,9 @@ def make_tree(n: int, H: float, W: float, dim: int = 3) -> nx.DiGraph:
         H: Height of the tree.
         W: Width of the tree at its largest extent.
         dim: Geometric dimension of the node coordinates (2 or 3).
+        arrays: Return an :class:`ArrayNetwork` instead of a DiGraph —
+            identical numbering/geometry, no Python-object cost (a 2^20-edge
+            DiGraph costs ~35 s to build; the arrays are free).
     """
     if n < 1:
         raise ValueError("Number of generations must be at least 1")
@@ -85,6 +91,8 @@ def make_tree(n: int, H: float, W: float, dim: int = 3) -> nx.DiGraph:
             coords[node : node + count, 1] = y_pitch * (gen + 1)
             node += count
 
+    if arrays:
+        return ArrayNetwork(pos=coords, edges=_binary_tree_edges(num_nodes))
     G = nx.DiGraph()
     G.add_nodes_from(range(num_nodes))
     for i in range(num_nodes):
@@ -94,7 +102,9 @@ def make_tree(n: int, H: float, W: float, dim: int = 3) -> nx.DiGraph:
 
 
 @timed("nxfx:make_grid")
-def make_grid(nx_cells: int, ny_cells: int, W: float = 1.0, H: float = 1.0) -> nx.DiGraph:
+def make_grid(
+    nx_cells: int, ny_cells: int, W: float = 1.0, H: float = 1.0, arrays: bool = False
+) -> nx.DiGraph | ArrayNetwork:
     """Rectangular lattice network with one inlet and one outlet stub.
 
     A fully cyclic topology (capillary-mesh style) complementing the
@@ -109,9 +119,40 @@ def make_grid(nx_cells: int, ny_cells: int, W: float = 1.0, H: float = 1.0) -> n
     """
     if nx_cells < 2 or ny_cells < 2:
         raise ValueError("grid needs at least 2 nodes per side")
-    G = nx.DiGraph()
     dx = W / (nx_cells - 1)
     dy = H / (ny_cells - 1)
+
+    if arrays:
+        # Identical node numbering (row-major) and edge order (per node in
+        # row-major order: right edge then up edge) as the DiGraph path.
+        k = np.arange(nx_cells * ny_cells, dtype=np.int64)
+        i, j = k % nx_cells, k // nx_cells
+        cand = np.stack(
+            [np.stack([k, k + 1], axis=1), np.stack([k, k + nx_cells], axis=1)],
+            axis=1,
+        ).reshape(-1, 2)
+        valid = np.stack([i + 1 < nx_cells, j + 1 < ny_cells], axis=1).reshape(-1)
+        inlet = nx_cells * ny_cells
+        outlet = inlet + 1
+        # DiGraph.edges() iterates grouped by source-node id: the outlet
+        # stub (source = last core node) precedes the inlet stub.
+        edges = np.concatenate(
+            [
+                cand[valid],
+                np.array(
+                    [[nx_cells * ny_cells - 1, outlet], [inlet, 0]], dtype=np.int64
+                ),
+            ]
+        )
+        pos = np.concatenate(
+            [
+                np.stack([i * dx, j * dy], axis=1),
+                np.array([[-dx, 0.0], [W + dx, H]]),
+            ]
+        )
+        return ArrayNetwork(pos=pos, edges=edges)
+
+    G = nx.DiGraph()
 
     def nid(i: int, j: int) -> int:
         return j * nx_cells + i
@@ -180,7 +221,8 @@ def _make_arterial_tree_vectorized(
     D0: float,
     lmbda: float,
     gamma: float,
-) -> nx.DiGraph:
+    arrays: bool = False,
+) -> nx.DiGraph | ArrayNetwork:
     """Generation-batched arterial tree for the default (deterministic,
     xy-plane-normal) configuration: the per-vessel Python loop becomes a
     handful of array ops per generation (65k-vessel trees build in well
@@ -188,9 +230,9 @@ def _make_arterial_tree_vectorized(
     z = np.array([0.0, 0.0, 1.0])
     p1 = p0 + D0 * lmbda * direction / np.linalg.norm(direction)
 
-    node_pos = [p0, p1]
-    edges: list[tuple[int, int]] = [(0, 1)]
-    radii: list[float] = [D0 / 2]
+    pos_chunks = [np.stack([p0, p1])]
+    edge_chunks = [np.array([[0, 1]], dtype=np.int64)]
+    radii_chunks = [np.array([D0 / 2])]
 
     starts = p0[None, :]
     ends = p1[None, :]
@@ -227,23 +269,30 @@ def _make_arterial_tree_vectorized(
             tips.append(ends + (lmbda * Dd)[:, None] * newdir)
 
         # interleave children in reference order: per parent, daughter1 then
-        # daughter2
-        child_nodes = next_node + np.arange(2 * M)
-        for i in range(M):
-            for j, (tip, Dd) in enumerate(((tips[0], D1), (tips[1], D2))):
-                node_pos.append(tip[i])
-                edges.append((int(parent_tip[i]), int(child_nodes[2 * i + j])))
-                radii.append(float(Dd[i]) / 2)
+        # daughter2 — all array ops (the per-parent Python loop was itself a
+        # scaling bottleneck at deep generations)
+        child_nodes = next_node + np.arange(2 * M, dtype=np.int64)
+        new_pos = np.stack([tips[0], tips[1]], axis=1).reshape(2 * M, 3)
+        pos_chunks.append(new_pos)
+        edge_chunks.append(
+            np.stack([np.repeat(parent_tip, 2), child_nodes], axis=1)
+        )
+        radii_chunks.append(np.stack([D1, D2], axis=1).reshape(2 * M) / 2.0)
         starts = np.repeat(ends, 2, axis=0)
-        ends = np.stack([tips[0], tips[1]], axis=1).reshape(2 * M, 3)
+        ends = new_pos
         Dp = np.stack([D1, D2], axis=1).reshape(2 * M)
         parent_tip = child_nodes
         next_node += 2 * M
 
+    pos = np.concatenate(pos_chunks)
+    edges = np.concatenate(edge_chunks)
+    radii = np.concatenate(radii_chunks)
+    if arrays:
+        return ArrayNetwork(pos=pos, edges=edges, radius=radii)
     G = nx.DiGraph()
-    G.add_nodes_from((i, {"pos": pos}) for i, pos in enumerate(node_pos))
+    G.add_nodes_from((i, {"pos": p}) for i, p in enumerate(pos))
     G.add_edges_from(
-        (u, v, {"radius": r}) for (u, v), r in zip(edges, radii)
+        (int(u), int(v), {"radius": float(r)}) for (u, v), r in zip(edges, radii)
     )
     return G
 
@@ -259,7 +308,8 @@ def make_arterial_tree(
     normal: Callable[[npt.NDArray[np.floating]], npt.NDArray[np.floating]] = _default_normal,
     random: bool = False,
     seed: int | None = None,
-) -> nx.DiGraph:
+    arrays: bool = False,
+) -> nx.DiGraph | ArrayNetwork:
     """Create an arterial tree following Murray's law.
 
     Daughter diameters satisfy ``D0**3 = D1**3 + D2**3`` with ratio
@@ -283,6 +333,9 @@ def make_arterial_tree(
             if False the larger daughter always takes the second slot.
         seed: Optional RNG seed used when ``random=True`` (extension over the
             reference for reproducible trees).
+        arrays: Return an :class:`ArrayNetwork` instead of a DiGraph
+            (deterministic default-normal configuration only) — identical
+            numbering/geometry with no Python-object cost.
     """
     if gamma > 1:
         raise ValueError("Please choose a gamma lower or equal to 1")
@@ -293,7 +346,14 @@ def make_arterial_tree(
     rng = np.random.default_rng(seed) if seed is not None else None
 
     if not random and normal is _default_normal:
-        return _make_arterial_tree_vectorized(N, p0, direction, D0, lmbda, gamma)
+        return _make_arterial_tree_vectorized(
+            N, p0, direction, D0, lmbda, gamma, arrays=arrays
+        )
+    if arrays:
+        raise ValueError(
+            "arrays=True requires the deterministic default-normal "
+            "configuration (random=False, normal=_default_normal)"
+        )
 
     G = nx.DiGraph()
     root_len = D0 * lmbda
