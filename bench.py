@@ -69,15 +69,23 @@ def main() -> None:
     log(f"dofs: {n_dofs} (flux+pressure+multipliers), backend: {jax.default_backend()}")
 
     opts = SolverOptions()
-    # j-major block outputs: the TPU-native serving contract (no device
-    # relayout/concat pass building the monolithic PETSc-style vector).
-    executor = build_schur_executor(asm, opts, outputs="blocks")
+    # j-major block outputs + blocked-sibling internal layout: the
+    # TPU-native serving contract (no device relayout/concat building the
+    # monolithic PETSc-style vector; no within-lane interleaves anywhere).
+    executor = build_schur_executor(
+        asm, opts, outputs="blocks", internal_layout=True
+    )
+    prepare = getattr(executor, "prepare_args", None)
+    log(f"blocked layout: {'on' if prepare is not None else 'off'}")
 
     def assemble_and_solve(verbose: bool = False):
         t0 = time.perf_counter()
         asm.compute_forms(p_bc_ex=p_bc, R=R)
+        a = asm.schur_arguments(device=prepare is None)
+        if prepare is not None:
+            a = prepare(*a)
         t1 = time.perf_counter()
-        out = executor(*asm.schur_arguments())
+        out = executor(*a)
         jax.block_until_ready(out)
         if verbose:
             t2 = time.perf_counter()
@@ -89,7 +97,11 @@ def main() -> None:
     out = assemble_and_solve()
     from networks_fenicsx_tpu.solver import _flatten_blocks_host
 
-    x = _flatten_blocks_host(out[0], out[1], out[2], mesh.edge_color)
+    x = _flatten_blocks_host(
+        out[0], out[1], out[2], mesh.edge_color,
+        edge_order=getattr(executor, "edge_order", None),
+        bif_order=getattr(executor, "bif_order", None),
+    )
     t_warmup = time.perf_counter() - t0
     log(f"warmup (XLA compile or cache load + d2h init): {t_warmup:.3f}s")
     assert np.all(np.isfinite(x)), "non-finite solution"
@@ -115,7 +127,10 @@ def main() -> None:
     # solve's execution).
     # Coefficients live on device in a serving loop (they are the model
     # state); numpy inputs would re-pay the tunnel h2d transfer per dispatch.
-    args = jax.device_put(asm.schur_arguments())
+    args = asm.schur_arguments(device=prepare is None)
+    if prepare is not None:
+        args = prepare(*args)
+    args = jax.device_put(args)
     jax.block_until_ready(args)
     K = int(os.environ.get("NXFX_BENCH_PIPELINE", "16"))
     # The tunnel's dispatch/sync cost is noisy run-to-run; take the best

@@ -648,18 +648,26 @@ class HydraulicNetworkAssembler:
         f_zero = self._f_mode == "scalar" and float(self._f_data[0]) == 0.0
         return self._R_mode, self._f_mode, f_zero
 
-    def schur_arguments(self):
-        """Device-ready compact arguments for the fused schur executor:
-        ``(R_data, f_data, edge_start_pbc, edge_end_pbc)``."""
+    def schur_arguments(self, device: bool = True):
+        """Compact arguments for the fused schur executor:
+        ``(R_data, f_data, edge_start_pbc, edge_end_pbc)``.
+
+        ``device=False`` returns the host numpy buffers — required by
+        executors that permute args host-side (``prepare_args``): pulling
+        an already-transferred device array back costs a device→host
+        round trip (~45 ms each over the tunneled runtime)."""
+        self._require_forms()
+        host = (
+            self._R_data,
+            self._f_data,
+            self._edge_start_pbc,
+            self._edge_end_pbc,
+        )
+        if not device:
+            return host
         import jax.numpy as _jnp
 
-        self._require_forms()
-        return (
-            _jnp.asarray(self._R_data),
-            _jnp.asarray(self._f_data),
-            _jnp.asarray(self._edge_start_pbc),
-            _jnp.asarray(self._edge_end_pbc),
-        )
+        return tuple(_jnp.asarray(a) for a in host)
 
     @property
     def _cell_mass(self) -> np.ndarray:

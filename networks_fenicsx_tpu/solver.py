@@ -194,7 +194,10 @@ class Solver:
             key = self._assembler.coefficient_modes()
             if self._executor is None or self._executor_key != key:
                 self._executor = build_schur_executor(
-                    self._assembler, self._options, outputs="blocks"
+                    self._assembler,
+                    self._options,
+                    outputs="blocks",
+                    internal_layout=True,
                 )
                 self._executor_key = key
             x, info = _schur_solve(self._assembler, self._options, self._executor)
@@ -1093,6 +1096,278 @@ def _level_eliminate_core2(
     return unperm if unperm is not None else lam[jnp.asarray(lp.perm)]
 
 
+# ======================================================================
+# Blocked-sibling fast path (uniformly-binary forests, k=1, uniform coeffs)
+# ======================================================================
+
+
+class _BlockedLevel(typing.NamedTuple):
+    """One level of the blocked-sibling layout (all arrays host-static)."""
+
+    t_start: int  # internal edge position of this level's in-edge slice
+    m: int  # number of bifurcations at this level
+    o1: int  # internal edge position of the out1 block (m edges)
+    o2: int  # internal edge position of the out2 block (m edges)
+    sub1_bif: bool  # out1 block targets bifurcations (else boundary leaves)
+    sub2_bif: bool
+
+
+class _BlockedPlan(typing.NamedTuple):
+    """Interleave-free elimination layout for uniformly-binary forests.
+
+    Profiling (STATUS.md "blocked-sibling" table) shows the TPU executes
+    within-lane element reordering — adjacent-pair folds, K=2 repeats —
+    at ~2-5 ms per op at B=5e5 f64, while contiguous slices, whole-array
+    adds, broadcasts and concats are ~free.  This plan renumbers
+    bifurcations level-major with, per level, all first-siblings before
+    all second-siblings, and edges as [root in-edges][per level: out1
+    block, out2 block].  Every step of assembly, elimination,
+    back-substitution and the λ→edge expansion then lowers to contiguous
+    slices/adds/concats — no interleave anywhere on device.  The
+    public↔internal permutation is applied host-side (args in
+    ``prepare_args``, outputs in the flatten).
+
+    Applies when every bifurcation has exactly one in-edge and two
+    out-edges and, per level, each sibling block's targets are uniformly
+    bifurcations or uniformly boundary leaves (true for ``make_tree`` and
+    ``make_arterial_tree`` families; anything else falls back to the
+    general level plan).
+    """
+
+    bif_order: np.ndarray  # (B,) internal position -> public bif index
+    edge_order: np.ndarray  # (E,) internal position -> public edge id
+    n_roots: int  # root in-edges occupy internal positions [0, n_roots)
+    levels: tuple  # tuple[_BlockedLevel]
+    bif_offsets: np.ndarray  # (L+1,) internal bif slice bounds per level
+    s_is_bif: np.ndarray  # (E,) internal order: edge source is a bifurcation
+    t_is_bif: np.ndarray  # (E,) internal order: edge target is a bifurcation
+
+
+def _plan_blocked(asm: _assembly.HydraulicNetworkAssembler) -> _BlockedPlan | None:
+    """Build the blocked-sibling plan, or None when the topology is not a
+    uniformly-binary forest."""
+    mesh = asm.network
+    B = mesh.num_multipliers
+    E = mesh.num_edges
+    if B == 0:
+        return None
+    in_data, in_offs = mesh.bif_in_csr
+    out_data, out_offs = mesh.bif_out_csr
+    in_counts = np.diff(in_offs)
+    out_counts = np.diff(out_offs)
+    if not (np.all(in_counts == 1) and np.all(out_counts == 2)):
+        return None
+    in_edge = np.asarray(in_data, dtype=np.int64)  # (B,) one in-edge per bif
+    out_edges = np.asarray(out_data, dtype=np.int64).reshape(B, 2)
+    src_bif = np.asarray(asm._edge_start_bif)  # (E,) -1 for boundary source
+    tgt_bif = np.asarray(asm._edge_end_bif)
+
+    roots = np.flatnonzero(src_bif[in_edge] < 0)  # bifs fed from a boundary
+    if roots.size == 0:
+        return None
+    roots = np.sort(roots)
+
+    bif_order_parts = [roots]
+    edge_order_parts = [in_edge[roots]]
+    levels: list[_BlockedLevel] = []
+    offsets = [0, roots.size]
+    t_start = 0
+    epos = roots.size  # next free internal edge position
+    cur = roots
+    seen = roots.size
+    while cur.size:
+        m = cur.size
+        o1_edges = out_edges[cur, 0]
+        o2_edges = out_edges[cur, 1]
+        t1 = tgt_bif[o1_edges]
+        t2 = tgt_bif[o2_edges]
+        sub1_bif = bool(np.all(t1 >= 0))
+        sub2_bif = bool(np.all(t2 >= 0))
+        if (not sub1_bif and np.any(t1 >= 0)) or (not sub2_bif and np.any(t2 >= 0)):
+            return None  # mixed targets within a sibling block
+        levels.append(
+            _BlockedLevel(
+                t_start=t_start, m=m, o1=epos, o2=epos + m,
+                sub1_bif=sub1_bif, sub2_bif=sub2_bif,
+            )
+        )
+        edge_order_parts.append(o1_edges)
+        edge_order_parts.append(o2_edges)
+        nxt_parts = []
+        if sub1_bif:
+            nxt_parts.append(t1)
+        if sub2_bif:
+            nxt_parts.append(t2)
+        nxt = np.concatenate(nxt_parts) if nxt_parts else np.empty(0, np.int64)
+        # in-edges of the next level are exactly the bif-target sub-blocks,
+        # laid out contiguously right here:
+        t_start = epos if sub1_bif else epos + m
+        epos += 2 * m
+        if nxt.size:
+            bif_order_parts.append(nxt)
+            offsets.append(offsets[-1] + nxt.size)
+            seen += nxt.size
+        cur = nxt
+    bif_order = np.concatenate(bif_order_parts)
+    if seen != B or np.unique(bif_order).size != B:
+        return None  # disconnected bifs (e.g. a separate cycle) — fall back
+    edge_order = np.concatenate(edge_order_parts).astype(np.int64)
+    if edge_order.size != E or np.unique(edge_order).size != E:
+        return None  # uncovered edges (boundary-to-boundary segments)
+    return _BlockedPlan(
+        bif_order=bif_order,
+        edge_order=edge_order,
+        n_roots=int(roots.size),
+        levels=tuple(levels),
+        bif_offsets=np.asarray(offsets, dtype=np.int64),
+        s_is_bif=src_bif[edge_order] >= 0,
+        t_is_bif=tgt_bif[edge_order] >= 0,
+    )
+
+
+def _blocked_eliminate(
+    plan: _BlockedPlan,
+    w: jnp.ndarray,  # (E,) 1/W in INTERNAL edge order
+    const: jnp.ndarray,  # (E,) boundary/source constant, internal order
+    Ftot: jnp.ndarray,  # (E,) total source flux per edge, internal order
+):
+    """λ elimination with every step a contiguous slice/add/concat.
+
+    Returns (lam_levels, lam (B,) internal order, rhs_norm)."""
+    L = len(plan.levels)
+    d_lev: list = [None] * L
+    r_lev: list = [None] * L
+    wn_lev: list = [None] * L  # conductance to parent (in-edge w)
+    # assembly: diag = w(in) + w(out1) + w(out2); rhs = (const+Ftot)(in)
+    #           - const(out1) - const(out2)
+    for l, lv in enumerate(plan.levels):
+        t_sl = jax.lax.slice_in_dim(w, lv.t_start, lv.t_start + lv.m)
+        cF_t = jax.lax.slice_in_dim(const + Ftot, lv.t_start, lv.t_start + lv.m)
+        w1 = jax.lax.slice_in_dim(w, lv.o1, lv.o1 + lv.m)
+        w2 = jax.lax.slice_in_dim(w, lv.o2, lv.o2 + lv.m)
+        c1 = jax.lax.slice_in_dim(const, lv.o1, lv.o1 + lv.m)
+        c2 = jax.lax.slice_in_dim(const, lv.o2, lv.o2 + lv.m)
+        d_lev[l] = t_sl + w1 + w2
+        r_lev[l] = cF_t - c1 - c2
+        wn_lev[l] = t_sl
+    rhs_sq = sum(jnp.sum(r * r) for r in r_lev)
+
+    # forward: deepest level first; children halves add to parents
+    saved: list = [None] * L
+    for l in range(L - 1, 0, -1):
+        lv_par = plan.levels[l - 1]
+        m_par = lv_par.m
+        wn = wn_lev[l]
+        factor = wn / d_lev[l]
+        cd = -wn * factor
+        cr = factor * r_lev[l]
+        if lv_par.sub1_bif and lv_par.sub2_bif:
+            upd_d = cd[:m_par] + cd[m_par:]
+            upd_r = cr[:m_par] + cr[m_par:]
+        else:
+            upd_d, upd_r = cd, cr
+        d_lev[l - 1] = d_lev[l - 1] + upd_d
+        r_lev[l - 1] = r_lev[l - 1] + upd_r
+        saved[l] = (d_lev[l], r_lev[l], wn)
+
+    # backward: parents' λ block-tiles down to children
+    lam_lev: list = [None] * L
+    lam_lev[0] = r_lev[0] / d_lev[0]
+    for l in range(1, L):
+        lv_par = plan.levels[l - 1]
+        lp_ = lam_lev[l - 1]
+        if lv_par.sub1_bif and lv_par.sub2_bif:
+            lam_par = jnp.concatenate([lp_, lp_])
+        else:
+            lam_par = lp_
+        db, rb, wn = saved[l]
+        lam_lev[l] = (rb + wn * lam_par) / db
+    lam = lam_lev[0] if L == 1 else jnp.concatenate(lam_lev)
+    return lam_lev, lam, jnp.sqrt(rhs_sq)
+
+
+def _blocked_lambda_to_edges(
+    plan: _BlockedPlan, lam_lev: list, dt
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-edge (lam_s, lam_t) in INTERNAL edge order — all concats/slices
+    of the per-level λ pieces (the general path's repeat-expansion costs
+    ~1.6 ms at 1M edges; this is free).  Non-bif endpoints carry zeros
+    (masked by the caller via the plan's static masks)."""
+    zeros_root = jnp.zeros(plan.n_roots, dtype=dt)
+    s_parts = [zeros_root]
+    t_parts = [lam_lev[0]]  # root edges target level-0 bifs
+    for l, lv in enumerate(plan.levels):
+        lam_l = lam_lev[l]
+        s_parts.append(lam_l)
+        s_parts.append(lam_l)
+        lam_child = lam_lev[l + 1] if (lv.sub1_bif or lv.sub2_bif) else None
+        if lv.sub1_bif:
+            t_parts.append(jax.lax.slice_in_dim(lam_child, 0, lv.m))
+        else:
+            t_parts.append(jnp.zeros(lv.m, dtype=dt))
+        if lv.sub2_bif:
+            t_parts.append(
+                jax.lax.slice_in_dim(
+                    lam_child, lam_child.shape[0] - lv.m, lam_child.shape[0]
+                )
+            )
+        else:
+            t_parts.append(jnp.zeros(lv.m, dtype=dt))
+    lam_s = jnp.concatenate(s_parts) if len(s_parts) > 1 else s_parts[0]
+    lam_t = jnp.concatenate(t_parts) if len(t_parts) > 1 else t_parts[0]
+    return lam_s, lam_t
+
+
+def _blocked_uniform_solve(
+    asm: _assembly.HydraulicNetworkAssembler,
+    plan: _BlockedPlan,
+    R_data: jnp.ndarray,
+    f_data: jnp.ndarray,
+    start_pbc: jnp.ndarray,
+    end_pbc: jnp.ndarray,
+    R_mode: str,
+    f_mode: str,
+):
+    """Fused condense→eliminate→back-substitute in the blocked layout.
+
+    All runtime args are expected in INTERNAL edge order (host-permuted by
+    ``prepare_args``); outputs come back internal — the host flatten maps
+    them to the public layout."""
+    mesh = asm.network
+    N, E = mesh.N, mesh.num_edges
+    dt = R_data.dtype
+    h_e = jnp.asarray(
+        np.asarray(mesh.edge_length)[plan.edge_order], dtype=dt
+    ) / N
+    R_e = R_data[0] * jnp.ones(E, dt) if R_mode == "scalar" else R_data
+    f_e = f_data[0] * jnp.ones(E, dt) if f_mode == "scalar" else f_data
+    a = R_e * h_e
+    F = f_e * h_e
+    W = a * N
+    Ftot = F * N
+    g = a * F * (N * N / 2.0)
+    w = 1.0 / W
+    s_b = jnp.asarray(plan.s_is_bif)
+    t_b = jnp.asarray(plan.t_is_bif)
+    const = (-start_pbc * (~s_b) + end_pbc * (~t_b) - g) * w
+
+    lam_lev, lam, rhs_norm = _blocked_eliminate(plan, w, const, Ftot)
+    lam_s, lam_t = _blocked_lambda_to_edges(plan, lam_lev, dt)
+
+    r0 = jnp.where(s_b, lam_s, -start_pbc)
+    rN = jnp.where(t_b, -lam_t, end_pbc)
+    q0 = (r0 + rN - g) * w
+    j = jnp.arange(N + 1, dtype=dt)
+    q_T = q0[None, :] + F[None, :] * j[:, None]
+    c = jnp.arange(N, dtype=dt)
+    p_T = (
+        r0[None, :]
+        - (a * q0)[None, :] * (c + 0.5)[:, None]
+        - (a * F)[None, :] * (c * c / 2.0 + (3.0 * c + 1.0) / 6.0)[:, None]
+    )
+    return q_T, p_T, lam, rhs_norm
+
+
 def _tree_schur_solve(
     plan: _TreePlan,
     diag: jnp.ndarray,
@@ -1196,6 +1471,44 @@ def _tree_eliminate(
     return lam
 
 
+class _BlockedExecutor:
+    """Callable wrapper carrying the blocked layout's host-side metadata.
+
+    ``prepare_args`` permutes the public-order coefficient args into the
+    plan's internal edge order (host numpy — done once per coefficient
+    set, off the dispatch path); ``edge_order``/``bif_order`` let the
+    host flatten map outputs back to the public layout."""
+
+    def __init__(self, fn, plan: _BlockedPlan, R_mode: str, f_mode: str):
+        self._fn = fn
+        self.blocked_plan = plan
+        self.edge_order = plan.edge_order
+        self.bif_order = plan.bif_order
+        self._R_mode = R_mode
+        self._f_mode = f_mode
+
+    def __call__(self, *args):
+        return self._fn(*args)
+
+    def lower(self, *args):
+        return self._fn.lower(*args)
+
+    def _permute(self, arr, mode):
+        a = np.asarray(arr)
+        if mode == "scalar":
+            return a
+        return a[self.edge_order]
+
+    def prepare_args(self, R_data, f_data, start_pbc, end_pbc):
+        eo = self.edge_order
+        return (
+            self._permute(R_data, self._R_mode),
+            self._permute(f_data, self._f_mode),
+            np.asarray(start_pbc)[eo],
+            np.asarray(end_pbc)[eo],
+        )
+
+
 def build_schur_executor(
     asm: _assembly.HydraulicNetworkAssembler,
     opts: SolverOptions,
@@ -1203,6 +1516,7 @@ def build_schur_executor(
     inputs: str = "coefficients",
     elide_zero_f: bool = True,
     outputs: str = "flat",
+    internal_layout: bool = False,
 ):
     """Build the (optionally jitted) end-to-end Schur solve.
 
@@ -1274,6 +1588,50 @@ def build_schur_executor(
     # single precision (a fast serving mode on TPU, where f64 is emulated;
     # expect ~1e-5 relative accuracy instead of the f64 contract).
     comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
+
+    # Blocked-sibling fast path (see _BlockedPlan): interleave-free device
+    # program for uniformly-binary forests.  Requires internally-ordered
+    # args, so it only activates when the caller opted in (Solver, bench);
+    # anything outside its topology/coefficient envelope falls back.
+    blocked_plan = None
+    if (
+        internal_layout
+        and outputs == "blocks"
+        and inputs == "coefficients"
+        and schur_method == "tree"
+        and level_plan is not None
+        and asm.flux_degree == 1
+        and R_mode in ("scalar", "edge")
+        and f_mode in ("scalar", "edge")
+    ):
+        blocked_plan = _plan_blocked(asm)
+
+    if blocked_plan is not None:
+        plan = blocked_plan
+
+        def core_blocked(arg0, arg1, start_pbc, end_pbc):
+            arg0 = jnp.asarray(arg0, dtype=comp_dt)
+            arg1 = jnp.asarray(arg1, dtype=comp_dt)
+            start_pbc = jnp.asarray(start_pbc, dtype=comp_dt)
+            end_pbc = jnp.asarray(end_pbc, dtype=comp_dt)
+            q_T, p_T, lam, rhs_norm = _blocked_uniform_solve(
+                asm, plan, arg0, arg1, start_pbc, end_pbc, R_mode, f_mode
+            )
+            finite = (
+                jnp.all(jnp.isfinite(q_T))
+                & jnp.all(jnp.isfinite(p_T))
+                & jnp.all(jnp.isfinite(lam))
+            )
+            iters = jnp.zeros((), dtype=jnp.int32)
+            residual = jnp.zeros((), dtype=comp_dt)
+            return q_T, p_T, lam, iters, residual, rhs_norm, finite
+
+        return _BlockedExecutor(
+            jax.jit(core_blocked) if jit else core_blocked,
+            plan,
+            R_mode,
+            f_mode,
+        )
 
     def _finish(ed):
         """λ solve + back-substitution given condensed edge data."""
@@ -1446,13 +1804,26 @@ def _schur_solve(
             "undetermined)"
         )
     if executor is None:
-        executor = build_schur_executor(asm, opts, jit=False, outputs="blocks")
-    out = executor(*asm.schur_arguments())
+        executor = build_schur_executor(
+            asm, opts, jit=False, outputs="blocks", internal_layout=True
+        )
+    prepare = getattr(executor, "prepare_args", None)
+    args = asm.schur_arguments(device=prepare is None)
+    if prepare is not None:
+        args = prepare(*args)
+    out = executor(*args)
     if len(out) == 7:
         # blocks contract: flatten on the host (numpy view-transpose; no
         # device relayout/concat pass — see _solution_blocks_T)
         q_T, p_T, lam, iters, residual, rhs_norm, finite = out
-        x = _flatten_blocks_host(q_T, p_T, lam, asm.network.edge_color)
+        x = _flatten_blocks_host(
+            q_T,
+            p_T,
+            lam,
+            asm.network.edge_color,
+            edge_order=getattr(executor, "edge_order", None),
+            bif_order=getattr(executor, "bif_order", None),
+        )
     else:
         x, iters, residual, rhs_norm, finite = out
     residual = float(residual)
@@ -1607,20 +1978,38 @@ def _flatten_blocks_host(
     p_T: jnp.ndarray,
     lam: jnp.ndarray,
     edge_color: np.ndarray | None = None,
+    edge_order: np.ndarray | None = None,
+    bif_order: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Host-side global block vector from j-major, edge-major device blocks.
+    """Host-side global block vector from j-major device blocks.
 
     ``edge_color``: per-edge colors; when given (and non-trivial), flux
     columns are re-ordered into the color-sorted global dof layout on the
     host — the unstructured permutation that would serialize as a device
-    gather."""
-    q = np.asarray(q_T).T  # (E, m) view-transpose
+    gather.  ``edge_order``/``bif_order``: the executor's internal→public
+    maps when the blocked layout is active (``_BlockedExecutor``) —
+    composed into the same host fancy-index."""
+    q = np.asarray(q_T).T  # (E, m) view-transpose, rows in executor order
+    p = np.asarray(p_T).T
+    lam_np = np.asarray(lam)
+    E = q.shape[0]
+    if edge_order is not None:
+        inv = np.argsort(edge_order)  # public edge id -> executor row
+        p = p[inv]
+    else:
+        inv = None
     if edge_color is not None:
-        E = q.shape[0]
         perm = np.lexsort((np.arange(E), np.asarray(edge_color)))
-        if not np.array_equal(perm, np.arange(E)):
-            q = q[perm]
-    return np.concatenate([q.ravel(), np.asarray(p_T).T.ravel(), np.asarray(lam)])
+        qidx = perm if inv is None else inv[perm]
+        if not np.array_equal(qidx, np.arange(E)):
+            q = q[qidx]
+    elif inv is not None:
+        q = q[inv]
+    if bif_order is not None:
+        lam_pub = np.empty_like(lam_np)
+        lam_pub[np.asarray(bif_order)] = lam_np
+        lam_np = lam_pub
+    return np.concatenate([q.ravel(), p.ravel(), lam_np])
 
 
 def _schur_back_substitute(

@@ -1,0 +1,122 @@
+"""Blocked-sibling executor fast path: plan structure, equivalence with the
+general path, and fallbacks for out-of-envelope inputs."""
+
+import numpy as np
+import pytest
+
+from networks_fenicsx_tpu import (
+    HydraulicNetworkAssembler,
+    NetworkMesh,
+    Solver,
+    SolverOptions,
+    network_generation,
+)
+from networks_fenicsx_tpu import solver as S
+
+
+def _asm(G, N=3, R=None, f=None, p_bc=lambda x: x[0] + 0.7 * x[1]):
+    mesh = NetworkMesh(G, N=N, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc, f=f, R=R)
+    return mesh, asm
+
+
+def _blocked(asm):
+    return S.build_schur_executor(
+        asm, SolverOptions(), jit=False, outputs="blocks", internal_layout=True
+    )
+
+
+def test_plan_structure_binary_tree():
+    mesh, asm = _asm(network_generation.make_tree(4, 1.0, 2.0))
+    plan = S._plan_blocked(asm)
+    assert plan is not None
+    B, E = mesh.num_multipliers, mesh.num_edges
+    assert np.array_equal(np.sort(plan.bif_order), np.arange(B))
+    assert np.array_equal(np.sort(plan.edge_order), np.arange(E))
+    assert plan.n_roots == 1
+    # level sizes double until the leaf level
+    sizes = np.diff(plan.bif_offsets)
+    assert list(sizes) == [1, 2, 4]
+    last = plan.levels[-1]
+    assert not last.sub1_bif and not last.sub2_bif  # leaves below
+
+
+@pytest.mark.parametrize("maker,kw", [
+    (network_generation.make_tree, dict(n=6, H=1.0, W=2.0)),
+    (network_generation.make_arterial_tree, dict(N=5, direction=np.array([0.1, 1, 0]))),
+])
+def test_blocked_matches_flat(maker, kw):
+    rng = np.random.default_rng(5)
+    G = maker(**kw)
+    mesh, asm = _asm(G, N=4, R=None, f=0.3)
+    asm.compute_forms(
+        p_bc_ex=lambda x: x[1],
+        f=rng.uniform(-1, 1, mesh.num_edges),
+        R=rng.uniform(0.5, 2.0, mesh.num_edges),
+    )
+    ex_b = _blocked(asm)
+    assert isinstance(ex_b, S._BlockedExecutor)
+    ex_f = S.build_schur_executor(asm, SolverOptions(), jit=False)
+    args = asm.schur_arguments()
+    x_flat = np.asarray(ex_f(*args)[0])
+    out = ex_b(*ex_b.prepare_args(*args))
+    x_blk = S._flatten_blocks_host(
+        out[0], out[1], out[2], mesh.edge_color,
+        edge_order=ex_b.edge_order, bif_order=ex_b.bif_order,
+    )
+    scale = max(1.0, np.max(np.abs(x_flat)))
+    np.testing.assert_allclose(x_blk, x_flat, atol=1e-12 * scale)
+    assert bool(out[-1])  # finite flag
+
+
+def test_fallback_on_grid():
+    """Cyclic lattices have in-degree > 1 junctions — plan must decline."""
+    mesh, asm = _asm(network_generation.make_grid(4, 3), N=2)
+    assert S._plan_blocked(asm) is None
+    ex = _blocked(asm)
+    assert not isinstance(ex, S._BlockedExecutor)  # plain executor fallback
+
+
+def test_fallback_on_chain():
+    """Degree-2 chain junctions (out-degree 1) fall back."""
+    import networkx as nx
+
+    G = nx.DiGraph()
+    for i, y in enumerate([0.0, 1.0, 2.0]):
+        G.add_node(i, pos=np.array([0.0, y]))
+    G.add_edge(0, 1)
+    G.add_edge(1, 2)
+    mesh, asm = _asm(G, N=2)
+    assert S._plan_blocked(asm) is None
+    sol = Solver(asm)
+    sol.assemble()
+    out = sol.solve()  # general path still solves it
+    assert np.all(np.isfinite(out[-2].values))
+
+
+def test_fallback_per_cell_coefficients():
+    """Per-cell R is outside the uniform-coefficient envelope."""
+    G = network_generation.make_tree(3, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.ones(mesh.num_cells))
+    ex = _blocked(asm)
+    assert not isinstance(ex, S._BlockedExecutor)
+
+
+def test_solver_uses_blocked_for_trees():
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    s = Solver(asm)
+    s.assemble()
+    sol = s.solve()
+    assert isinstance(s._executor, S._BlockedExecutor)
+    # λ agrees with the analytic-free cross-check via host_lu
+    s2 = Solver(asm, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    sol2 = s2.solve()
+    for a, b in zip(sol, sol2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-9)
