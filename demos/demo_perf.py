@@ -91,8 +91,13 @@ for n in ns:
         assembler.compute_forms(p_bc_ex=p_bc)
 
     opts = SolverOptions()
-    executor = build_schur_executor(assembler, opts, outputs="blocks")
-    args = assembler.schur_arguments()
+    executor = build_schur_executor(
+        assembler, opts, outputs="blocks", internal_layout=True
+    )
+    prepare = getattr(executor, "prepare_args", None)
+    args = assembler.schur_arguments(device=prepare is None)
+    if prepare is not None:
+        args = prepare(*args)
 
     # Compile: first dispatch triggers XLA trace + compile (cold cache —
     # the analog of the reference's FFCx compile with a wiped cache dir).

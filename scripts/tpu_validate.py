@@ -150,6 +150,25 @@ sc = Solver(ac); sc.assemble(); soc = sc.solve()
 err = max(float(np.max(np.abs(a.values-b.values))) for a,b in zip(sou,soc))
 check("uniform-vs-generic-path", err < 1e-10, f"err={err:.1e}")
 
+# 13. blocked-sibling executor == general level-plan executor, on hardware
+from networks_fenicsx_tpu import solver as _S
+from networks_fenicsx_tpu.utils.config import SolverOptions as _SO
+ab = HydraulicNetworkAssembler(m5)
+ab.compute_forms(p_bc_ex=lambda x: x[0] + 0.5 * x[1], R=np.linspace(0.5, 2.0, m5.num_edges), f=0.9)
+exb = _S.build_schur_executor(ab, _SO(), outputs="blocks", internal_layout=True)
+exg = _S.build_schur_executor(ab, _SO(), outputs="blocks")
+is_blocked = isinstance(exb, _S._BlockedExecutor)
+ob = exb(*exb.prepare_args(*ab.schur_arguments(device=False))) if is_blocked else None
+og = exg(*ab.schur_arguments())
+if is_blocked:
+    xb = _S._flatten_blocks_host(ob[0], ob[1], ob[2], m5.edge_color,
+                                 edge_order=exb.edge_order, bif_order=exb.bif_order)
+    xg = _S._flatten_blocks_host(og[0], og[1], og[2], m5.edge_color)
+    err = float(np.max(np.abs(xb - xg)))
+else:
+    err = float("inf")
+check("blocked-vs-general-executor", is_blocked and err < 1e-11, f"err={err:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)
