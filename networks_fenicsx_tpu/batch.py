@@ -36,10 +36,14 @@ class SweepResult:
         assembler: HydraulicNetworkAssembler,
         x: jnp.ndarray | None = None,
         blocks: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+        edge_order: np.ndarray | None = None,
+        bif_order: np.ndarray | None = None,
     ):
         self.assembler = assembler
         self._x = x
         self.blocks = blocks
+        self._edge_order = edge_order
+        self._bif_order = bif_order
         if x is None and blocks is None:
             raise ValueError("provide x or blocks")
 
@@ -49,18 +53,23 @@ class SweepResult:
             q_T, p_T, lam = self.blocks
             S = q_T.shape[0]
             q = np.asarray(q_T).transpose(0, 2, 1)  # (S, E, m)
+            p = np.asarray(p_T).transpose(0, 2, 1)
+            lam_np = np.asarray(lam)
             E = q.shape[1]
             color = np.asarray(self.assembler.network.edge_color)
             perm = np.lexsort((np.arange(E), color))
+            if self._edge_order is not None:
+                inv = np.argsort(self._edge_order)
+                p = p[:, inv]
+                perm = inv[perm]
             if not np.array_equal(perm, np.arange(E)):
                 q = q[:, perm]
+            if self._bif_order is not None:
+                lam_pub = np.empty_like(lam_np)
+                lam_pub[:, np.asarray(self._bif_order)] = lam_np
+                lam_np = lam_pub
             self._x = np.concatenate(
-                [
-                    q.reshape(S, -1),
-                    np.asarray(p_T).transpose(0, 2, 1).reshape(S, -1),
-                    np.asarray(lam),
-                ],
-                axis=1,
+                [q.reshape(S, -1), p.reshape(S, -1), lam_np], axis=1
             )
         return self._x
 
@@ -127,7 +136,6 @@ def solve_sweep(
     opts = options or SolverOptions()
     if asm.network.has_floating_component():
         raise RuntimeError("network has a component with no boundary node")
-    base_R, base_f, base_sp, base_ep = asm.schur_arguments()
 
     sizes = []
     for arr in (R, f, p_bc_node_values):
@@ -140,22 +148,12 @@ def solve_sweep(
         raise ValueError(f"inconsistent batch sizes: {sizes}")
 
     mesh = asm.network
-    if p_bc_node_values is not None:
-        pbv = jnp.asarray(p_bc_node_values)
-        edges = mesh.edges
-        s_is_bnd = jnp.asarray(asm._edge_start_bif < 0)
-        e_is_bnd = jnp.asarray(asm._edge_end_bif < 0)
-        sp_batch = jnp.where(s_is_bnd[None, :], pbv[:, edges[:, 0]], 0.0)
-        ep_batch = jnp.where(e_is_bnd[None, :], pbv[:, edges[:, 1]], 0.0)
-    else:
-        sp_batch = None
-        ep_batch = None
 
     in_axes = (
         0 if R is not None else None,
         0 if f is not None else None,
-        0 if sp_batch is not None else None,
-        0 if ep_batch is not None else None,
+        0 if p_bc_node_values is not None else None,
+        0 if p_bc_node_values is not None else None,
     )
 
     # Cache the traced+compiled batched program on the assembler: repeated
@@ -172,24 +170,57 @@ def solve_sweep(
     cache = getattr(asm, "_sweep_cache", None)
     if cache is None:
         cache = asm._sweep_cache = {}
-    batched = cache.get(key)
-    if batched is None:
+    entry = cache.get(key)
+    if entry is None:
         # A batched f must flow through the executor's f argument — the
         # zero-source program variant would silently ignore it.
         executor = build_schur_executor(
-            asm, opts, jit=False, elide_zero_f=(f is None), outputs="blocks"
+            asm, opts, jit=False, elide_zero_f=(f is None),
+            outputs="blocks", internal_layout=True,
         )
 
         def one(Ra, fa, spa, epa):
             q_T, p_T, lam, *_ = executor(Ra, fa, spa, epa)
             return q_T, p_T, lam
 
-        batched = jax.jit(jax.vmap(one, in_axes=in_axes))
-        cache[key] = batched
+        entry = (jax.jit(jax.vmap(one, in_axes=in_axes)), executor)
+        cache[key] = entry
+    batched, executor = entry
+    edge_order = getattr(executor, "edge_order", None)
+    bif_order = getattr(executor, "bif_order", None)
+    prepare = getattr(executor, "prepare_args", None)
+
+    base_R, base_f, base_sp, base_ep = asm.schur_arguments(device=prepare is None)
+    if prepare is not None:
+        base_R, base_f, base_sp, base_ep = prepare(base_R, base_f, base_sp, base_ep)
+
+    def batch_edge_kind(arr, mode):
+        a = np.asarray(arr)
+        if edge_order is not None and mode != "scalar":
+            a = a[:, edge_order]
+        return jnp.asarray(a)
+
+    if p_bc_node_values is not None:
+        # boundary-pressure expansion in the executor's edge order
+        pbv = jnp.asarray(p_bc_node_values)
+        edges = mesh.edges if edge_order is None else mesh.edges[edge_order]
+        sb = np.asarray(asm._edge_start_bif)
+        eb = np.asarray(asm._edge_end_bif)
+        if edge_order is not None:
+            sb, eb = sb[edge_order], eb[edge_order]
+        sp_batch = jnp.where(jnp.asarray(sb < 0)[None, :], pbv[:, edges[:, 0]], 0.0)
+        ep_batch = jnp.where(jnp.asarray(eb < 0)[None, :], pbv[:, edges[:, 1]], 0.0)
+    else:
+        sp_batch = None
+        ep_batch = None
+
+    R_mode, f_mode, _ = asm.coefficient_modes()
     blocks = batched(
-        jnp.asarray(R) if R is not None else base_R,
-        jnp.asarray(f) if f is not None else base_f,
+        batch_edge_kind(R, R_mode) if R is not None else base_R,
+        batch_edge_kind(f, f_mode) if f is not None else base_f,
         sp_batch if sp_batch is not None else base_sp,
         ep_batch if ep_batch is not None else base_ep,
     )
-    return SweepResult(asm, blocks=blocks)
+    return SweepResult(
+        asm, blocks=blocks, edge_order=edge_order, bif_order=bif_order
+    )

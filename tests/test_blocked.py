@@ -120,3 +120,55 @@ def test_solver_uses_blocked_for_trees():
     sol2 = s2.solve()
     for a, b in zip(sol, sol2):
         np.testing.assert_allclose(a.values, b.values, atol=1e-9)
+
+
+def test_solve_sweep_blocked_matches_individual():
+    """Sweeps route through the blocked executor (schur_method='tree'
+    bypasses the small-B dense override) and match per-scenario solves."""
+    from networks_fenicsx_tpu import solve_sweep
+
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3)
+    asm = HydraulicNetworkAssembler(mesh)
+    R0 = np.linspace(0.5, 2.0, mesh.num_edges)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R0)
+    scales = np.linspace(1.0, 3.0, 4)
+    res = solve_sweep(
+        asm, R=R0[None, :] * scales[:, None],
+        options=SolverOptions(schur_method="tree"),
+    )
+    assert res._edge_order is not None  # blocked layout active
+    xs = np.asarray(res.x)
+    for i in [0, 3]:
+        asm_i = HydraulicNetworkAssembler(mesh)
+        asm_i.compute_forms(p_bc_ex=lambda x: x[1], R=R0 * scales[i])
+        s = Solver(asm_i, options=SolverOptions(method="host_lu"))
+        s.assemble()
+        sol = s.solve()
+        x_i = np.concatenate([np.ravel(fn.values) for fn in sol])
+        np.testing.assert_allclose(xs[i], x_i, atol=1e-9)
+
+
+def test_solve_sweep_blocked_pbc_batch():
+    """Batched boundary pressures compose with the internal edge order."""
+    from networks_fenicsx_tpu import solve_sweep
+
+    G = network_generation.make_tree(3, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.ones(mesh.num_edges))
+    Vg = mesh.num_graph_nodes
+    rng = np.random.default_rng(2)
+    pbv = rng.uniform(-1.0, 1.0, (3, Vg))
+    res = solve_sweep(
+        asm, p_bc_node_values=pbv, options=SolverOptions(schur_method="tree")
+    )
+    assert res._edge_order is not None
+    # reference: the general (dense) sweep path with the same batch
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=lambda x: x[1], R=np.ones(mesh.num_edges))
+    res_ref = solve_sweep(
+        asm2, p_bc_node_values=pbv, options=SolverOptions(schur_method="dense")
+    )
+    assert res_ref._edge_order is None  # general path
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-10)
