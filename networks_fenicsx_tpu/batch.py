@@ -50,26 +50,16 @@ class SweepResult:
     @property
     def x(self) -> np.ndarray | jnp.ndarray:
         if self._x is None:
+            from .solver import _flatten_blocks_host
+
             q_T, p_T, lam = self.blocks
-            S = q_T.shape[0]
-            q = np.asarray(q_T).transpose(0, 2, 1)  # (S, E, m)
-            p = np.asarray(p_T).transpose(0, 2, 1)
-            lam_np = np.asarray(lam)
-            E = q.shape[1]
-            color = np.asarray(self.assembler.network.edge_color)
-            perm = np.lexsort((np.arange(E), color))
-            if self._edge_order is not None:
-                inv = np.argsort(self._edge_order)
-                p = p[:, inv]
-                perm = inv[perm]
-            if not np.array_equal(perm, np.arange(E)):
-                q = q[:, perm]
-            if self._bif_order is not None:
-                lam_pub = np.empty_like(lam_np)
-                lam_pub[:, np.asarray(self._bif_order)] = lam_np
-                lam_np = lam_pub
-            self._x = np.concatenate(
-                [q.reshape(S, -1), p.reshape(S, -1), lam_np], axis=1
+            self._x = _flatten_blocks_host(
+                q_T,
+                p_T,
+                lam,
+                self.assembler.network.edge_color,
+                edge_order=self._edge_order,
+                bif_order=self._bif_order,
             )
         return self._x
 
@@ -195,10 +185,12 @@ def solve_sweep(
         base_R, base_f, base_sp, base_ep = prepare(base_R, base_f, base_sp, base_ep)
 
     def batch_edge_kind(arr, mode):
-        a = np.asarray(arr)
+        # Only touch the host when a permutation is actually needed —
+        # np.asarray on a device-resident batch would force a device→host
+        # round trip per sweep (~45 ms each over the tunneled runtime).
         if edge_order is not None and mode != "scalar":
-            a = a[:, edge_order]
-        return jnp.asarray(a)
+            return jnp.asarray(np.asarray(arr)[:, edge_order])
+        return jnp.asarray(arr)
 
     if p_bc_node_values is not None:
         # boundary-pressure expansion in the executor's edge order

@@ -102,31 +102,40 @@ class MeshTags:
     name: str = ""
 
 
-def fast_greedy_edge_coloring(graph: nx.DiGraph, order: np.ndarray | None = None) -> dict:
-    """Greedy proper edge coloring without materializing the line graph.
-
-    The reference colors edges via ``nx.line_graph`` + ``greedy_color``
-    (reference ``mesh.py:29-42``), which builds an explicit line graph — a
-    scaling bottleneck of the BuildMesh phase at ~65k edges.  This direct
-    sweep keeps a per-node bitmask of used colors and assigns each edge the
-    smallest color absent at both endpoints; adjacent edges (sharing a node)
-    never share a color, which is the property the assembler relies on.
-    """
-    edges = list(graph.edges())
-    if order is None:
-        order = range(len(edges))
+def _greedy_color_edge_array(edges: np.ndarray) -> np.ndarray:
+    """Bitmask greedy sweep over an (E, 2) edge array: each edge gets the
+    smallest color absent at both endpoints (single shared implementation
+    for the DiGraph and ArrayNetwork paths)."""
     used: dict[int, int] = {}
-    coloring: dict[tuple, int] = {}
-    for idx in order:
-        u, v = edges[idx]
+    out = np.empty(edges.shape[0], dtype=np.int32)
+    for i in range(edges.shape[0]):
+        u, v = int(edges[i, 0]), int(edges[i, 1])
         mask = used.get(u, 0) | used.get(v, 0)
         # Lowest unset bit of the combined mask.
         color = (~mask & (mask + 1)).bit_length() - 1
         bit = 1 << color
         used[u] = used.get(u, 0) | bit
         used[v] = used.get(v, 0) | bit
-        coloring[(u, v)] = color
-    return coloring
+        out[i] = color
+    return out
+
+
+def fast_greedy_edge_coloring(graph: nx.DiGraph, order: np.ndarray | None = None) -> dict:
+    """Greedy proper edge coloring without materializing the line graph.
+
+    The reference colors edges via ``nx.line_graph`` + ``greedy_color``
+    (reference ``mesh.py:29-42``), which builds an explicit line graph — a
+    scaling bottleneck of the BuildMesh phase at ~65k edges.  Adjacent
+    edges (sharing a node) never share a color, which is the property the
+    assembler relies on (see :func:`_greedy_color_edge_array`).
+    """
+    edges = np.asarray(list(graph.edges()), dtype=np.int64).reshape(-1, 2)
+    idx = np.arange(edges.shape[0]) if order is None else np.asarray(list(order))
+    colors = _greedy_color_edge_array(edges[idx])
+    return {
+        (int(edges[i, 0]), int(edges[i, 1])): int(colors[j])
+        for j, i in enumerate(idx)
+    }
 
 
 @timed("nxfx:color_graph")
@@ -244,17 +253,7 @@ class NetworkMesh:
             colors = _native.color_edges(edges, V)
             if colors is not None:
                 return colors.astype(np.int32)
-            used: dict[int, int] = {}
-            out = np.empty(E, dtype=np.int32)
-            for i in range(E):
-                u, v = int(edges[i, 0]), int(edges[i, 1])
-                mask = used.get(u, 0) | used.get(v, 0)
-                color = (~mask & (mask + 1)).bit_length() - 1
-                bit = 1 << color
-                used[u] = used.get(u, 0) | bit
-                used[v] = used.get(v, 0) | bit
-                out[i] = color
-            return out
+            return _greedy_color_edge_array(edges)
         if isinstance(graph, ArrayNetwork):
             graph = graph.to_networkx()
         coloring = color_graph(graph, color_strategy)
@@ -272,6 +271,10 @@ class NetworkMesh:
         if isinstance(graph, ArrayNetwork):
             node_coords = np.asarray(graph.pos, dtype=np.float64)
             edges = np.asarray(graph.edges, dtype=np.int64)
+            if node_coords.ndim != 2:
+                raise ValueError("ArrayNetwork.pos must have shape (V, gdim)")
+            if edges.ndim != 2 or edges.shape[1] != 2:
+                raise ValueError("ArrayNetwork.edges must have shape (E, 2)")
             V, E = node_coords.shape[0], edges.shape[0]
             if E == 0:
                 raise ValueError("graph has no edges")
@@ -283,6 +286,8 @@ class NetworkMesh:
                 if graph.radius is not None
                 else None
             )
+            if radii is not None and radii.shape != (E,):
+                raise ValueError("ArrayNetwork.radius must have shape (E,)")
             edge_color = self._color_edge_array(graph, edges, V, color_strategy)
         elif isinstance(graph, nx.DiGraph):
             V = graph.number_of_nodes()

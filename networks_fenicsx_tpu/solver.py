@@ -1332,7 +1332,14 @@ def _blocked_uniform_solve(
 
     All runtime args are expected in INTERNAL edge order (host-permuted by
     ``prepare_args``); outputs come back internal — the host flatten maps
-    them to the public layout."""
+    them to the public layout.
+
+    The condensation/back-substitution closed forms intentionally mirror
+    :func:`_make_edge_data_uniform` and the uniform branch of
+    :func:`_solution_blocks_T` (a change to either must be applied here
+    too); equality between the blocked and general executors is pinned by
+    ``tests/test_blocked.py`` and the on-hardware
+    ``blocked-vs-general-executor`` check in ``scripts/tpu_validate.py``."""
     mesh = asm.network
     N, E = mesh.N, mesh.num_edges
     dt = R_data.dtype
@@ -1988,28 +1995,32 @@ def _flatten_blocks_host(
     host — the unstructured permutation that would serialize as a device
     gather.  ``edge_order``/``bif_order``: the executor's internal→public
     maps when the blocked layout is active (``_BlockedExecutor``) —
-    composed into the same host fancy-index."""
-    q = np.asarray(q_T).T  # (E, m) view-transpose, rows in executor order
-    p = np.asarray(p_T).T
+    composed into the same host fancy-index.  An optional leading batch
+    axis (sweeps: (S, m, E) blocks) is carried through."""
+    q = np.swapaxes(np.asarray(q_T), -1, -2)  # (..., E, m), executor order
+    p = np.swapaxes(np.asarray(p_T), -1, -2)
     lam_np = np.asarray(lam)
-    E = q.shape[0]
+    E = q.shape[-2]
     if edge_order is not None:
         inv = np.argsort(edge_order)  # public edge id -> executor row
-        p = p[inv]
+        p = np.take(p, inv, axis=-2)
     else:
         inv = None
     if edge_color is not None:
         perm = np.lexsort((np.arange(E), np.asarray(edge_color)))
         qidx = perm if inv is None else inv[perm]
         if not np.array_equal(qidx, np.arange(E)):
-            q = q[qidx]
+            q = np.take(q, qidx, axis=-2)
     elif inv is not None:
-        q = q[inv]
+        q = np.take(q, inv, axis=-2)
     if bif_order is not None:
         lam_pub = np.empty_like(lam_np)
-        lam_pub[np.asarray(bif_order)] = lam_np
+        lam_pub[..., np.asarray(bif_order)] = lam_np
         lam_np = lam_pub
-    return np.concatenate([q.ravel(), p.ravel(), lam_np])
+    batch = q.shape[:-2]
+    return np.concatenate(
+        [q.reshape(*batch, -1), p.reshape(*batch, -1), lam_np], axis=-1
+    )
 
 
 def _schur_back_substitute(
