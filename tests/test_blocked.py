@@ -172,3 +172,42 @@ def test_solve_sweep_blocked_pbc_batch():
     )
     assert res_ref._edge_order is None  # general path
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-10)
+
+
+def test_blocked_asymmetric_depth_tree():
+    """Trees where one sibling branch is a leaf while the other continues
+    (mixed bif/leaf sub-blocks within a level) stay inside the blocked
+    envelope and match the general executor."""
+    import networkx as nx
+
+    # root -> b0 -> {leaf, b1}; b1 -> {leaf, b2}; b2 -> {leaf, leaf}
+    G = nx.DiGraph()
+    pos = {
+        0: (0.0, 0.0), 1: (0.0, 1.0),
+        2: (-1.0, 2.0), 3: (1.0, 2.0),
+        4: (0.5, 3.0), 5: (1.5, 3.0),
+        6: (1.0, 4.0), 7: (2.0, 4.0),
+    }
+    for n_, p_ in pos.items():
+        G.add_node(n_, pos=np.array(p_, dtype=float))
+    for u, v in [(0, 1), (1, 2), (1, 3), (3, 4), (3, 5), (5, 6), (5, 7)]:
+        G.add_edge(u, v)
+    mesh = NetworkMesh(G, N=3)
+    asm = HydraulicNetworkAssembler(mesh)
+    rng = np.random.default_rng(9)
+    asm.compute_forms(
+        p_bc_ex=lambda x: x[0] - 0.3 * x[1],
+        R=rng.uniform(0.5, 2.0, mesh.num_edges),
+        f=0.6,
+    )
+    ex_b = _blocked(asm)
+    assert isinstance(ex_b, S._BlockedExecutor)
+    plan = ex_b.blocked_plan
+    assert any(lv.sub1_bif != lv.sub2_bif for lv in plan.levels)  # mixed level
+    ex_g = S.build_schur_executor(asm, SolverOptions(), jit=False, outputs="blocks")
+    ob = ex_b(*ex_b.prepare_args(*asm.schur_arguments(device=False)))
+    og = ex_g(*asm.schur_arguments())
+    xb = S._flatten_blocks_host(ob[0], ob[1], ob[2], mesh.edge_color,
+                                edge_order=ex_b.edge_order, bif_order=ex_b.bif_order)
+    xg = S._flatten_blocks_host(og[0], og[1], og[2], mesh.edge_color)
+    np.testing.assert_allclose(xb, xg, atol=1e-13)
