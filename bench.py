@@ -133,14 +133,23 @@ def main() -> None:
     args = jax.device_put(args)
     jax.block_until_ready(args)
     K = int(os.environ.get("NXFX_BENCH_PIPELINE", "16"))
-    # The tunnel's dispatch/sync cost is noisy run-to-run; take the best
-    # of several rounds (first round also absorbs any residual warmup).
-    t_pipe = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [executor(*args) for _ in range(K)]
-        np.asarray(outs[-1][0][:1, :1])  # one sync for the whole batch
-        t_pipe = min(t_pipe, (time.perf_counter() - t0) / K)
+    K_deep = int(os.environ.get("NXFX_BENCH_PIPELINE_DEEP", "64"))
+
+    def pipelined(depth: int) -> float:
+        # The tunnel's dispatch/sync cost is noisy run-to-run; take the
+        # best of several rounds (the first also absorbs residual warmup).
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [executor(*args) for _ in range(depth)]
+            np.asarray(outs[-1][0][:1, :1])  # one sync for the whole batch
+            best = min(best, (time.perf_counter() - t0) / depth)
+        return best
+
+    t_pipe = pipelined(K)
+    t_pipe_deep = pipelined(K_deep)
+    log(f"pipelined x{K_deep}: {t_pipe_deep * 1e3:.2f} ms/solve "
+        f"-> {n_dofs / t_pipe_deep:.3e} dofs/s")
     pipe_dofs_per_sec = n_dofs / t_pipe
     log(f"pipelined x{K}: {t_pipe * 1e3:.2f} ms/solve "
         f"-> {pipe_dofs_per_sec:.3e} dofs/s steady-state")
@@ -193,6 +202,9 @@ def main() -> None:
             "pipelined_ms_per_solve": round(t_pipe * 1e3, 3),
             "pipelined_dofs_per_sec": round(pipe_dofs_per_sec, 1),
             "pipeline_depth": K,
+            "pipelined_deep_ms_per_solve": round(t_pipe_deep * 1e3, 3),
+            "pipelined_deep_dofs_per_sec": round(n_dofs / t_pipe_deep, 1),
+            "pipeline_depth_deep": K_deep,
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",
             "baseline_superlu_ms_median": round(t_baseline * 1e3, 3),
