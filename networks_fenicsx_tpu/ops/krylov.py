@@ -14,7 +14,58 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "minres", "KrylovResult"]
+__all__ = ["cg", "minres", "chebyshev_preconditioner", "KrylovResult"]
+
+
+def chebyshev_preconditioner(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    diag: jnp.ndarray,
+    degree: int = 8,
+    lam_max: float = 2.0,
+    ratio: float = 30.0,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Chebyshev polynomial preconditioner for a Jacobi-scalable SPD operator.
+
+    Returns ``M⁻¹ ≈ A⁻¹`` as ``degree`` Chebyshev iterations on the
+    Jacobi-scaled operator ``Â = D^{-1/2} A D^{-1/2}`` over the interval
+    ``[lam_max/ratio, lam_max]``.  For a Jacobi-scaled graph Laplacian
+    ``lam_max < 2`` holds unconditionally (Gershgorin with unit diagonal),
+    so no eigenvalue estimation is needed.
+
+    Why on TPU: each CG iteration pays sequential overhead (two inner
+    products force serialization, plus the iteration's fixed kernel-launch
+    cost) that dwarfs the matvec arithmetic at small/medium B.  A degree-d
+    polynomial preconditioner folds d matvecs into ONE preconditioner
+    application with no inner products, cutting the outer iteration count
+    ~d× — same total matvec work, a fraction of the sequential overhead.
+    Fixed coefficients make the operator a polynomial in ``Â`` (SPD), so
+    plain PCG remains valid.
+    """
+    d_isqrt = 1.0 / jnp.sqrt(diag)
+
+    def mv_scaled(v):
+        return d_isqrt * matvec(d_isqrt * v)
+
+    a = lam_max / ratio
+    theta = 0.5 * (lam_max + a)
+    delta = 0.5 * (lam_max - a)
+    sigma = theta / delta
+
+    def apply(r):
+        rs = d_isqrt * r
+        rho = 1.0 / sigma
+        dvec = rs / theta
+        x = dvec
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            dvec = rho_new * rho * dvec + (2.0 * rho_new / delta) * (
+                rs - mv_scaled(x)
+            )
+            x = x + dvec
+            rho = rho_new
+        return d_isqrt * x
+
+    return apply
 
 
 class KrylovResult(NamedTuple):

@@ -505,6 +505,66 @@ def _build_matvec_plan(asm: _assembly.HydraulicNetworkAssembler):
     )
 
 
+def _plan_shift_matvec(
+    asm: _assembly.HydraulicNetworkAssembler, max_classes: int = 16
+):
+    """Shift-class decomposition of the λ-graph matvec, or None.
+
+    Groups the directed off-diagonal contributions ``row i ← col j`` by the
+    constant index offset ``δ = j − i``.  When few distinct offsets exist
+    (lattices: δ ∈ {±1, ±row_stride} plus stubs; chains/banded meshes
+    likewise), the per-iteration neighbour lookup becomes, per class, a
+    zero-padded SHIFT of λ times a per-class weight vector — contiguous
+    slices instead of the serialized ~13 ns/element device gather that
+    otherwise dominates every Krylov iteration (measured 1.9 ms per matvec
+    at B=16384 on a v5e).  The class weight vectors are assembled from the
+    runtime conductances once per solve via the sorted fold machinery.
+
+    Returns a list of ``(delta, rows_sorted, edge_sel)`` host arrays.
+    """
+    s = np.asarray(asm._edge_start_bif)
+    t = np.asarray(asm._edge_end_bif)
+    e = np.flatnonzero((s >= 0) & (t >= 0))
+    if e.size == 0:
+        return None
+    i = np.concatenate([s[e], t[e]])
+    j = np.concatenate([t[e], s[e]])
+    eidx = np.concatenate([e, e])
+    delta = j - i
+    deltas = np.unique(delta)
+    if deltas.size > max_classes:
+        return None
+    classes = []
+    for d in deltas:
+        m = delta == d
+        rows = i[m]
+        order = np.argsort(rows, kind="stable")
+        classes.append((int(d), rows[order].astype(np.int32), eidx[m][order]))
+    return classes
+
+
+def _matvec_from_shift_plan(ed: _EdgeData, diag: jnp.ndarray, classes, B: int):
+    """λ ↦ L λ with the off-diagonal apply as per-class weight × shift."""
+    w = 1.0 / ed.W
+    # per-class (B,) weight vectors, built once per solve (not per iteration)
+    class_w = [
+        (d, _segsum_sorted(w, rows, B, sel=esel)) for d, rows, esel in classes
+    ]
+
+    def shift(lam, d):
+        if d > 0:
+            return jnp.concatenate([lam[d:], jnp.zeros(d, dtype=lam.dtype)])
+        return jnp.concatenate([jnp.zeros(-d, dtype=lam.dtype), lam[: B + d]])
+
+    def matvec(lam):
+        out = diag * lam
+        for d, wv in class_w:
+            out = out - wv * shift(lam, d)
+        return out
+
+    return matvec
+
+
 def _matvec_from_plan(ed: _EdgeData, diag: jnp.ndarray, plan, B: int):
     """λ ↦ L λ with the off-diagonal apply as gather + fold (no scatter).
 
@@ -1572,6 +1632,7 @@ def build_schur_executor(
             schur_method = "dense" if B <= 4096 else "cg"
     level_plan = None
     matvec_plan = None
+    shift_plan = None
     if schur_method == "tree" and B > 0:
         level_plan = _plan_level_elimination(asm, tree_plan)
         if level_plan is None:
@@ -1581,6 +1642,7 @@ def build_schur_executor(
         # the matvec scatter-free (both fold through host gather matrices).
         lam_plan = _build_lambda_plan(asm)
         matvec_plan = _build_matvec_plan(asm)
+        shift_plan = _plan_shift_matvec(asm)
 
     R_mode, f_mode, f_zero = (
         asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
@@ -1658,7 +1720,10 @@ def build_schur_executor(
         elif B > 0:
             if matvec_plan is not None:
                 diag, rhs = _lambda_system_sorted(ed, B, lam_plan)
-                matvec = _matvec_from_plan(ed, diag, matvec_plan, B)
+                if shift_plan is not None:
+                    matvec = _matvec_from_shift_plan(ed, diag, shift_plan, B)
+                else:
+                    matvec = _matvec_from_plan(ed, diag, matvec_plan, B)
                 s_is_bif = ed.start_bif >= 0
                 t_is_bif = ed.end_bif >= 0
                 both = s_is_bif & t_is_bif
@@ -1705,10 +1770,20 @@ def build_schur_executor(
                 )
                 lam = jnp.where(ok, lam, jnp.nan)
             else:
+                if opts.cheb_degree > 1:
+                    # Chebyshev-Jacobi polynomial preconditioning: folds
+                    # cheb_degree matvecs into one dot-free preconditioner
+                    # application, amortizing CG's per-iteration sequential
+                    # overhead (see krylov.chebyshev_preconditioner).
+                    precond = krylov.chebyshev_preconditioner(
+                        matvec, diag, degree=opts.cheb_degree
+                    )
+                else:
+                    precond = lambda v: v / diag  # noqa: E731
                 result = krylov.cg(
                     matvec,
                     rhs,
-                    precond=lambda v: v / diag,
+                    precond=precond,
                     rtol=opts.rtol,
                     atol=opts.atol,
                     maxiter=opts.maxiter,

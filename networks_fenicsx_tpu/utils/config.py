@@ -53,6 +53,7 @@ class SolverOptions:
     rtol: float = 1e-12
     atol: float = 0.0
     maxiter: int | None = None
+    cheb_degree: int = 8
     error_if_not_converged: bool = True
     monitor: bool = False
     dtype: str = "float64"
