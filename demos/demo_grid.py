@@ -18,8 +18,10 @@ from networks_fenicsx_tpu import (  # noqa: E402
 from networks_fenicsx_tpu.io.vtk import VTK_LINE, write_vtu  # noqa: E402
 from networks_fenicsx_tpu.post_processing import export_functions, extract_global_flux  # noqa: E402
 
-n = 8
-G = network_generation.make_grid(n, n)
+import os  # noqa: E402
+
+n = int(os.environ.get("NXFX_GRID_N", "8"))
+G = network_generation.make_grid(n, n, arrays=True)
 network_mesh = NetworkMesh(G, N=3, color_strategy="fast")
 
 assembler = HydraulicNetworkAssembler(network_mesh)
