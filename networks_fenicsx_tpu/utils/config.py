@@ -54,6 +54,7 @@ class SolverOptions:
     atol: float = 0.0
     maxiter: int | None = None
     cheb_degree: int = 8
+    cg_precond: str = "auto"
     error_if_not_converged: bool = True
     monitor: bool = False
     dtype: str = "float64"

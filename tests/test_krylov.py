@@ -128,3 +128,41 @@ def test_shift_matvec_matches_gather_matvec():
     np.testing.assert_allclose(
         np.asarray(mv_shift(v)), np.asarray(mv_gather(v)), atol=1e-13
     )
+
+
+def test_mg_preconditioner_grid_independent_iterations():
+    """The 2-D aggregation multigrid keeps PCG iterations ~constant as the
+    lattice grows, and matches the direct solve."""
+    import numpy as np
+
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        SolverOptions,
+        network_generation,
+    )
+
+    iters = {}
+    for n in (32, 64):
+        G = network_generation.make_grid(n, n, arrays=True)
+        mesh = NetworkMesh(G, N=1, color_strategy="fast")
+        asm = HydraulicNetworkAssembler(mesh)
+        rng = np.random.default_rng(0)
+        asm.compute_forms(
+            p_bc_ex=lambda x: x[0], R=rng.uniform(0.5, 2.0, mesh.num_edges)
+        )
+        s = Solver(asm, options=SolverOptions(schur_method="cg", cg_precond="mg"))
+        s.assemble()
+        sol = s.solve()
+        assert s.info.converged
+        iters[n] = int(s.info.iterations)
+        if n == 64:
+            s2 = Solver(asm, options=SolverOptions(method="host_lu"))
+            s2.assemble()
+            ref = s2.solve()
+            for a, b in zip(sol, ref):
+                np.testing.assert_allclose(a.values, b.values, atol=1e-9)
+    # quadrupling the problem must not even double the iteration count
+    assert iters[64] < 2 * iters[32]
+    assert iters[64] < 30
