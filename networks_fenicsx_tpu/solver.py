@@ -487,16 +487,23 @@ def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
     return out_diag, out_rhs
 
 
-def _build_matvec_plan(asm: _assembly.HydraulicNetworkAssembler):
-    """Host incidence plan for a scatter-free Laplacian matvec: the two
-    directed half-edges of every interior (bif-bif) edge, sorted by the
-    owning node so per-node neighbour sums reduce via the gather fold."""
+def _directed_half_edges(asm: _assembly.HydraulicNetworkAssembler):
+    """The two directed half-edges of every interior (bif-bif) edge:
+    ``(own, other, edge_id)`` arrays (shared by the matvec plans)."""
     s = np.asarray(asm._edge_start_bif)
     t = np.asarray(asm._edge_end_bif)
     e = np.flatnonzero((s >= 0) & (t >= 0))
     own = np.concatenate([t[e], s[e]])
     other = np.concatenate([s[e], t[e]])
     edge = np.concatenate([e, e])
+    return own, other, edge
+
+
+def _build_matvec_plan(asm: _assembly.HydraulicNetworkAssembler):
+    """Host incidence plan for a scatter-free Laplacian matvec: directed
+    half-edges sorted by the owning node so per-node neighbour sums reduce
+    via the gather fold."""
+    own, other, edge = _directed_half_edges(asm)
     order = np.argsort(own, kind="stable")
     return (
         edge[order].astype(np.int32),
@@ -522,14 +529,10 @@ def _plan_shift_matvec(
 
     Returns a list of ``(delta, rows_sorted, edge_sel)`` host arrays.
     """
-    s = np.asarray(asm._edge_start_bif)
-    t = np.asarray(asm._edge_end_bif)
-    e = np.flatnonzero((s >= 0) & (t >= 0))
-    if e.size == 0:
+    own, other, eidx = _directed_half_edges(asm)
+    if eidx.size == 0:
         return None
-    i = np.concatenate([s[e], t[e]])
-    j = np.concatenate([t[e], s[e]])
-    eidx = np.concatenate([e, e])
+    i, j = own, other  # row pulls from column: out[i] -= w * lam[j]
     delta = j - i
     deltas = np.unique(delta)
     if deltas.size > max_classes:
@@ -571,6 +574,18 @@ def _shift_matvec(class_w, diag: jnp.ndarray, m: int):
 
 def _matvec_from_shift_plan(ed: _EdgeData, diag: jnp.ndarray, classes, B: int):
     return _shift_matvec(_shift_class_weights(ed, classes, B), diag, B)
+
+
+def _mg2d_feasible(B: int, stride: int, max_coarsest: int = 4096) -> bool:
+    """Host check that 2×2 coarsening reaches a small coarsest grid.
+
+    Skinny lattices (one dimension ≤ 4) stop coarsening immediately and
+    would materialise a huge dense coarsest system (``jnp.diag`` of a
+    B-sized vector + per-solve Cholesky)."""
+    ny, nx = B // stride, stride
+    while min(ny, nx) > 4 and ny * nx > 256:
+        ny, nx = (ny + 1) // 2, (nx + 1) // 2
+    return ny * nx <= max_coarsest
 
 
 def _mg2d_preconditioner(
@@ -798,7 +813,9 @@ def _mg_preconditioner(
         res = r - mv(x)
         rc = pad_even(res, mc).reshape(mc, 2).sum(axis=1)
         ec = vcycle(lvl + 1, rc)
-        x = x + jnp.repeat(ec, 2)[:m]
+        # over-correct: plain-aggregation Galerkin coarse operators are
+        # too stiff (same rationale as the 2-D cycle)
+        x = x + 1.8 * jnp.repeat(ec, 2)[:m]
         x = x + sm(r - mv(x))
         return x
 
@@ -2010,6 +2027,11 @@ def build_schur_executor(
                 )
                 lam = jnp.where(ok, lam, jnp.nan)
             else:
+                if opts.cg_precond not in ("auto", "mg", "chebyshev", "jacobi"):
+                    raise ValueError(
+                        f"unknown cg_precond {opts.cg_precond!r}; expected "
+                        "'auto', 'mg', 'chebyshev' or 'jacobi'"
+                    )
                 mg_kind = None
                 deltas = [c[0] for c in shift_plan] if shift_plan else []
                 if shift_plan is not None and opts.cg_precond in ("auto", "mg"):
@@ -2019,16 +2041,32 @@ def build_schur_executor(
                     # vs 71 ms MG; 512^2 1.90 s vs 0.28 s)
                     if opts.cg_precond == "mg" or B > 32768:
                         strides = sorted({abs(d) for d in deltas} - {1})
+                        row_ok = True
+                        for d, rows, _ in shift_plan:
+                            # ±1 couplings must not cross 2-D row boundaries
+                            # (the reshape-based shifts zero-pad row ends)
+                            if strides and d == 1:
+                                row_ok &= bool(np.all(rows % strides[0] != strides[0] - 1))
+                            if strides and d == -1:
+                                row_ok &= bool(np.all(rows % strides[0] != 0))
                         if (
                             len(strides) == 1
                             and strides[0] > 2
                             and B % strides[0] == 0
+                            and row_ok
+                            and _mg2d_feasible(B, strides[0])
                         ):
                             mg_kind = ("2d", strides[0])
                         else:
                             plan1d = _plan_mg(deltas, B)
                             if plan1d is not None:
                                 mg_kind = ("1d", plan1d)
+                if mg_kind is None and opts.cg_precond == "mg":
+                    raise ValueError(
+                        "cg_precond='mg' requires a few-shift-class topology "
+                        "(lattice-like multiplier graph); this network does "
+                        "not qualify — use 'auto' or 'chebyshev'"
+                    )
                 if mg_kind is not None:
                     # Shift-preserving aggregation multigrid (2-D geometric
                     # when the class set reveals a lattice, 1-D index

@@ -46,6 +46,15 @@ class SolverOptions:
         monitor: Print residual progress, mirroring ``ksp_monitor``
             (reference ``solver.py:63``).
         dtype: Arithmetic dtype of the solve ("float64" or "float32").
+        cheb_degree: Degree of the Chebyshev-Jacobi polynomial
+            preconditioner used by the CG path (1 = plain Jacobi).  Each
+            preconditioner application runs this many dot-free matvecs,
+            cutting the outer iteration count ~degree× and amortizing
+            CG's sequential per-iteration overhead on TPU.
+        cg_precond: CG preconditioner choice — ``"auto"`` (aggregation
+            multigrid on large lattice-like multiplier graphs, Chebyshev
+            otherwise), ``"mg"`` (force multigrid; raises if the topology
+            does not qualify), ``"chebyshev"``, or ``"jacobi"``.
     """
 
     method: str = "auto"
