@@ -166,3 +166,34 @@ def test_mg_preconditioner_grid_independent_iterations():
     # quadrupling the problem must not even double the iteration count
     assert iters[64] < 2 * iters[32]
     assert iters[64] < 30
+
+
+def test_mg_1d_fallback_on_skinny_lattice():
+    """Skinny lattices fail the 2-D feasibility gate and use the 1-D
+    pairing hierarchy; results still match the direct solve."""
+    import numpy as np
+
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        SolverOptions,
+        network_generation,
+    )
+    from networks_fenicsx_tpu import solver as S
+
+    G = network_generation.make_grid(3, 2000, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    rng = np.random.default_rng(4)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=rng.uniform(0.5, 2.0, mesh.num_edges))
+    assert not S._mg2d_feasible(mesh.num_multipliers, 3)
+    s = Solver(asm, options=SolverOptions(schur_method="cg", cg_precond="mg"))
+    s.assemble()
+    sol = s.solve()
+    assert s.info.converged
+    s2 = Solver(asm, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    ref = s2.solve()
+    for a, b in zip(sol, ref):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-8)
