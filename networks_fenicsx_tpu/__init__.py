@@ -21,7 +21,14 @@ import jax as _jax
 # in PETSc double precision); enable it before any arrays are created.
 _jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+# Version from installed metadata when available (mirrors the reference,
+# ``src/networks_fenicsx/__init__.py:5-13``); source-tree fallback otherwise.
+try:
+    from importlib.metadata import PackageNotFoundError, version as _version
+
+    __version__ = _version("networks_fenicsx_tpu")
+except PackageNotFoundError:
+    __version__ = "0.1.0"
 __author__ = "networks-fenicsx-tpu developers"
 __license__ = "MIT"
 __program_name__ = "networks_fenicsx_tpu"

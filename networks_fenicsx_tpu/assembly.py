@@ -477,7 +477,7 @@ class HydraulicNetworkAssembler:
 
     def _assemble_csr(self, values: jnp.ndarray):
         """Fold the COO value stream into static-sparsity CSR storage."""
-        from .ops.pallas_assembly import build_csr_pattern, make_csr_assembler
+        from .ops.csr_assembly import build_csr_pattern, make_csr_assembler
         from .ops.sparse import CSRMatrix
 
         if getattr(self, "_csr_pattern", None) is None:

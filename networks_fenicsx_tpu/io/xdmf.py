@@ -9,9 +9,10 @@ Two storage formats, mirroring the reference stack's XDMF+HDF5 layout:
 
 * ``"hdf5"`` (default for large grids when :mod:`h5py` is available):
   heavy arrays land in a sibling ``<name>.h5`` file and the ``.xdmf`` XML
-  carries ``Format="HDF"`` references — the exact layout
-  ``dolfinx.io.XDMFFile`` produces, so downstream tooling (ParaView, meshio)
-  treats both identically.  Bit-exact float64/int64 round trip.
+  carries ``Format="HDF"`` references — an XDMF+HDF5 sidecar layout
+  analogous to what ``dolfinx.io.XDMFFile`` produces (the dataset paths
+  differ; XML-following readers such as ParaView and meshio treat both
+  identically).  Bit-exact float64/int64 round trip.
 * ``"xml"``: data embedded inline in the XML — self-contained, used for
   small demo files and as the fallback when h5py is missing.
 """
@@ -122,10 +123,13 @@ def write_xdmf(
         def item(a: np.ndarray, per_line: int, dset: str) -> str:
             return _item_hdf(a, per_line, h5path.name, dset)
 
+        # Namespace by attribute center: a point and a cell attribute may
+        # legitimately share a name (e.g. "pressure" sampled both ways) and
+        # must not overwrite each other's dataset.
         for name, arr in point_data.items():
-            datasets[f"/Function/{name}"] = arr
+            datasets[f"/Function/point/{name}"] = arr
         for name, arr in cell_data.items():
-            datasets[f"/Function/{name}"] = arr
+            datasets[f"/Function/cell/{name}"] = arr
         with h5py.File(h5path, "w") as h5:
             for dset, arr in datasets.items():
                 h5.create_dataset(dset, data=arr)
@@ -138,12 +142,12 @@ def write_xdmf(
     for name, arr in point_data.items():
         attrs.append(
             f'<Attribute Name="{name}" AttributeType="Scalar" Center="Node">\n'
-            f"{item(arr, 1, f'/Function/{name}')}\n</Attribute>"
+            f"{item(arr, 1, f'/Function/point/{name}')}\n</Attribute>"
         )
     for name, arr in cell_data.items():
         attrs.append(
             f'<Attribute Name="{name}" AttributeType="Scalar" Center="Cell">\n'
-            f"{item(arr, 1, f'/Function/{name}')}\n</Attribute>"
+            f"{item(arr, 1, f'/Function/cell/{name}')}\n</Attribute>"
         )
     attr_block = "\n".join(attrs)
 
@@ -178,7 +182,8 @@ def read_xdmf(path: str | Path):
     path = Path(path)
     root = ET.parse(path).getroot()
     grid = root.find("./Domain/Grid")
-    assert grid is not None, "no Grid in XDMF"
+    if grid is None:
+        raise ValueError(f"no Grid in XDMF file {path}")
 
     def decode(di) -> np.ndarray:
         dims = tuple(int(d) for d in di.get("Dimensions").split())

@@ -3,7 +3,7 @@
 The on-device counterpart of the reference's PETSc AIJ storage
 (reference ``assembly.py:352-357``): structure (indptr/indices) is fixed
 per mesh/degree on the host; only values are recomputed, via the CSR
-assembly plans in :mod:`networks_fenicsx_tpu.ops.pallas_assembly`.
+assembly plans in :mod:`networks_fenicsx_tpu.ops.csr_assembly`.
 Matrix–vector products are gather + segment-sum (scatter-free).
 """
 

@@ -589,7 +589,12 @@ def _mg2d_feasible(B: int, stride: int, max_coarsest: int = 4096) -> bool:
 
 
 def _mg2d_preconditioner(
-    class_w0, diag0: jnp.ndarray, B: int, stride: int, smooth_degree: int = 3
+    class_w0,
+    diag0: jnp.ndarray,
+    B: int,
+    stride: int,
+    smooth_degree: int = 3,
+    overcorrect: float = 1.8,
 ):
     """Symmetric 2-D geometric-multigrid V-cycle for {±1, ±stride} classes.
 
@@ -700,8 +705,9 @@ def _mg2d_preconditioner(
         # plain-aggregation coarse corrections are systematically too weak
         # (the PWC Galerkin operator is ~2x too stiff on 2-D Poisson-like
         # problems); the standard over-correction restores near-grid-
-        # independent convergence while keeping the operator symmetric.
-        x = x + 1.8 * prolong(vcycle(lvl + 1, rc), shape)
+        # independent convergence while keeping the operator symmetric
+        # (SolverOptions.mg_overcorrect, default 1.8).
+        x = x + overcorrect * prolong(vcycle(lvl + 1, rc), shape)
         x = x + sm(r - mv(x))
         return x
 
@@ -750,7 +756,12 @@ def _plan_mg(
 
 
 def _mg_preconditioner(
-    mg_plan, class_w0, diag0: jnp.ndarray, B: int, smooth_degree: int = 3
+    mg_plan,
+    class_w0,
+    diag0: jnp.ndarray,
+    B: int,
+    smooth_degree: int = 3,
+    overcorrect: float = 1.8,
 ):
     """Symmetric V-cycle preconditioner over the shift-class hierarchy.
 
@@ -814,8 +825,9 @@ def _mg_preconditioner(
         rc = pad_even(res, mc).reshape(mc, 2).sum(axis=1)
         ec = vcycle(lvl + 1, rc)
         # over-correct: plain-aggregation Galerkin coarse operators are
-        # too stiff (same rationale as the 2-D cycle)
-        x = x + 1.8 * jnp.repeat(ec, 2)[:m]
+        # too stiff (same rationale as the 2-D cycle; see
+        # SolverOptions.mg_overcorrect)
+        x = x + overcorrect * jnp.repeat(ec, 2)[:m]
         x = x + sm(r - mv(x))
         return x
 
@@ -2073,9 +2085,15 @@ def build_schur_executor(
                     # pairing otherwise): ~grid-independent PCG iterations.
                     class_w0 = _shift_class_weights(ed, shift_plan, B)
                     if mg_kind[0] == "2d":
-                        precond = _mg2d_preconditioner(class_w0, diag, B, mg_kind[1])
+                        precond = _mg2d_preconditioner(
+                            class_w0, diag, B, mg_kind[1],
+                            overcorrect=opts.mg_overcorrect,
+                        )
                     else:
-                        precond = _mg_preconditioner(mg_kind[1], class_w0, diag, B)
+                        precond = _mg_preconditioner(
+                            mg_kind[1], class_w0, diag, B,
+                            overcorrect=opts.mg_overcorrect,
+                        )
                 elif opts.cheb_degree > 1 and opts.cg_precond != "jacobi":
                     # Chebyshev-Jacobi polynomial preconditioning: folds
                     # cheb_degree matvecs into one dot-free preconditioner

@@ -55,6 +55,14 @@ class SolverOptions:
             multigrid on large lattice-like multiplier graphs, Chebyshev
             otherwise), ``"mg"`` (force multigrid; raises if the topology
             does not qualify), ``"chebyshev"``, or ``"jacobi"``.
+        mg_overcorrect: Coarse-grid correction scaling of the aggregation
+            multigrid V-cycle.  Piecewise-constant (plain-aggregation)
+            Galerkin coarse operators are systematically too stiff on
+            Poisson-like problems, making the plain correction too weak;
+            the standard remedy is to over-relax it.  The default 1.8 was
+            tuned on capillary-mesh lattices (grid-independent ~13–16 PCG
+            iterations at 128²–512²; see ``tests/test_krylov.py``) and
+            keeps the preconditioner symmetric.  1.0 disables it.
     """
 
     method: str = "auto"
@@ -64,9 +72,29 @@ class SolverOptions:
     maxiter: int | None = None
     cheb_degree: int = 8
     cg_precond: str = "auto"
+    mg_overcorrect: float = 1.8
     error_if_not_converged: bool = True
     monitor: bool = False
     dtype: str = "float64"
+
+    def __post_init__(self) -> None:
+        # Validate eagerly: several of these only steer rarely-traced
+        # branches (e.g. cg_precond is consulted only when the CG fallback
+        # is reached), so a typo would otherwise be silently accepted.
+        _check(self.method, "method", ("auto", "schur", "schur_p", "dense", "minres", "host_lu"))
+        _check(
+            self.schur_method,
+            "schur_method",
+            ("auto", "tree", "tree_dist", "dense", "dense_f64", "cg"),
+        )
+        _check(self.cg_precond, "cg_precond", ("auto", "mg", "chebyshev", "jacobi"))
+        _check(self.dtype, "dtype", ("float64", "float32"))
+        if self.cheb_degree < 1:
+            raise ValueError(f"cheb_degree must be >= 1, got {self.cheb_degree}")
+        if self.mg_overcorrect <= 0:
+            raise ValueError(
+                f"mg_overcorrect must be positive, got {self.mg_overcorrect}"
+            )
 
     @classmethod
     def from_dict(cls, options: dict[str, Any] | None) -> "SolverOptions":
@@ -74,6 +102,13 @@ class SolverOptions:
             return cls()
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in options.items() if k in fields})
+
+
+def _check(value: str, name: str, allowed: tuple[str, ...]) -> None:
+    if value not in allowed:
+        raise ValueError(
+            f"unknown SolverOptions.{name} {value!r}; expected one of {allowed}"
+        )
 
 
 @dataclasses.dataclass

@@ -7,7 +7,7 @@ import pytest
 import jax.numpy as jnp
 
 from networks_fenicsx_tpu import HydraulicNetworkAssembler, NetworkMesh, network_generation
-from networks_fenicsx_tpu.ops import pallas_assembly as pa
+from networks_fenicsx_tpu.ops import csr_assembly as pa
 
 
 def _random_coo(n=257, nraw=6000, seed=3):
