@@ -173,6 +173,10 @@ try:
     for op, group in df.groupby("Operation"):
         ax.plot(group["NumSegments"], group["Time"], marker="o", label=op)
     ax.set(xscale="log", yscale="log", xlabel="NumSegments", ylabel="Time [s]")
+    ax.set_title(
+        f"perf sweep ns={ns} (full reference sweep via NXFX_PERF_FULL)",
+        fontsize=8,
+    )
     ax.grid(True)
     ax.legend(fontsize=7)
     fig.savefig(Path(__file__).parent / "demo_perf.png", bbox_inches="tight")

@@ -24,7 +24,7 @@ from pathlib import Path
 import numpy as np
 import numpy.typing as npt
 
-__all__ = ["write_vtu", "read_vtu", "VTK_VERTEX", "VTK_LINE"]
+__all__ = ["write_vtu", "read_vtu", "write_pvd", "read_pvd", "VTK_VERTEX", "VTK_LINE"]
 
 VTK_VERTEX = 1
 VTK_LINE = 3
@@ -140,6 +140,47 @@ def write_vtu(
 """
     path.write_text(xml)
     return path
+
+
+def write_pvd(path: str | Path, entries: list[tuple[float, str]]) -> Path:
+    """Write a ParaView collection (``.pvd``) listing timestamped datasets.
+
+    The time-series container pairing with :func:`write_vtu` frames —
+    functional parity for the reference's timestamped ADIOS2 output
+    (reference ``post_processing.py:68-78``, ``vtx.write(0.0)``): ParaView
+    opens the ``.pvd`` and exposes the frames as an animated series.
+
+    Args:
+        path: Output ``.pvd`` file.
+        entries: ``(timestep, file)`` pairs; files are stored as given
+            (use paths relative to the ``.pvd`` location).
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rows = "\n".join(
+        f'<DataSet timestep="{float(t):.17g}" group="" part="0" file="{f}"/>'
+        for t, f in entries
+    )
+    path.write_text(
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="Collection" version="0.1" byte_order="LittleEndian">\n'
+        f"<Collection>\n{rows}\n</Collection>\n</VTKFile>\n"
+    )
+    return path
+
+
+def read_pvd(path: str | Path) -> list[tuple[float, str]]:
+    """Read a ``.pvd`` collection written by :func:`write_pvd`."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(Path(path)).getroot()
+    coll = root.find("./Collection")
+    if coll is None:
+        raise ValueError(f"no Collection in PVD file {path}")
+    return [
+        (float(ds.get("timestep")), ds.get("file"))
+        for ds in coll.findall("DataSet")
+    ]
 
 
 def read_vtu(path: str | Path):

@@ -57,18 +57,20 @@ def make_device_mesh(devices=None, axis_name: str = "edges") -> Mesh:
     return Mesh(devices.reshape(-1), axis_names=(axis_name,))
 
 
-def _pad_edge_data(ed: _EdgeData, n_pad: int) -> _EdgeData:
+def _pad_edge_data(ed: _EdgeData, n_pad: int, n_cells: int = 1) -> _EdgeData:
     """Append inert edges so the edge count divides the device count.
 
     Padding edges have unit resistance, no source, no bifurcation and zero
     boundary pressure — they solve to exactly zero flux/pressure and
-    contribute nothing to the Schur system.
+    contribute nothing to the Schur system.  Handles all three edge-data
+    layouts (general ``mt``, scalar ``rh``, uniform ``ua``/``uF`` — see
+    :class:`networks_fenicsx_tpu.solver._EdgeData`); the pad values keep
+    each layout's internal identities (W = Σa, g = 0, cumF = 0) intact.
     """
     if n_pad == 0:
         return ed
-    E, N = ed.mt.shape[0], ed.mt.shape[1]
+    N = ed.cumF.shape[1] - 1 if ed.ua is None else n_cells
     dt = ed.W.dtype
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=dt) * 0.5, (n_pad, N, 2, 2))
 
     def cat(a, b):
         return jnp.concatenate([a, b], axis=0)
@@ -78,20 +80,45 @@ def _pad_edge_data(ed: _EdgeData, n_pad: int) -> _EdgeData:
         (Minv_IE,) = interior
         km1 = Minv_IE.shape[1]
         interior = (cat(Minv_IE, jnp.zeros((n_pad * N, km1, 2), dt)),)
+    if ed.ua is not None:
+        # uniform layout: pad a=1 ⇒ W = a·N keeps the layout identity;
+        # cumF holds only the Ftot column in this layout
+        mt = None
+        rh = None
+        ua = cat(ed.ua, jnp.ones(n_pad, dt))
+        uF = cat(ed.uF, jnp.zeros(n_pad, dt))
+        W_pad = jnp.full(n_pad, float(N), dt)
+        cumF_pad = jnp.zeros((n_pad, ed.cumF.shape[1]), dt)
+    else:
+        ua = uF = None
+        if ed.mt is not None:
+            eye = jnp.broadcast_to(jnp.eye(2, dtype=dt) * 0.5, (n_pad, N, 2, 2))
+            mt = cat(ed.mt, eye)
+            rh = None
+        else:
+            mt = None
+            rh = cat(ed.rh, jnp.full((n_pad, N), 1.0 / N, dt))
+        W_pad = jnp.ones(n_pad, dt)
+        cumF_pad = jnp.zeros((n_pad, N + 1), dt)
     return _EdgeData(
-        mt=cat(ed.mt, eye),
-        cumF=cat(ed.cumF, jnp.zeros((n_pad, N + 1), dt)),
-        W=cat(ed.W, jnp.ones(n_pad, dt)),
+        mt=mt,
+        cumF=cat(ed.cumF, cumF_pad),
+        W=cat(ed.W, W_pad),
         g=cat(ed.g, jnp.zeros(n_pad, dt)),
         start_bif=cat(ed.start_bif, -jnp.ones(n_pad, ed.start_bif.dtype)),
         end_bif=cat(ed.end_bif, -jnp.ones(n_pad, ed.end_bif.dtype)),
         start_pbc=cat(ed.start_pbc, jnp.zeros(n_pad, dt)),
         end_pbc=cat(ed.end_pbc, jnp.zeros(n_pad, dt)),
         interior=interior,
+        rh=rh,
+        ua=ua,
+        uF=uF,
     )
 
 
-def _distributed_tree_pipeline(mesh: Mesh, axis: str, plan, k: int, N: int):
+def _distributed_tree_pipeline(
+    mesh: Mesh, axis: str, plan, k: int, N: int, ed_template: _EdgeData
+):
     """shard_map pipeline with the λ elimination itself distributed: local
     subtree elimination per device + one psum of the tiny replicated top
     system (see :mod:`.distributed_tree`)."""
@@ -106,17 +133,7 @@ def _distributed_tree_pipeline(mesh: Mesh, axis: str, plan, k: int, N: int):
 
     spec_e = P(axis)
     in_specs = (
-        _EdgeData(
-            mt=spec_e,
-            cumF=spec_e,
-            W=spec_e,
-            g=spec_e,
-            start_bif=spec_e,
-            end_bif=spec_e,
-            start_pbc=spec_e,
-            end_pbc=spec_e,
-            interior=(spec_e,) if k > 1 else (),
-        ),
+        jax.tree.map(lambda _: spec_e, ed_template),
         {key: spec_e for key in plan_rows(plan)},
     )
     out_specs = (spec_e, spec_e, spec_e, P())  # λ_T replicated
@@ -144,6 +161,7 @@ def _sharded_schur_pipeline(
     schur_method: str = "auto",
     tree_plan=None,
     level_plan=None,
+    ed_template: _EdgeData | None = None,
 ):
     """Build the jitted shard_map solve: edge shards in → solution shards out."""
     if schur_method == "auto":
@@ -237,17 +255,7 @@ def _sharded_schur_pipeline(
         return q_edge, p_cells, lam
 
     spec_e = P(axis)
-    in_specs = _EdgeData(
-        mt=spec_e,
-        cumF=spec_e,
-        W=spec_e,
-        g=spec_e,
-        start_bif=spec_e,
-        end_bif=spec_e,
-        start_pbc=spec_e,
-        end_pbc=spec_e,
-        interior=(spec_e,) if k > 1 else (),
-    )
+    in_specs = jax.tree.map(lambda _: spec_e, ed_template)
     out_specs = (spec_e, spec_e, P())  # λ replicated
     fn = shard_map(
         local_solve, mesh=mesh, in_specs=(in_specs, spec_e), out_specs=out_specs
@@ -284,6 +292,8 @@ class ShardedNetworkSolver:
         self._pipeline = None
         self._tree_plan = None
         self._dist_plan = None
+        self._blocked_exec = None
+        self._blocked_checked = False
         self._info: SolveInfo | None = None
 
     @property
@@ -312,6 +322,36 @@ class ShardedNetworkSolver:
         D = int(np.prod([self._mesh.shape[a] for a in self._mesh.axis_names]))
         E = net.num_edges
 
+        # --- blocked-sibling sharded fast path: identically-shaped
+        # per-device subforests run the serial blocked slice/concat
+        # program; cross-device coupling is one psum of the tiny top tree
+        if not self._blocked_checked and self._schur_method in ("auto", "blocked"):
+            self._blocked_checked = True
+            R_mode, f_mode, _ = asm.coefficient_modes()
+            if (
+                asm.flux_degree == 1
+                and R_mode in ("scalar", "edge")
+                and f_mode in ("scalar", "edge")
+            ):
+                from .blocked_sharded import (
+                    build_sharded_blocked_executor,
+                    plan_sharded_blocked,
+                )
+
+                plan = plan_sharded_blocked(asm, D)
+                if plan is not None:
+                    self._blocked_exec = build_sharded_blocked_executor(
+                        asm, plan, self._mesh, self._axis
+                    )
+            if self._blocked_exec is None and self._schur_method == "blocked":
+                raise ValueError(
+                    "schur_method='blocked' requires a uniformly-K-ary "
+                    "forest with per-edge coefficients and a level width "
+                    "divisible by the device count"
+                )
+        if self._blocked_exec is not None:
+            return self._solve_blocked(functions)
+
         # --- distributed λ elimination (multiplier axis sharded too)
         if self._dist_plan is None and self._schur_method in ("auto", "tree_dist"):
             B = net.num_multipliers
@@ -332,7 +372,7 @@ class ShardedNetworkSolver:
             return self._solve_distributed(functions)
 
         n_pad = (-E) % D
-        ed = _pad_edge_data(self._edge_data, n_pad)
+        ed = _pad_edge_data(self._edge_data, n_pad, n_cells=net.N)
         ed = jax.device_put(ed, self._edge_sharding(ed))
 
         if self._pipeline is None:
@@ -351,6 +391,7 @@ class ShardedNetworkSolver:
                 self._schur_method if self._schur_method != "tree_dist" else "auto",
                 tree_plan=tree_plan,
                 level_plan=level_plan,
+                ed_template=ed,
             )
         edge_pair = np.full(E + n_pad, -1, dtype=np.int32)
         if self._tree_plan is not None:
@@ -363,6 +404,32 @@ class ShardedNetworkSolver:
         p_cells = np.asarray(p_cells)[:E]
         lam = np.asarray(lam)
         self._info = SolveInfo("schur_sharded", 0, 0.0, True)
+        return self._scatter_solution(q_edge, p_cells, lam, functions)
+
+    def _solve_blocked(
+        self, functions: list[NetworkFunction] | None
+    ) -> list[NetworkFunction]:
+        """Blocked-sibling sharded path: per-device slice/concat programs,
+        one psum of the tiny top-tree system per solve."""
+        asm = self._assembler
+        net = asm.network
+        ex = self._blocked_exec
+        plan = ex.plan
+        args = ex.prepare_args(*asm.schur_arguments(device=False))
+        q_T, p_T, lam_loc, lam_T, _rhs, finite = ex(*args)
+        q = np.asarray(q_T).T  # (D*E_loc, N+1)
+        p = np.asarray(p_T).T  # (D*E_loc, N)
+        q_edge = q[plan.edge_flat]  # public edge order
+        p_cells = p[plan.edge_flat]
+        lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)])
+        lam = lam_flat[plan.lam_src]
+        ok = bool(np.asarray(finite))
+        self._info = SolveInfo("schur_sharded_blocked", 0, 0.0, ok)
+        if not ok:
+            raise RuntimeError(
+                "Solver did not converge: sharded blocked solve produced "
+                "non-finite values"
+            )
         return self._scatter_solution(q_edge, p_cells, lam, functions)
 
     def _solve_distributed(
@@ -379,11 +446,11 @@ class ShardedNetworkSolver:
         k, N = asm.flux_degree, net.N
 
         # one inert pad edge at index E backs every padding slot
-        ed = _pad_edge_data(self._edge_data, 1)
+        ed = _pad_edge_data(self._edge_data, 1, n_cells=N)
         perm = plan.edge_perm.reshape(-1)
 
         def take(a):
-            return jnp.asarray(np.asarray(a)[perm])
+            return None if a is None else jnp.asarray(np.asarray(a)[perm])
 
         interior = ed.interior
         if interior:
@@ -400,6 +467,9 @@ class ShardedNetworkSolver:
             start_pbc=take(ed.start_pbc),
             end_pbc=take(ed.end_pbc),
             interior=interior,
+            rh=take(ed.rh),
+            ua=take(ed.ua),
+            uF=take(ed.uF),
         )
         sharding = NamedSharding(self._mesh, P(self._axis))
         ed = jax.device_put(ed, self._edge_sharding(ed))
@@ -407,7 +477,7 @@ class ShardedNetworkSolver:
 
         if self._pipeline is None:
             self._pipeline = _distributed_tree_pipeline(
-                self._mesh, self._axis, plan, k, N
+                self._mesh, self._axis, plan, k, N, ed_template=ed
             )
         q_edge, p_cells, lam_loc, lam_T = self._pipeline(ed, rows)
         inv = plan.edge_inv
@@ -449,17 +519,7 @@ class ShardedNetworkSolver:
     def _edge_sharding(self, ed: _EdgeData):
         """NamedSharding pytree matching the shard_map input specs."""
         s = NamedSharding(self._mesh, P(self._axis))
-        return _EdgeData(
-            mt=s,
-            cumF=s,
-            W=s,
-            g=s,
-            start_bif=s,
-            end_bif=s,
-            start_pbc=s,
-            end_pbc=s,
-            interior=(s,) if ed.interior else (),
-        )
+        return jax.tree.map(lambda _: s, ed)
 
 
 def shard_solve(

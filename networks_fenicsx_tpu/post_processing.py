@@ -21,10 +21,15 @@ from pathlib import Path
 import numpy as np
 
 from .function import FunctionSpace, NetworkFunction, _edge_major_dof_coords
-from .io.vtk import VTK_LINE, VTK_VERTEX, write_vtu
+from .io.vtk import VTK_LINE, VTK_VERTEX, write_pvd, write_vtu
 from .mesh import NetworkMesh
 
-__all__ = ["extract_global_flux", "export_functions", "export_submeshes"]
+__all__ = [
+    "extract_global_flux",
+    "export_functions",
+    "export_submeshes",
+    "TimeSeriesWriter",
+]
 
 
 def extract_global_flux(
@@ -73,23 +78,25 @@ def _write_flux_function(fn: NetworkFunction, path: Path) -> None:
     write_vtu(path, coords, cells, VTK_LINE, point_data={fn.name or "flux": fn.values})
 
 
-def export_functions(functions: list[NetworkFunction], outpath: Path | str) -> None:
-    """Export every solution block (reference ``post_processing.py:55-78``).
-
-    Writes ``flux_<i>.vtu`` per color, ``pressure.vtu`` (cell data for DG0,
-    point data otherwise) and ``lm.vtu`` (bifurcation point cloud).
-    """
-    export_path = Path(outpath)
+def _write_blocks(
+    functions: list[NetworkFunction], export_path: Path, suffix: str = ""
+) -> dict[str, str]:
+    """Write one frame of every solution block; returns the series→file map
+    (file names relative to ``export_path``)."""
+    written: dict[str, str] = {}
     flux_functions = functions[:-2]
     for i, q in enumerate(flux_functions):
-        _write_flux_function(q, export_path / f"flux_{i}.vtu")
+        fname = f"flux_{i}{suffix}.vtu"
+        _write_flux_function(q, export_path / fname)
+        written[f"flux_{i}"] = fname
 
     pressure = functions[-2]
     mesh = pressure.space.mesh
+    fname = f"pressure{suffix}.vtu"
     # Parent mesh as line cells in stored vertex order.
     if pressure.space.degree == 0:
         write_vtu(
-            export_path / "pressure.vtu",
+            export_path / fname,
             mesh.vertices,
             mesh.cells,
             VTK_LINE,
@@ -100,22 +107,88 @@ def export_functions(functions: list[NetworkFunction], outpath: Path | str) -> N
         # array pairs with mesh.vertices; writing dof_coordinates() here
         # would leave NumberOfPoints > len(PointData), which VTK rejects.
         write_vtu(
-            export_path / "pressure.vtu",
+            export_path / fname,
             mesh.vertices[:],
             mesh.cells,
             VTK_LINE,
             point_data={"pressure": pressure.values[: mesh.num_vertices]},
         )
+    written["pressure"] = fname
 
     lm = functions[-1]
     lm_coords = lm.space.dof_coordinates()
+    fname = f"lm{suffix}.vtu"
     write_vtu(
-        export_path / "lm.vtu",
+        export_path / fname,
         lm_coords,
         np.arange(lm_coords.shape[0], dtype=np.int64).reshape(-1, 1),
         VTK_VERTEX,
         point_data={"global_flux": lm.values},
     )
+    written["lm"] = fname
+    return written
+
+
+def export_functions(
+    functions: list[NetworkFunction],
+    outpath: Path | str,
+    time: float | None = None,
+) -> None:
+    """Export every solution block (reference ``post_processing.py:55-78``).
+
+    Writes ``flux_<i>.vtu`` per color, ``pressure.vtu`` (cell data for DG0,
+    point data otherwise) and ``lm.vtu`` (bifurcation point cloud).
+
+    Args:
+        time: When given, wraps each block in a single-frame ParaView
+            ``.pvd`` collection stamped with this time (the reference's
+            ``vtx.write(0.0)``).  For multi-frame series use
+            :class:`TimeSeriesWriter`.
+    """
+    export_path = Path(outpath)
+    written = _write_blocks(functions, export_path)
+    if time is not None:
+        for series, fname in written.items():
+            write_pvd(export_path / f"{series}.pvd", [(time, fname)])
+
+
+class TimeSeriesWriter:
+    """Transient solution export: per-block frame ``.vtu`` files plus
+    ParaView ``.pvd`` time collections.
+
+    Functional parity for the reference's timestamped ADIOS2 writers
+    (reference ``post_processing.py:55-78``: one ``VTXWriter`` per block,
+    ``vtx.write(t)`` per step; here one ``.pvd`` per block referencing the
+    frames).  Usage::
+
+        writer = TimeSeriesWriter(outdir)
+        for t in times:
+            ...update coefficients, solve...
+            writer.write(functions, t)
+
+    The ``.pvd`` files are rewritten after every frame, so the series is
+    valid (and openable in ParaView) even mid-run.
+    """
+
+    def __init__(self, outpath: Path | str):
+        self._path = Path(outpath)
+        self._frames: list[tuple[float, dict[str, str]]] = []
+
+    @property
+    def num_frames(self) -> int:
+        return len(self._frames)
+
+    def write(self, functions: list[NetworkFunction], t: float) -> None:
+        """Write one frame of every solution block at time ``t``."""
+        suffix = f"_{len(self._frames):06d}"
+        written = _write_blocks(functions, self._path, suffix)
+        self._frames.append((float(t), written))
+        series = written.keys()
+        for name in series:
+            write_pvd(
+                self._path / f"{name}.pvd",
+                [(t_i, files[name]) for t_i, files in self._frames],
+            )
 
 
 def export_submeshes(

@@ -424,15 +424,52 @@ def _make_edge_data(
 
 def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
     """Host-driven edge-data preparation (used by the sharded solver and the
-    eager path)."""
+    eager path).
+
+    Selects the same compact layouts as the fused executor (see
+    :func:`build_schur_executor`): the uniform closed-form layout for P1 +
+    per-edge-constant coefficients (no (C,)-sized arrays at all), the
+    scalar ``rh`` layout for P1 + per-cell resistance (16× less HBM
+    traffic than the general ``(E, N, 2, 2)`` tensor), and the general
+    layout otherwise — so the multi-device path runs the same fast data
+    layouts as the serial one."""
     if asm.pressure_degree != 0:
         raise ValueError("schur method requires discontinuous (degree-0) pressure")
+    R_mode, f_mode, _ = asm.coefficient_modes()
+    start_pbc = jnp.asarray(asm._edge_start_pbc)
+    end_pbc = jnp.asarray(asm._edge_end_pbc)
+    if asm.flux_degree == 1 and R_mode in ("scalar", "edge") and f_mode in ("scalar", "edge"):
+        return _make_edge_data_uniform(
+            asm,
+            jnp.asarray(asm._R_data),
+            jnp.asarray(asm._f_data),
+            start_pbc,
+            end_pbc,
+            R_mode,
+            f_mode,
+        )
+    if asm.flux_degree == 1 and R_mode in ("scalar", "edge", "cell"):
+        mesh = asm.network
+        h = np.asarray(mesh.cell_h)
+        if R_mode == "scalar":
+            R_cells = np.full(mesh.num_cells, np.asarray(asm._R_data)[0])
+        elif R_mode == "edge":
+            R_cells = np.asarray(asm._R_data)[mesh.cell_edge]
+        else:
+            R_cells = np.asarray(asm._R_data)
+        return _make_edge_data_scalar(
+            asm,
+            jnp.asarray(R_cells * h),
+            jnp.asarray(asm._cell_f_int),
+            start_pbc,
+            end_pbc,
+        )
     return _make_edge_data(
         asm,
         jnp.asarray(asm._cell_mass),
         jnp.asarray(asm._cell_f_int),
-        jnp.asarray(asm._edge_start_pbc),
-        jnp.asarray(asm._edge_end_pbc),
+        start_pbc,
+        end_pbc,
     )
 
 
@@ -1431,14 +1468,22 @@ def _level_eliminate_core2(
 
 
 class _BlockedLevel(typing.NamedTuple):
-    """One level of the blocked-sibling layout (all arrays host-static)."""
+    """One level of the blocked-sibling layout (all values host-static).
 
-    t_start: int  # internal edge position of this level's in-edge slice
+    ``in_parts`` are the internal-edge slices holding this level's in-edges
+    (widths summing to ``m``, ordered to match the level's bifurcation
+    order); ``outs`` is one ``(edge_offset, targets_bif)`` entry per
+    out-edge slot — every bifurcation of the level has the same out-degree
+    ``len(outs)`` and slot ``j`` of all of them forms one contiguous
+    ``m``-wide block."""
+
     m: int  # number of bifurcations at this level
-    o1: int  # internal edge position of the out1 block (m edges)
-    o2: int  # internal edge position of the out2 block (m edges)
-    sub1_bif: bool  # out1 block targets bifurcations (else boundary leaves)
-    sub2_bif: bool
+    in_parts: tuple  # ((start, width), ...) in-edge slices
+    outs: tuple  # ((start, targets_bif), ...) per out slot, each m wide
+
+    @property
+    def n_bif_outs(self) -> int:
+        return sum(1 for _, b in self.outs if b)
 
 
 class _BlockedPlan(typing.NamedTuple):
@@ -1456,38 +1501,108 @@ class _BlockedPlan(typing.NamedTuple):
     public↔internal permutation is applied host-side (args in
     ``prepare_args``, outputs in the flatten).
 
-    Applies when every bifurcation has exactly one in-edge and two
-    out-edges and, per level, each sibling block's targets are uniformly
-    bifurcations or uniformly boundary leaves (true for ``make_tree`` and
-    ``make_arterial_tree`` families; anything else falls back to the
-    general level plan).
+    Applies when every bifurcation has exactly one in-edge, all
+    bifurcations of a level share one out-degree K (K may vary BETWEEN
+    levels), and each sibling block's targets are uniformly bifurcations
+    or uniformly boundary leaves (true for ``make_tree``,
+    ``make_arterial_tree`` and any uniformly-K-ary forest; anything else
+    falls back to the general level plan).
     """
 
-    bif_order: np.ndarray  # (B,) internal position -> public bif index
-    edge_order: np.ndarray  # (E,) internal position -> public edge id
+    bif_order: np.ndarray  # (B_sub,) internal position -> public bif index
+    edge_order: np.ndarray  # (E_sub,) internal position -> public edge id
     n_roots: int  # root in-edges occupy internal positions [0, n_roots)
     levels: tuple  # tuple[_BlockedLevel]
     bif_offsets: np.ndarray  # (L+1,) internal bif slice bounds per level
-    s_is_bif: np.ndarray  # (E,) internal order: edge source is a bifurcation
-    t_is_bif: np.ndarray  # (E,) internal order: edge target is a bifurcation
+    s_is_bif: np.ndarray  # (E_sub,) internal order: edge source is a bif
+    t_is_bif: np.ndarray  # (E_sub,) internal order: edge target is a bif
+
+
+def _blocked_walk(
+    roots: np.ndarray,
+    in_edge: np.ndarray,
+    out_data: np.ndarray,
+    out_offs: np.ndarray,
+    out_counts: np.ndarray,
+    tgt_bif: np.ndarray,
+):
+    """Level-major sibling-blocked BFS from ``roots``; returns
+    ``(bif_order, edge_order, levels, bif_offsets)`` or None when a level
+    breaks the uniformity conditions (mixed out-degree or mixed sub-block
+    targets).  Shared by the serial plan (roots = boundary-fed bifs) and
+    the sharded plan (roots = a device's chunk roots)."""
+    bif_order_parts = [roots]
+    edge_order_parts = [in_edge[roots]]
+    levels: list[_BlockedLevel] = []
+    offsets = [0, roots.size]
+    epos = roots.size  # next free internal edge position
+    cur = roots
+    in_parts: tuple = ((0, int(roots.size)),)
+    while cur.size:
+        m = cur.size
+        K_arr = out_counts[cur]
+        K = int(K_arr[0])
+        if not np.all(K_arr == K) or K == 0:
+            return None  # mixed out-degree within a level
+        out_e = out_data[out_offs[cur][:, None] + np.arange(K)[None, :]]  # (m, K)
+        outs = []
+        nxt_parts = []
+        next_in_parts = []
+        for j in range(K):
+            ej = out_e[:, j]
+            tj = tgt_bif[ej]
+            sub_bif = bool(np.all(tj >= 0))
+            if not sub_bif and np.any(tj >= 0):
+                return None  # mixed targets within a sibling block
+            outs.append((epos + j * m, sub_bif))
+            edge_order_parts.append(ej)
+            if sub_bif:
+                nxt_parts.append(tj)
+                next_in_parts.append((epos + j * m, m))
+        levels.append(_BlockedLevel(m=m, in_parts=in_parts, outs=tuple(outs)))
+        epos += K * m
+        in_parts = tuple(next_in_parts)
+        nxt = np.concatenate(nxt_parts) if nxt_parts else np.empty(0, np.int64)
+        if nxt.size:
+            bif_order_parts.append(nxt)
+            offsets.append(offsets[-1] + nxt.size)
+        cur = nxt
+    return (
+        np.concatenate(bif_order_parts),
+        np.concatenate(edge_order_parts).astype(np.int64),
+        tuple(levels),
+        np.asarray(offsets, dtype=np.int64),
+    )
+
+
+def _blocked_csr(asm: _assembly.HydraulicNetworkAssembler):
+    """Host CSR arrays for the blocked walk, or None when some bifurcation
+    has in-degree != 1."""
+    mesh = asm.network
+    in_data, in_offs = mesh.bif_in_csr
+    out_data, out_offs = mesh.bif_out_csr
+    if not np.all(np.diff(in_offs) == 1):
+        return None
+    return (
+        np.asarray(in_data, dtype=np.int64),
+        np.asarray(out_data, dtype=np.int64),
+        np.asarray(out_offs[:-1], dtype=np.int64),
+        np.diff(out_offs).astype(np.int64),
+    )
 
 
 def _plan_blocked(asm: _assembly.HydraulicNetworkAssembler) -> _BlockedPlan | None:
     """Build the blocked-sibling plan, or None when the topology is not a
-    uniformly-binary forest."""
+    uniformly-K-ary forest."""
     mesh = asm.network
     B = mesh.num_multipliers
     E = mesh.num_edges
     if B == 0:
         return None
-    in_data, in_offs = mesh.bif_in_csr
-    out_data, out_offs = mesh.bif_out_csr
-    in_counts = np.diff(in_offs)
-    out_counts = np.diff(out_offs)
-    if not (np.all(in_counts == 1) and np.all(out_counts == 2)):
+    csr = _blocked_csr(asm)
+    if csr is None:
         return None
-    in_edge = np.asarray(in_data, dtype=np.int64)  # (B,) one in-edge per bif
-    out_edges = np.asarray(out_data, dtype=np.int64).reshape(B, 2)
+    in_edge, out_data, out_offs, out_counts = csr
     src_bif = np.asarray(asm._edge_start_bif)  # (E,) -1 for boundary source
     tgt_bif = np.asarray(asm._edge_end_bif)
 
@@ -1495,156 +1610,219 @@ def _plan_blocked(asm: _assembly.HydraulicNetworkAssembler) -> _BlockedPlan | No
     if roots.size == 0:
         return None
     roots = np.sort(roots)
-
-    bif_order_parts = [roots]
-    edge_order_parts = [in_edge[roots]]
-    levels: list[_BlockedLevel] = []
-    offsets = [0, roots.size]
-    t_start = 0
-    epos = roots.size  # next free internal edge position
-    cur = roots
-    seen = roots.size
-    while cur.size:
-        m = cur.size
-        o1_edges = out_edges[cur, 0]
-        o2_edges = out_edges[cur, 1]
-        t1 = tgt_bif[o1_edges]
-        t2 = tgt_bif[o2_edges]
-        sub1_bif = bool(np.all(t1 >= 0))
-        sub2_bif = bool(np.all(t2 >= 0))
-        if (not sub1_bif and np.any(t1 >= 0)) or (not sub2_bif and np.any(t2 >= 0)):
-            return None  # mixed targets within a sibling block
-        levels.append(
-            _BlockedLevel(
-                t_start=t_start, m=m, o1=epos, o2=epos + m,
-                sub1_bif=sub1_bif, sub2_bif=sub2_bif,
-            )
-        )
-        edge_order_parts.append(o1_edges)
-        edge_order_parts.append(o2_edges)
-        nxt_parts = []
-        if sub1_bif:
-            nxt_parts.append(t1)
-        if sub2_bif:
-            nxt_parts.append(t2)
-        nxt = np.concatenate(nxt_parts) if nxt_parts else np.empty(0, np.int64)
-        # in-edges of the next level are exactly the bif-target sub-blocks,
-        # laid out contiguously right here:
-        t_start = epos if sub1_bif else epos + m
-        epos += 2 * m
-        if nxt.size:
-            bif_order_parts.append(nxt)
-            offsets.append(offsets[-1] + nxt.size)
-            seen += nxt.size
-        cur = nxt
-    bif_order = np.concatenate(bif_order_parts)
-    if seen != B or np.unique(bif_order).size != B:
+    walk = _blocked_walk(roots, in_edge, out_data, out_offs, out_counts, tgt_bif)
+    if walk is None:
+        return None
+    bif_order, edge_order, levels, offsets = walk
+    if bif_order.size != B or np.unique(bif_order).size != B:
         return None  # disconnected bifs (e.g. a separate cycle) — fall back
-    edge_order = np.concatenate(edge_order_parts).astype(np.int64)
     if edge_order.size != E or np.unique(edge_order).size != E:
         return None  # uncovered edges (boundary-to-boundary segments)
+    if len(levels) > 512:
+        # deep chain-like topologies would unroll one slice/add group per
+        # level into the traced program — compile blowup for no win
+        return None
     return _BlockedPlan(
         bif_order=bif_order,
         edge_order=edge_order,
         n_roots=int(roots.size),
-        levels=tuple(levels),
-        bif_offsets=np.asarray(offsets, dtype=np.int64),
+        levels=levels,
+        bif_offsets=offsets,
         s_is_bif=src_bif[edge_order] >= 0,
         t_is_bif=tgt_bif[edge_order] >= 0,
     )
 
 
-def _blocked_eliminate(
+def _blocked_forward(
     plan: _BlockedPlan,
-    w: jnp.ndarray,  # (E,) 1/W in INTERNAL edge order
-    const: jnp.ndarray,  # (E,) boundary/source constant, internal order
-    Ftot: jnp.ndarray,  # (E,) total source flux per edge, internal order
+    w: jnp.ndarray,  # (>=E_sub,) 1/W in INTERNAL edge order
+    const: jnp.ndarray,  # (>=E_sub,) boundary/source constant, internal order
+    Ftot: jnp.ndarray,  # (>=E_sub,) total source flux per edge, internal order
 ):
-    """λ elimination with every step a contiguous slice/add/concat.
+    """Assembly + forward elimination, every step a contiguous
+    slice/add/concat.  Returns ``(d0, r0, w0, saved, rhs_sq)`` — the
+    root-level system, the in-edge (parent-coupling) conductances of the
+    roots, and the per-level state for :func:`_blocked_backward`.  Shared
+    by the serial eliminate (roots close against the boundary) and the
+    sharded one (roots eliminate into the psum-reduced top system)."""
 
-    Returns (lam_levels, lam (B,) internal order, rhs_norm)."""
+    def parts_concat(vec, parts):
+        ps = [jax.lax.slice_in_dim(vec, s, s + width) for s, width in parts]
+        return ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+
     L = len(plan.levels)
     d_lev: list = [None] * L
     r_lev: list = [None] * L
     wn_lev: list = [None] * L  # conductance to parent (in-edge w)
-    # assembly: diag = w(in) + w(out1) + w(out2); rhs = (const+Ftot)(in)
-    #           - const(out1) - const(out2)
+    cF = const + Ftot
+    # assembly: diag = w(in) + Σ_j w(out_j); rhs = (const+Ftot)(in)
+    #           − Σ_j const(out_j)
     for l, lv in enumerate(plan.levels):
-        t_sl = jax.lax.slice_in_dim(w, lv.t_start, lv.t_start + lv.m)
-        cF_t = jax.lax.slice_in_dim(const + Ftot, lv.t_start, lv.t_start + lv.m)
-        w1 = jax.lax.slice_in_dim(w, lv.o1, lv.o1 + lv.m)
-        w2 = jax.lax.slice_in_dim(w, lv.o2, lv.o2 + lv.m)
-        c1 = jax.lax.slice_in_dim(const, lv.o1, lv.o1 + lv.m)
-        c2 = jax.lax.slice_in_dim(const, lv.o2, lv.o2 + lv.m)
-        d_lev[l] = t_sl + w1 + w2
-        r_lev[l] = cF_t - c1 - c2
-        wn_lev[l] = t_sl
+        w_in = parts_concat(w, lv.in_parts)
+        d = w_in
+        r = parts_concat(cF, lv.in_parts)
+        for o, _ in lv.outs:
+            d = d + jax.lax.slice_in_dim(w, o, o + lv.m)
+            r = r - jax.lax.slice_in_dim(const, o, o + lv.m)
+        d_lev[l], r_lev[l], wn_lev[l] = d, r, w_in
     rhs_sq = sum(jnp.sum(r * r) for r in r_lev)
 
-    # forward: deepest level first; children halves add to parents
+    # forward: deepest level first; per-slot child chunks add to parents
     saved: list = [None] * L
     for l in range(L - 1, 0, -1):
         lv_par = plan.levels[l - 1]
         m_par = lv_par.m
+        nb = lv_par.n_bif_outs
         wn = wn_lev[l]
         factor = wn / d_lev[l]
         cd = -wn * factor
         cr = factor * r_lev[l]
-        if lv_par.sub1_bif and lv_par.sub2_bif:
-            upd_d = cd[:m_par] + cd[m_par:]
-            upd_r = cr[:m_par] + cr[m_par:]
-        else:
-            upd_d, upd_r = cd, cr
+        upd_d = cd[:m_par]
+        upd_r = cr[:m_par]
+        for j in range(1, nb):
+            upd_d = upd_d + cd[j * m_par : (j + 1) * m_par]
+            upd_r = upd_r + cr[j * m_par : (j + 1) * m_par]
         d_lev[l - 1] = d_lev[l - 1] + upd_d
         r_lev[l - 1] = r_lev[l - 1] + upd_r
         saved[l] = (d_lev[l], r_lev[l], wn)
 
-    # backward: parents' λ block-tiles down to children
+    return d_lev[0], r_lev[0], wn_lev[0], saved, rhs_sq
+
+
+def _blocked_backward(plan: _BlockedPlan, saved: list, lam0: jnp.ndarray):
+    """Back-substitution given the root-level λ: parents' λ block-tiles
+    down to children (one tile per bif-targeting out slot)."""
+    L = len(plan.levels)
     lam_lev: list = [None] * L
-    lam_lev[0] = r_lev[0] / d_lev[0]
+    lam_lev[0] = lam0
     for l in range(1, L):
         lv_par = plan.levels[l - 1]
+        nb = lv_par.n_bif_outs
         lp_ = lam_lev[l - 1]
-        if lv_par.sub1_bif and lv_par.sub2_bif:
-            lam_par = jnp.concatenate([lp_, lp_])
-        else:
-            lam_par = lp_
+        lam_par = lp_ if nb == 1 else jnp.concatenate([lp_] * nb)
         db, rb, wn = saved[l]
         lam_lev[l] = (rb + wn * lam_par) / db
     lam = lam_lev[0] if L == 1 else jnp.concatenate(lam_lev)
+    return lam_lev, lam
+
+
+def _blocked_eliminate(
+    plan: _BlockedPlan,
+    w: jnp.ndarray,
+    const: jnp.ndarray,
+    Ftot: jnp.ndarray,
+):
+    """λ elimination with every step a contiguous slice/add/concat.
+
+    Returns (lam_levels, lam (B,) internal order, rhs_norm)."""
+    d0, r0, _, saved, rhs_sq = _blocked_forward(plan, w, const, Ftot)
+    lam_lev, lam = _blocked_backward(plan, saved, r0 / d0)
     return lam_lev, lam, jnp.sqrt(rhs_sq)
 
 
 def _blocked_lambda_to_edges(
-    plan: _BlockedPlan, lam_lev: list, dt
+    plan: _BlockedPlan, lam_lev: list, dt, lam_root_src: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-edge (lam_s, lam_t) in INTERNAL edge order — all concats/slices
     of the per-level λ pieces (the general path's repeat-expansion costs
     ~1.6 ms at 1M edges; this is free).  Non-bif endpoints carry zeros
-    (masked by the caller via the plan's static masks)."""
-    zeros_root = jnp.zeros(plan.n_roots, dtype=dt)
+    (masked by the caller via the plan's static masks).  ``lam_root_src``
+    supplies the λ of the root in-edges' SOURCE nodes (the sharded path,
+    where chunk roots hang off the replicated top tree rather than the
+    boundary)."""
+    zeros_root = (
+        jnp.zeros(plan.n_roots, dtype=dt) if lam_root_src is None else lam_root_src
+    )
     s_parts = [zeros_root]
-    t_parts = [lam_lev[0]]  # root edges target level-0 bifs
+    t_parts = [lam_lev[0]]  # root in-edges target the level-0 bifs
     for l, lv in enumerate(plan.levels):
         lam_l = lam_lev[l]
-        s_parts.append(lam_l)
-        s_parts.append(lam_l)
-        lam_child = lam_lev[l + 1] if (lv.sub1_bif or lv.sub2_bif) else None
-        if lv.sub1_bif:
-            t_parts.append(jax.lax.slice_in_dim(lam_child, 0, lv.m))
-        else:
-            t_parts.append(jnp.zeros(lv.m, dtype=dt))
-        if lv.sub2_bif:
-            t_parts.append(
-                jax.lax.slice_in_dim(
-                    lam_child, lam_child.shape[0] - lv.m, lam_child.shape[0]
+        lam_child = lam_lev[l + 1] if lv.n_bif_outs else None
+        cursor = 0
+        for _, is_bif in lv.outs:
+            s_parts.append(lam_l)
+            if is_bif:
+                t_parts.append(
+                    jax.lax.slice_in_dim(lam_child, cursor, cursor + lv.m)
                 )
-            )
-        else:
-            t_parts.append(jnp.zeros(lv.m, dtype=dt))
+                cursor += lv.m
+            else:
+                t_parts.append(jnp.zeros(lv.m, dtype=dt))
     lam_s = jnp.concatenate(s_parts) if len(s_parts) > 1 else s_parts[0]
     lam_t = jnp.concatenate(t_parts) if len(t_parts) > 1 else t_parts[0]
     return lam_s, lam_t
+
+
+def _blocked_condense(
+    N: int,
+    E: int,
+    h_e: jnp.ndarray,
+    R_data: jnp.ndarray,
+    f_data: jnp.ndarray,
+    R_mode: str,
+    f_mode: str,
+):
+    """Per-edge condensed quantities in the blocked internal order.
+
+    Returns ``(W, g, Ftot, back)`` where ``back(q0, r0)`` produces the
+    j-major solution blocks ``(q_T (N+1, E), p_T (N, E))``.  Coefficient
+    modes: "scalar"/"edge" use the uniform closed forms (no (C,)-sized
+    intermediate anywhere — see :func:`_make_edge_data_uniform`); "cell"
+    keeps (N, E) j-major arrays whose every op is contiguous along the
+    128-lane edge axis (cumsums run along the short sublane axis)."""
+    dt = R_data.dtype
+    if R_mode in ("scalar", "edge"):
+        a1 = (R_data[0] * jnp.ones(E, dt) if R_mode == "scalar" else R_data) * h_e
+        a2 = None
+        W = a1 * N
+    else:  # "cell": R_data is (N, E) j-major
+        a2 = R_data * h_e[None, :]
+        a1 = None
+        W = jnp.sum(a2, axis=0)
+    if f_mode in ("scalar", "edge"):
+        F1 = (f_data[0] * jnp.ones(E, dt) if f_mode == "scalar" else f_data) * h_e
+        F2 = None
+        Ftot = F1 * N
+        cumF = None
+    else:  # "cell": f_data is (N, E) j-major
+        F2 = f_data * h_e[None, :]
+        F1 = None
+        cumF = jnp.concatenate([jnp.zeros((1, E), dt), jnp.cumsum(F2, axis=0)], axis=0)
+        Ftot = cumF[-1]
+    # g = 1ᵀ M cumF
+    if a1 is not None and F1 is not None:
+        g = a1 * F1 * (N * N / 2.0)
+    else:
+        if cumF is None:
+            j = jnp.arange(N + 1, dtype=dt)
+            cumF = F1[None, :] * j[:, None]
+        mids = cumF[:-1] + cumF[1:]
+        g = 0.5 * (a1 * jnp.sum(mids, axis=0) if a2 is None else jnp.sum(a2 * mids, axis=0))
+
+    def back(q0: jnp.ndarray, r0: jnp.ndarray):
+        if a1 is not None and F1 is not None:
+            j = jnp.arange(N + 1, dtype=dt)
+            q_T = q0[None, :] + F1[None, :] * j[:, None]
+            c = jnp.arange(N, dtype=dt)
+            p_T = (
+                r0[None, :]
+                - (a1 * q0)[None, :] * (c + 0.5)[:, None]
+                - (a1 * F1)[None, :] * (c * c / 2.0 + (3.0 * c + 1.0) / 6.0)[:, None]
+            )
+            return q_T, p_T
+        q_T = q0[None, :] + cumF
+        qj, qj1 = q_T[:-1], q_T[1:]
+        ab = a2 if a2 is not None else a1[None, :]
+        mc0 = ab * (qj / 3.0 + qj1 / 6.0)
+        mc1 = ab * (qj / 6.0 + qj1 / 3.0)
+        zrow = jnp.zeros((1, E), dt)
+        m_nodes = jnp.concatenate([mc0, zrow], axis=0) + jnp.concatenate(
+            [zrow, mc1], axis=0
+        )
+        p_T = r0[None, :] - jnp.cumsum(m_nodes[:-1], axis=0)
+        return q_T, p_T
+
+    return W, g, Ftot, back
 
 
 def _blocked_uniform_solve(
@@ -1660,11 +1838,12 @@ def _blocked_uniform_solve(
     """Fused condense→eliminate→back-substitute in the blocked layout.
 
     All runtime args are expected in INTERNAL edge order (host-permuted by
-    ``prepare_args``); outputs come back internal — the host flatten maps
-    them to the public layout.
+    ``prepare_args``; "cell"-mode coefficients as (N, E) j-major blocks);
+    outputs come back internal — the host flatten maps them to the public
+    layout.
 
     The condensation/back-substitution closed forms intentionally mirror
-    :func:`_make_edge_data_uniform` and the uniform branch of
+    :func:`_make_edge_data_uniform` / :func:`_make_edge_data_scalar` and
     :func:`_solution_blocks_T` (a change to either must be applied here
     too); equality between the blocked and general executors is pinned by
     ``tests/test_blocked.py`` and the on-hardware
@@ -1675,13 +1854,7 @@ def _blocked_uniform_solve(
     h_e = jnp.asarray(
         np.asarray(mesh.edge_length)[plan.edge_order], dtype=dt
     ) / N
-    R_e = R_data[0] * jnp.ones(E, dt) if R_mode == "scalar" else R_data
-    f_e = f_data[0] * jnp.ones(E, dt) if f_mode == "scalar" else f_data
-    a = R_e * h_e
-    F = f_e * h_e
-    W = a * N
-    Ftot = F * N
-    g = a * F * (N * N / 2.0)
+    W, g, Ftot, back = _blocked_condense(N, E, h_e, R_data, f_data, R_mode, f_mode)
     w = 1.0 / W
     s_b = jnp.asarray(plan.s_is_bif)
     t_b = jnp.asarray(plan.t_is_bif)
@@ -1693,14 +1866,7 @@ def _blocked_uniform_solve(
     r0 = jnp.where(s_b, lam_s, -start_pbc)
     rN = jnp.where(t_b, -lam_t, end_pbc)
     q0 = (r0 + rN - g) * w
-    j = jnp.arange(N + 1, dtype=dt)
-    q_T = q0[None, :] + F[None, :] * j[:, None]
-    c = jnp.arange(N, dtype=dt)
-    p_T = (
-        r0[None, :]
-        - (a * q0)[None, :] * (c + 0.5)[:, None]
-        - (a * F)[None, :] * (c * c / 2.0 + (3.0 * c + 1.0) / 6.0)[:, None]
-    )
+    q_T, p_T = back(q0, r0)
     return q_T, p_T, lam, rhs_norm
 
 
@@ -1815,13 +1981,14 @@ class _BlockedExecutor:
     set, off the dispatch path); ``edge_order``/``bif_order`` let the
     host flatten map outputs back to the public layout."""
 
-    def __init__(self, fn, plan: _BlockedPlan, R_mode: str, f_mode: str):
+    def __init__(self, fn, plan: _BlockedPlan, R_mode: str, f_mode: str, N: int = 1):
         self._fn = fn
         self.blocked_plan = plan
         self.edge_order = plan.edge_order
         self.bif_order = plan.bif_order
         self._R_mode = R_mode
         self._f_mode = f_mode
+        self._N = N
 
     def __call__(self, *args):
         return self._fn(*args)
@@ -1833,6 +2000,12 @@ class _BlockedExecutor:
         a = np.asarray(arr)
         if mode == "scalar":
             return a
+        if mode == "cell":
+            # (C,) public cell order -> (N, E) j-major internal blocks
+            E = self.edge_order.shape[0]
+            return np.ascontiguousarray(
+                a.reshape(E, self._N)[self.edge_order].T
+            )
         return a[self.edge_order]
 
     def prepare_args(self, R_data, f_data, start_pbc, end_pbc):
@@ -1939,8 +2112,8 @@ def build_schur_executor(
         and schur_method == "tree"
         and level_plan is not None
         and asm.flux_degree == 1
-        and R_mode in ("scalar", "edge")
-        and f_mode in ("scalar", "edge")
+        and R_mode in ("scalar", "edge", "cell")
+        and f_mode in ("scalar", "edge", "cell")
     ):
         blocked_plan = _plan_blocked(asm)
 
@@ -1969,6 +2142,7 @@ def build_schur_executor(
             plan,
             R_mode,
             f_mode,
+            N=mesh.N,
         )
 
     def _finish(ed):

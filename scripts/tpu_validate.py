@@ -169,6 +169,45 @@ else:
     err = float("inf")
 check("blocked-vs-general-executor", is_blocked and err < 1e-11, f"err={err:.1e}")
 
+# 14. K-ary (K=3) blocked plan + per-cell-coefficient blocked path (round 3)
+Gk = nx.DiGraph(); Gk.add_node(0, pos=np.array([0.,-1.,0.])); Gk.add_node(1, pos=np.array([0.,0.,0.]))
+Gk.add_edge(0, 1); nid = 2; frontier = [(1, 0.0)]
+for d in range(2):
+    nf = []
+    for node, x in frontier:
+        for j in range(3):
+            cx = x + (j - 1.0) * 3.0 ** (1 - d)
+            Gk.add_node(nid, pos=np.array([cx, float(d + 1), 0.])); Gk.add_edge(node, nid)
+            nf.append((nid, cx)); nid += 1
+    frontier = nf
+mk = NetworkMesh(Gk, N=3)
+ak = HydraulicNetworkAssembler(mk)
+ak.compute_forms(p_bc_ex=lambda x: x[1], R=np.linspace(0.5, 2.0, mk.num_cells), f=0.4)
+exk = _S.build_schur_executor(ak, _SO(), outputs="blocks", internal_layout=True)
+is_k = isinstance(exk, _S._BlockedExecutor)
+if is_k:
+    ok_ = exk(*exk.prepare_args(*ak.schur_arguments(device=False)))
+    xk = _S._flatten_blocks_host(ok_[0], ok_[1], ok_[2], mk.edge_color,
+                                 edge_order=exk.edge_order, bif_order=exk.bif_order)
+    sref = Solver(ak, options=SolverOptions(method="host_lu")); sref.assemble(); solr = sref.solve()
+    xr = np.concatenate([np.ravel(f.values) for f in solr])
+    err = float(np.max(np.abs(xk - xr)))
+else:
+    err = float("inf")
+check("kary-cellcoef-blocked", is_k and err < 1e-9, f"err={err:.1e}")
+
+# 15. sharded blocked path on the single chip (D=1 degenerate mesh)
+from networks_fenicsx_tpu.parallel import ShardedNetworkSolver
+asb = HydraulicNetworkAssembler(m5)
+asb.compute_forms(p_bc_ex=lambda x: x[1], R=np.linspace(1, 3, m5.num_edges))
+ssb = ShardedNetworkSolver(asb); ssb.assemble(); sob = ssb.solve()
+asr = HydraulicNetworkAssembler(m5)
+asr.compute_forms(p_bc_ex=lambda x: x[1], R=np.linspace(1, 3, m5.num_edges))
+ssr = Solver(asr); ssr.assemble(); sor = ssr.solve()
+err = max(float(np.max(np.abs(a.values - b.values))) for a, b in zip(sob, sor))
+check("sharded-blocked-1chip", ssb.info.method == "schur_sharded_blocked" and err < 1e-11,
+      f"method={ssb.info.method} err={err:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)

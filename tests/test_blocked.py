@@ -39,7 +39,7 @@ def test_plan_structure_binary_tree():
     sizes = np.diff(plan.bif_offsets)
     assert list(sizes) == [1, 2, 4]
     last = plan.levels[-1]
-    assert not last.sub1_bif and not last.sub2_bif  # leaves below
+    assert last.n_bif_outs == 0  # leaves below
 
 
 @pytest.mark.parametrize("maker,kw", [
@@ -78,31 +78,114 @@ def test_fallback_on_grid():
     assert not isinstance(ex, S._BlockedExecutor)  # plain executor fallback
 
 
-def test_fallback_on_chain():
-    """Degree-2 chain junctions (out-degree 1) fall back."""
+def test_chain_blocked_k1():
+    """Degree-2 chain junctions are K=1 levels of the blocked plan (round
+    3; previously a fallback) and match the direct solve."""
     import networkx as nx
 
     G = nx.DiGraph()
-    for i, y in enumerate([0.0, 1.0, 2.0]):
-        G.add_node(i, pos=np.array([0.0, y]))
+    for i, y in enumerate([0.0, 1.0, 2.0, 3.5]):
+        G.add_node(i, pos=np.array([0.3 * i, y]))
     G.add_edge(0, 1)
     G.add_edge(1, 2)
+    G.add_edge(2, 3)
     mesh, asm = _asm(G, N=2)
-    assert S._plan_blocked(asm) is None
+    plan = S._plan_blocked(asm)
+    assert plan is not None
+    assert all(len(lv.outs) == 1 for lv in plan.levels)
     sol = Solver(asm)
     sol.assemble()
-    out = sol.solve()  # general path still solves it
-    assert np.all(np.isfinite(out[-2].values))
+    out = sol.solve()
+    assert isinstance(sol._executor, S._BlockedExecutor)
+    s2 = Solver(asm, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    ref = s2.solve()
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-10)
 
 
-def test_fallback_per_cell_coefficients():
-    """Per-cell R is outside the uniform-coefficient envelope."""
-    G = network_generation.make_tree(3, 1.0, 2.0)
-    mesh = NetworkMesh(G, N=2)
+def test_blocked_per_cell_coefficients_match_general():
+    """Per-cell R and f stay inside the blocked envelope (round 3) and
+    match the general executor exactly."""
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3)
     asm = HydraulicNetworkAssembler(mesh)
-    asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.ones(mesh.num_cells))
-    ex = _blocked(asm)
-    assert not isinstance(ex, S._BlockedExecutor)
+    rng = np.random.default_rng(11)
+    asm.compute_forms(
+        p_bc_ex=lambda x: x[1],
+        R=rng.uniform(0.5, 2.0, mesh.num_cells),
+        f=rng.uniform(-1.0, 1.0, mesh.num_cells),
+    )
+    ex_b = _blocked(asm)
+    assert isinstance(ex_b, S._BlockedExecutor)
+    ex_g = S.build_schur_executor(asm, SolverOptions(), jit=False)
+    x_flat = np.asarray(ex_g(*asm.schur_arguments())[0])
+    out = ex_b(*ex_b.prepare_args(*asm.schur_arguments(device=False)))
+    x_blk = S._flatten_blocks_host(
+        out[0], out[1], out[2], mesh.edge_color,
+        edge_order=ex_b.edge_order, bif_order=ex_b.bif_order,
+    )
+    scale = max(1.0, float(np.max(np.abs(x_flat))))
+    np.testing.assert_allclose(x_blk, x_flat, atol=1e-12 * scale)
+
+
+def _kary_tree(K: int, depth: int):
+    """Uniform K-ary tree DiGraph: boundary inlet 0 -> stem -> K-ary fan
+    with ``depth`` bifurcation levels."""
+    import networkx as nx
+
+    G = nx.DiGraph()
+    G.add_node(0, pos=np.array([0.0, -1.0]))
+    G.add_node(1, pos=np.array([0.0, 0.0]))
+    G.add_edge(0, 1)
+    next_id = 2
+    frontier = [(1, 0.0)]  # (node, x position)
+    for d in range(depth + 1):
+        new_frontier = []
+        width = float(K ** (depth - d))
+        for node, x in frontier:
+            for j in range(K):
+                child = next_id
+                next_id += 1
+                cx = x + (j - (K - 1) / 2.0) * width
+                G.add_node(child, pos=np.array([cx, float(d + 1)]))
+                G.add_edge(node, child)
+                new_frontier.append((child, cx))
+        frontier = new_frontier
+    return G
+
+
+@pytest.mark.parametrize("K", [3, 4])
+def test_blocked_kary_tree_matches_general(K):
+    """Uniformly K-ary forests auto-select a blocked plan (round 3: no
+    longer binary-only) and match the general executor."""
+    G = _kary_tree(K, 2)
+    mesh = NetworkMesh(G, N=3)
+    asm = HydraulicNetworkAssembler(mesh)
+    rng = np.random.default_rng(13)
+    asm.compute_forms(
+        p_bc_ex=lambda x: x[0] + 0.4 * x[1],
+        R=rng.uniform(0.5, 2.0, mesh.num_edges),
+        f=0.3,
+    )
+    ex_b = _blocked(asm)
+    assert isinstance(ex_b, S._BlockedExecutor)
+    assert all(len(lv.outs) == K for lv in ex_b.blocked_plan.levels)
+    ex_g = S.build_schur_executor(asm, SolverOptions(), jit=False)
+    x_flat = np.asarray(ex_g(*asm.schur_arguments())[0])
+    out = ex_b(*ex_b.prepare_args(*asm.schur_arguments(device=False)))
+    x_blk = S._flatten_blocks_host(
+        out[0], out[1], out[2], mesh.edge_color,
+        edge_order=ex_b.edge_order, bif_order=ex_b.bif_order,
+    )
+    scale = max(1.0, float(np.max(np.abs(x_flat))))
+    np.testing.assert_allclose(x_blk, x_flat, atol=1e-12 * scale)
+    # cross-check against the direct host solve
+    s = Solver(asm, options=SolverOptions(method="host_lu"))
+    s.assemble()
+    sol = s.solve()
+    x_ref = np.concatenate([np.ravel(fn.values) for fn in sol])
+    np.testing.assert_allclose(x_blk, x_ref, atol=1e-9)
 
 
 def test_solver_uses_blocked_for_trees():
@@ -203,7 +286,7 @@ def test_blocked_asymmetric_depth_tree():
     ex_b = _blocked(asm)
     assert isinstance(ex_b, S._BlockedExecutor)
     plan = ex_b.blocked_plan
-    assert any(lv.sub1_bif != lv.sub2_bif for lv in plan.levels)  # mixed level
+    assert any(0 < lv.n_bif_outs < len(lv.outs) for lv in plan.levels)  # mixed level
     ex_g = S.build_schur_executor(asm, SolverOptions(), jit=False, outputs="blocks")
     ob = ex_b(*ex_b.prepare_args(*asm.schur_arguments(device=False)))
     og = ex_g(*asm.schur_arguments())

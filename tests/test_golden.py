@@ -129,3 +129,71 @@ def test_goldens_exist():
         "tree4", "y_source", "arterial", "arterial_poiseuille",
     }
     assert expected.issubset(set(GOLDEN_NAMES))
+
+
+# --- DOLFINx/MUMPS goldens (BASELINE.md's literal acceptance oracle) -----
+# This image cannot run the reference stack (no dolfinx, no container
+# runtime, zero egress), so scripts/make_goldens_dolfinx.py must be run in
+# the ghcr.io/fenics/dolfinx/dolfinx:stable container; the moment its
+# output lands in tests/goldens_dolfinx/, these tests activate without any
+# code change and pin BOTH production solutions and the exact-Fraction
+# oracle against the reference at 1e-8.
+
+DOLFINX_DIR = Path(__file__).parent / "goldens_dolfinx"
+DOLFINX_NAMES = sorted(p.stem for p in DOLFINX_DIR.glob("*.json"))
+
+
+def _load_dolfinx(name: str) -> dict:
+    return json.loads((DOLFINX_DIR / f"{name}.json").read_text())
+
+
+@pytest.mark.parametrize(
+    "name",
+    DOLFINX_NAMES
+    or [
+        pytest.param(
+            "absent",
+            marks=pytest.mark.skip(
+                reason="tests/goldens_dolfinx/ not generated — run "
+                "scripts/make_goldens_dolfinx.py inside the "
+                "dolfinx/dolfinx:stable container (not possible in this "
+                "image: no dolfinx, no container runtime, no egress)"
+            ),
+        )
+    ],
+)
+def test_dolfinx_golden_production(name: str):
+    golden = _load_dolfinx(name)
+    _, mesh, asm = _build_problem(golden)
+    solver = Solver(asm)
+    solver.assemble()
+    sol = solver.solve()
+    _check(golden, mesh, asm, sol, tol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "name",
+    DOLFINX_NAMES
+    or [
+        pytest.param(
+            "absent",
+            marks=pytest.mark.skip(reason="tests/goldens_dolfinx/ not generated"),
+        )
+    ],
+)
+def test_dolfinx_golden_agrees_with_exact_oracle(name: str):
+    """The two independent oracles (DOLFINx/MUMPS and exact Fractions)
+    must agree with each other — on the shared configurations."""
+    if name not in GOLDEN_NAMES:
+        pytest.skip(f"no exact-Fraction golden for {name}")
+    ref = _load_dolfinx(name)
+    exact = _load(name)
+    assert ref["edges"] == exact["edges"]
+    np.testing.assert_allclose(
+        np.asarray(ref["flux"]), np.asarray(exact["flux"]),
+        atol=1e-8 * max(1.0, np.abs(np.asarray(exact["flux"])).max()), rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["pressure"]), np.asarray(exact["pressure"]),
+        atol=1e-8 * max(1.0, np.abs(np.asarray(exact["pressure"])).max()), rtol=0,
+    )

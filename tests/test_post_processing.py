@@ -187,3 +187,67 @@ def test_export_submeshes_hdf5(tmp_path):
         pts, cells, pd, _ = read_xdmf(f)
         assert cells.shape == view.cells.shape
         assert "vertex_markers" in pd
+
+
+def test_time_series_writer_pvd(tmp_path):
+    """TimeSeriesWriter writes per-frame VTUs + valid .pvd collections
+    (the reference's timestamped VTXWriter.write(t) parity)."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        network_generation,
+    )
+    from networks_fenicsx_tpu.io.vtk import read_pvd, read_vtu
+    from networks_fenicsx_tpu.post_processing import TimeSeriesWriter
+
+    G = network_generation.make_tree(2, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3)
+    asm = HydraulicNetworkAssembler(mesh)
+    writer = TimeSeriesWriter(tmp_path)
+    times = [0.0, 0.5, 1.0]
+    lam_per_frame = []
+    for t in times:
+        asm.compute_forms(p_bc_ex=lambda x, s=1.0 + t: s * x[1])
+        s = Solver(asm)
+        s.assemble()
+        sol = s.solve()
+        lam_per_frame.append(float(sol[-1].values[0]))
+        writer.write(sol, t)
+    assert writer.num_frames == 3
+    for series in ("flux_0", "pressure", "lm"):
+        frames = read_pvd(tmp_path / f"{series}.pvd")
+        assert [t for t, _ in frames] == times
+        for _, fname in frames:
+            assert (tmp_path / fname).exists()
+    # frame data reflects the per-step solutions (λ scales with the BC)
+    for i, (_, fname) in enumerate(read_pvd(tmp_path / "lm.pvd")):
+        _, _, pd, _ = read_vtu(tmp_path / fname)
+        np.testing.assert_allclose(pd["global_flux"][0], lam_per_frame[i], atol=1e-13)
+    # λ scales linearly with the boundary amplitude — frames genuinely differ
+    np.testing.assert_allclose(
+        lam_per_frame[2] / lam_per_frame[0], 2.0, atol=1e-10
+    )
+
+
+def test_export_functions_time_stamp(tmp_path):
+    """export_functions(time=...) wraps blocks in single-frame .pvd files."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        network_generation,
+    )
+    from networks_fenicsx_tpu.io.vtk import read_pvd
+    from networks_fenicsx_tpu.post_processing import export_functions
+
+    G = network_generation.make_tree(2, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    s = Solver(asm)
+    s.assemble()
+    sol = s.solve()
+    export_functions(sol, tmp_path, time=0.25)
+    frames = read_pvd(tmp_path / "pressure.pvd")
+    assert frames == [(0.25, "pressure.vtu")]

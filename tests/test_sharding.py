@@ -227,3 +227,80 @@ def test_tree_dist_chain_fallback():
     serial = serial_solver.solve()
     for fs, fd in zip(serial, out):
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-12)
+
+
+# ----------------------------------------------------------------------
+# Blocked-sibling sharded path (round 3): the serial fast layout, multi-chip
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 4, 8])
+def test_sharded_blocked_matches_serial(n_devices):
+    """The sharded blocked executor (slice/concat per-device programs +
+    one top-tree psum) equals the serial blocked solve to 1e-11."""
+    devices = jax.devices()[:n_devices]
+    G = network_generation.make_tree(6, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=4, color_strategy="fast")
+    rng = np.random.default_rng(17)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+    asm, serial = _serial_solution(mesh, f=f, R=R)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y, f=f, R=R)
+    sharded_solver = ShardedNetworkSolver(asm2, devices=devices)
+    sharded_solver.assemble()
+    sharded = sharded_solver.solve()
+    assert sharded_solver.info.method == "schur_sharded_blocked"
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+def test_sharded_blocked_arterial_poiseuille():
+    """Arterial tree with per-edge Poiseuille resistance (the BASELINE
+    benchmark configuration) rides the blocked sharded path."""
+    G = network_generation.make_arterial_tree(N=6, direction=np.array([0.1, 1.0, 0.0]))
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    R = 1.0 / mesh.edge_radius**4
+    asm, serial = _serial_solution(mesh, R=R)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y, R=R)
+    sharded_solver = ShardedNetworkSolver(asm2)
+    sharded_solver.assemble()
+    sharded = sharded_solver.solve()
+    assert sharded_solver.info.method == "schur_sharded_blocked"
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+def test_sharded_blocked_forced_raises_when_infeasible():
+    """schur_method='blocked' on a non-divisible topology raises clearly."""
+    G = network_generation.make_tree(3, 1.0, 2.0)  # level widths 1, 2, 4
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y)
+    solver = ShardedNetworkSolver(asm, schur_method="blocked")  # 8 devices
+    solver.assemble()
+    with pytest.raises(ValueError, match="blocked"):
+        solver.solve()
+
+
+def test_sharded_blocked_fallback_general():
+    """Topologies outside the blocked envelope fall back to the general
+    sharded pipeline under schur_method='auto' and still match serial."""
+    G = network_generation.make_grid(4, 4, arrays=True)  # cyclic lattice
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    asm, serial = _serial_solution(mesh)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y)
+    solver = ShardedNetworkSolver(asm2)
+    solver.assemble()
+    sharded = solver.solve()
+    assert solver.info.method in ("schur_sharded", "schur_sharded_dist")
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-10 * scale)
