@@ -1,6 +1,8 @@
 import sys, time
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 import numpy as np, jax
+from networks_fenicsx_tpu.utils.platform import enable_compilation_cache
+enable_compilation_cache()  # warm re-runs skip the per-check XLA compiles
 from networks_fenicsx_tpu import (HydraulicNetworkAssembler, NetworkMesh, Solver,
                                   SolverOptions, network_generation, solve_sweep)
 from networks_fenicsx_tpu.post_processing import extract_global_flux

@@ -142,3 +142,31 @@ def test_kind_variants_consistent():
             np.asarray(A_dense)[offs[i] : offs[i + 1], offs[j] : offs[j + 1]],
             atol=1e-14,
         )
+
+
+def test_bilinear_form_blocks_match_dense_slices():
+    """bilinear_form(i, j) (block-local build, O(block) memory) equals the
+    corresponding slice of the densely assembled matrix."""
+    import numpy as np
+
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        network_generation,
+    )
+
+    G = network_generation.make_tree(3, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    rng = np.random.default_rng(5)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=rng.uniform(0.5, 2.0, mesh.num_edges))
+    A, _ = asm.assemble(assemble_rhs=False, kind="dense")
+    A = np.asarray(A)
+    offs = asm.block_offsets
+    n_blocks = len(offs) - 1
+    for i in range(n_blocks):
+        for j in range(n_blocks):
+            blk = np.asarray(asm.bilinear_form(i, j))
+            np.testing.assert_array_equal(
+                blk, A[offs[i]:offs[i + 1], offs[j]:offs[j + 1]]
+            )

@@ -304,3 +304,31 @@ def test_sharded_blocked_fallback_general():
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-10 * scale)
+
+
+def test_sharded_blocked_large_scale():
+    """n=16 tree (65,535 edges, 32,767 multipliers) over 8 devices: the
+    cut lands at level 3 (|T| = 7), every device owns one complete
+    subtree, and sharded == serial blocked at 1e-11."""
+    from networks_fenicsx_tpu import ArrayNetwork  # noqa: F401 (import check)
+
+    G = network_generation.make_tree(16, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y)
+    solver = ShardedNetworkSolver(asm)
+    solver.assemble()
+    sol = solver.solve()
+    assert solver.info.method == "schur_sharded_blocked"
+    plan = solver._blocked_exec.plan
+    assert plan.Tn == 7 and plan.c == 1
+    assert plan.B_sub * plan.D + plan.Tn == mesh.num_multipliers
+
+    asm_s = HydraulicNetworkAssembler(mesh)
+    asm_s.compute_forms(p_bc_ex=p_bc_y)
+    ser = Solver(asm_s)
+    ser.assemble()
+    sol_s = ser.solve()
+    for a, b in zip(sol_s, sol):
+        scale = max(1.0, float(np.max(np.abs(a.values))))
+        np.testing.assert_allclose(a.values, b.values, atol=1e-11 * scale)
