@@ -163,6 +163,30 @@ def main() -> None:
     log(f"pipelined x{K}: {t_pipe * 1e3:.2f} ms/solve "
         f"-> {pipe_dofs_per_sec:.3e} dofs/s steady-state")
 
+    # Batched serving: S independent coefficient scenarios solved in ONE
+    # dispatch via vmap — amortises the per-dispatch tunnel cost entirely
+    # and measures the device program's true marginal cost per solve.
+    S = int(os.environ.get("NXFX_BENCH_BATCH", "8"))
+    if prepare is not None and S > 1:
+        batched = jax.jit(jax.vmap(getattr(executor, "_fn", executor)))
+        bargs = tuple(
+            jnp.broadcast_to(a, (S,) + a.shape) if np.asarray(a).ndim else a
+            for a in args
+        )
+        bargs = tuple(jnp.asarray(a) for a in bargs)
+        out_b = batched(*bargs)
+        np.asarray(out_b[0][:1, :1, :1])  # warm + sync
+        best_b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_b = batched(*bargs)
+            np.asarray(out_b[0][:1, :1, :1])
+            best_b = min(best_b, (time.perf_counter() - t0) / S)
+        log(f"batched x{S} (one vmapped dispatch): {best_b * 1e3:.2f} ms/solve "
+            f"-> {n_dofs / best_b:.3e} dofs/s")
+    else:
+        best_b = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -235,6 +259,8 @@ def main() -> None:
             "pipelined_deep_ms_per_solve": round(t_pipe_deep * 1e3, 3),
             "pipelined_deep_dofs_per_sec": round(n_dofs / t_pipe_deep, 1),
             "pipeline_depth_deep": K_deep,
+            "batched_ms_per_solve": round(best_b * 1e3, 3) if best_b else None,
+            "batch_size": S if best_b else None,
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",
             "baseline_superlu_ms_median": round(t_baseline * 1e3, 3),

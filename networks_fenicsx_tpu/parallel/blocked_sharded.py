@@ -399,9 +399,11 @@ def build_sharded_blocked_executor(
             - (a * q0)[None, :] * (cc + 0.5)[:, None]
             - (a * F)[None, :] * (cc * cc / 2.0 + (3.0 * cc + 1.0) / 6.0)[:, None]
         )
+        # finiteness from the (E_loc,)-sized precursors (q_T/p_T are
+        # affine in them — see _blocked_uniform_solve), not the big blocks
         finite = (
-            jnp.all(jnp.isfinite(q_T))
-            & jnp.all(jnp.isfinite(p_T))
+            jnp.all(jnp.isfinite(q0))
+            & jnp.all(jnp.isfinite(r0_e))
             & jnp.all(jnp.isfinite(lam_loc))
             & jnp.all(jnp.isfinite(lam_T))
         )
