@@ -163,27 +163,30 @@ def main() -> None:
     log(f"pipelined x{K}: {t_pipe * 1e3:.2f} ms/solve "
         f"-> {pipe_dofs_per_sec:.3e} dofs/s steady-state")
 
-    # Batched serving: S independent coefficient scenarios solved in ONE
-    # dispatch via vmap — amortises the per-dispatch tunnel cost entirely
-    # and measures the device program's true marginal cost per solve.
+    # Batched serving: S independent coefficient scenarios per vmapped
+    # dispatch, pipelined to the same total solve count as the deep
+    # pipeline (a fair comparison on this rig, where a single synchronize
+    # costs a ~30-130 ms tunnel round trip that must be amortised either
+    # way).  Device profile: the vmapped program costs the same
+    # ~0.32 ms/solve as the single program — vmap does not degrade the
+    # blocked layout.
     S = int(os.environ.get("NXFX_BENCH_BATCH", "8"))
     if prepare is not None and S > 1:
         batched = jax.jit(jax.vmap(getattr(executor, "_fn", executor)))
         bargs = tuple(
-            jnp.broadcast_to(a, (S,) + a.shape) if np.asarray(a).ndim else a
-            for a in args
+            jnp.asarray(jnp.broadcast_to(a, (S,) + a.shape)) for a in args
         )
-        bargs = tuple(jnp.asarray(a) for a in bargs)
+        depth_b = max(1, K_deep // S)
         out_b = batched(*bargs)
         np.asarray(out_b[0][:1, :1, :1])  # warm + sync
         best_b = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out_b = batched(*bargs)
-            np.asarray(out_b[0][:1, :1, :1])
-            best_b = min(best_b, (time.perf_counter() - t0) / S)
-        log(f"batched x{S} (one vmapped dispatch): {best_b * 1e3:.2f} ms/solve "
-            f"-> {n_dofs / best_b:.3e} dofs/s")
+            outs_b = [batched(*bargs) for _ in range(depth_b)]
+            np.asarray(outs_b[-1][0][:1, :1, :1])
+            best_b = min(best_b, (time.perf_counter() - t0) / (S * depth_b))
+        log(f"batched x{S} (vmap, pipeline depth {depth_b}): "
+            f"{best_b * 1e3:.2f} ms/solve -> {n_dofs / best_b:.3e} dofs/s")
     else:
         best_b = None
 

@@ -55,8 +55,25 @@ def build(case: str):
 
 def profile(case: str, outdir: Path, reps: int = 30):
     import jax
+    import jax.numpy as jnp
 
-    ex, args = build(case)
+    if case.startswith("batched"):
+        ex, args = build("16gen")
+        S = 8
+        args = tuple(
+            jnp.asarray(np.broadcast_to(np.asarray(a), (S,) + np.asarray(a).shape).copy())
+            for a in args
+        )
+        fn = jax.jit(jax.vmap(ex._fn))
+
+        class _Ex:
+            def __call__(self, *a):
+                return fn(*a)
+
+        ex = _Ex()
+        reps = max(4, reps // 8)
+    else:
+        ex, args = build(case)
     # warm up (compile + tunnel)
     out = ex(*args)
     np.asarray(out[0][:1, :1])
@@ -110,3 +127,5 @@ if __name__ == "__main__":
         profile("16gen", outdir)
     if which in ("n20", "both"):
         profile("n20", outdir)
+    if which == "batched16":
+        profile("batched16", outdir)

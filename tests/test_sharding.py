@@ -332,3 +332,44 @@ def test_sharded_blocked_large_scale():
     for a, b in zip(sol_s, sol):
         scale = max(1.0, float(np.max(np.abs(a.values))))
         np.testing.assert_allclose(a.values, b.values, atol=1e-11 * scale)
+
+
+def test_sharded_blocked_kary_three_devices():
+    """A 3-ary tree over 3 devices: the K-ary walk drives the sharded
+    blocked plan (cut at the width-3 level, one subtree per device)."""
+    from tests.test_blocked import _kary_tree
+
+    G = _kary_tree(3, 2)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    rng = np.random.default_rng(23)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm, serial = _serial_solution(mesh, R=R)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y, R=R)
+    solver = ShardedNetworkSolver(asm2, devices=jax.devices()[:3])
+    solver.assemble()
+    sharded = solver.solve()
+    assert solver.info.method == "schur_sharded_blocked"
+    assert solver._blocked_exec.plan.D == 3
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+def test_sharded_blocked_indivisible_device_count_falls_back():
+    """6 devices on a binary tree (level widths 2^l): no level divides 6,
+    so auto falls back to the general sharded path and still matches."""
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    asm, serial = _serial_solution(mesh)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y)
+    solver = ShardedNetworkSolver(asm2, devices=jax.devices()[:6])
+    solver.assemble()
+    sharded = solver.solve()
+    assert solver.info.method in ("schur_sharded", "schur_sharded_dist")
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
