@@ -190,6 +190,29 @@ def main() -> None:
     else:
         best_b = None
 
+    # float32 serving mode: the same fused blocked program in single
+    # precision — no X64 split/combine emulation and half the HBM traffic
+    # (accuracy ~1e-5 relative; the f64 path remains the default
+    # contract).  Skippable via NXFX_BENCH_F32=0.
+    t_pipe_f32 = None
+    if os.environ.get("NXFX_BENCH_F32", "1") != "0" and prepare is not None:
+        ex32 = build_schur_executor(
+            asm, SolverOptions(dtype="float32"), outputs="blocks",
+            internal_layout=True,
+        )
+        args32 = jax.device_put(ex32.prepare_args(*asm.schur_arguments(device=False)))
+        out32 = ex32(*args32)
+        np.asarray(out32[0][:1, :1])  # warm + sync
+        best32 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs32 = [ex32(*args32) for _ in range(K_deep)]
+            np.asarray(outs32[-1][0][:1, :1])
+            best32 = min(best32, (time.perf_counter() - t0) / K_deep)
+        t_pipe_f32 = best32
+        log(f"pipelined x{K_deep} float32 serving: {t_pipe_f32 * 1e3:.2f} ms/solve "
+            f"-> {n_dofs / t_pipe_f32:.3e} dofs/s")
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -264,6 +287,9 @@ def main() -> None:
             "pipeline_depth_deep": K_deep,
             "batched_ms_per_solve": round(best_b * 1e3, 3) if best_b else None,
             "batch_size": S if best_b else None,
+            "pipelined_f32_ms_per_solve": (
+                round(t_pipe_f32 * 1e3, 3) if t_pipe_f32 else None
+            ),
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",
             "baseline_superlu_ms_median": round(t_baseline * 1e3, 3),
