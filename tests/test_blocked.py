@@ -13,6 +13,8 @@ from networks_fenicsx_tpu import (
 )
 from networks_fenicsx_tpu import solver as S
 
+from _topologies import kary_tree as _kary_tree
+
 
 def _asm(G, N=3, R=None, f=None, p_bc=lambda x: x[0] + 0.7 * x[1]):
     mesh = NetworkMesh(G, N=N, color_strategy="fast")
@@ -127,32 +129,6 @@ def test_blocked_per_cell_coefficients_match_general():
     )
     scale = max(1.0, float(np.max(np.abs(x_flat))))
     np.testing.assert_allclose(x_blk, x_flat, atol=1e-12 * scale)
-
-
-def _kary_tree(K: int, depth: int):
-    """Uniform K-ary tree DiGraph: boundary inlet 0 -> stem -> K-ary fan
-    with ``depth`` bifurcation levels."""
-    import networkx as nx
-
-    G = nx.DiGraph()
-    G.add_node(0, pos=np.array([0.0, -1.0]))
-    G.add_node(1, pos=np.array([0.0, 0.0]))
-    G.add_edge(0, 1)
-    next_id = 2
-    frontier = [(1, 0.0)]  # (node, x position)
-    for d in range(depth + 1):
-        new_frontier = []
-        width = float(K ** (depth - d))
-        for node, x in frontier:
-            for j in range(K):
-                child = next_id
-                next_id += 1
-                cx = x + (j - (K - 1) / 2.0) * width
-                G.add_node(child, pos=np.array([cx, float(d + 1)]))
-                G.add_edge(node, child)
-                new_frontier.append((child, cx))
-        frontier = new_frontier
-    return G
 
 
 @pytest.mark.parametrize("K", [3, 4])

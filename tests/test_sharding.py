@@ -337,9 +337,9 @@ def test_sharded_blocked_large_scale():
 def test_sharded_blocked_kary_three_devices():
     """A 3-ary tree over 3 devices: the K-ary walk drives the sharded
     blocked plan (cut at the width-3 level, one subtree per device)."""
-    from tests.test_blocked import _kary_tree
+    from _topologies import kary_tree
 
-    G = _kary_tree(3, 2)
+    G = kary_tree(3, 2)
     mesh = NetworkMesh(G, N=2, color_strategy="fast")
     rng = np.random.default_rng(23)
     R = rng.uniform(0.5, 2.0, mesh.num_edges)
