@@ -76,7 +76,10 @@ previous = {key: 0.0 for key in tracked.values()}
 export = os.environ.get("NXFX_PERF_EXPORT")
 
 for n in ns:
-    G = make_tree(n=n, H=n, W=n)
+    # Above 65k edges the nx.DiGraph object build dominates wall clock
+    # (~35 s of Python object churn at n=20); the array-native generator
+    # produces the identical topology/geometry directly.
+    G = make_tree(n=n, H=n, W=n, arrays=(n >= 16))
     # "fast" = native C++ greedy coloring (same 3-color result on trees as
     # the reference's smallest_last, without materialising the line graph —
     # BuildMesh drops from ~7.7s to ~0.1s at 65k edges).

@@ -278,6 +278,8 @@ def test_sharded_blocked_arterial_poiseuille():
 
 def test_sharded_blocked_forced_raises_when_infeasible():
     """schur_method='blocked' on a non-divisible topology raises clearly."""
+    if len(jax.devices()) not in (3, 5, 6, 7, 8):
+        pytest.skip("needs a device count no tree level width divides")
     G = network_generation.make_tree(3, 1.0, 2.0)  # level widths 1, 2, 4
     mesh = NetworkMesh(G, N=2)
     asm = HydraulicNetworkAssembler(mesh)
@@ -312,6 +314,9 @@ def test_sharded_blocked_large_scale():
     subtree, and sharded == serial blocked at 1e-11."""
     from networks_fenicsx_tpu import ArrayNetwork  # noqa: F401 (import check)
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
     G = network_generation.make_tree(16, 1.0, 2.0, arrays=True)
     mesh = NetworkMesh(G, N=1, color_strategy="fast")
     asm = HydraulicNetworkAssembler(mesh)
@@ -337,6 +342,8 @@ def test_sharded_blocked_large_scale():
 def test_sharded_blocked_kary_three_devices():
     """A 3-ary tree over 3 devices: the K-ary walk drives the sharded
     blocked plan (cut at the width-3 level, one subtree per device)."""
+    if len(jax.devices()) < 3:
+        pytest.skip("needs >= 3 devices")
     from _topologies import kary_tree
 
     G = kary_tree(3, 2)
@@ -360,6 +367,8 @@ def test_sharded_blocked_kary_three_devices():
 def test_sharded_blocked_indivisible_device_count_falls_back():
     """6 devices on a binary tree (level widths 2^l): no level divides 6,
     so auto falls back to the general sharded path and still matches."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs >= 6 devices")
     G = network_generation.make_tree(5, 1.0, 2.0)
     mesh = NetworkMesh(G, N=2, color_strategy="fast")
     asm, serial = _serial_solution(mesh)
