@@ -382,3 +382,72 @@ def test_sharded_blocked_indivisible_device_count_falls_back():
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+def test_sharded_blocked_no_top_tree():
+    """A forest of 8 boundary-fed subtrees over 8 devices cuts at level 0:
+    |T| = 0, no psum at all — each device solves its subtree
+    independently; results still match serial."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import networkx as nx
+
+    G = nx.DiGraph()
+    nid = 0
+    for k in range(8):
+        x0 = 3.0 * k
+        # boundary -> root -> {leaf, leaf}: one bifurcation per component
+        ids = {}
+        for name, (dx, y) in {
+            "in": (0.0, 0.0), "root": (0.0, 1.0),
+            "l1": (-1.0, 2.0), "l2": (1.0, 2.0),
+        }.items():
+            G.add_node(nid, pos=np.array([x0 + dx, y]))
+            ids[name] = nid
+            nid += 1
+        G.add_edge(ids["in"], ids["root"])
+        G.add_edge(ids["root"], ids["l1"])
+        G.add_edge(ids["root"], ids["l2"])
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(31)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm, serial = _serial_solution(mesh, R=R)
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y, R=R)
+    solver = ShardedNetworkSolver(asm2)
+    solver.assemble()
+    sharded = solver.solve()
+    assert solver.info.method == "schur_sharded_blocked"
+    assert solver._blocked_exec.plan.Tn == 0
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sharded_blocked_fuzz_uniform_forests(seed):
+    """Random uniformly-K-ary trees with random coefficients and random
+    device counts: sharded blocked == serial whenever the plan engages;
+    the general path covers it otherwise."""
+    from _topologies import kary_tree
+
+    rng = np.random.default_rng(100 + seed)
+    K = int(rng.integers(2, 4))
+    depth = int(rng.integers(1, 3))
+    G = kary_tree(K, depth)
+    N = int(rng.integers(1, 5))
+    mesh = NetworkMesh(G, N=N, color_strategy="fast")
+    R = rng.uniform(0.2, 5.0, mesh.num_edges)
+    f = rng.uniform(-2.0, 2.0, mesh.num_edges)
+    asm, serial = _serial_solution(mesh, R=R, f=f)
+
+    n_dev = int(rng.choice([1, 2, 4, 8]))
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc_y, R=R, f=f)
+    solver = ShardedNetworkSolver(asm2, devices=jax.devices()[:n_dev])
+    solver.assemble()
+    sharded = solver.solve()
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-10 * scale)
