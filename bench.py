@@ -171,24 +171,28 @@ def main() -> None:
     # ~0.32 ms/solve as the single program — vmap does not degrade the
     # blocked layout.
     S = int(os.environ.get("NXFX_BENCH_BATCH", "8"))
+    best_b = None
     if prepare is not None and S > 1:
-        batched = jax.jit(jax.vmap(getattr(executor, "_fn", executor)))
-        bargs = tuple(
-            jnp.asarray(jnp.broadcast_to(a, (S,) + a.shape)) for a in args
-        )
-        depth_b = max(1, K_deep // S)
-        out_b = batched(*bargs)
-        np.asarray(out_b[0][:1, :1, :1])  # warm + sync
-        best_b = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs_b = [batched(*bargs) for _ in range(depth_b)]
-            np.asarray(outs_b[-1][0][:1, :1, :1])
-            best_b = min(best_b, (time.perf_counter() - t0) / (S * depth_b))
-        log(f"batched x{S} (vmap, pipeline depth {depth_b}): "
-            f"{best_b * 1e3:.2f} ms/solve -> {n_dofs / best_b:.3e} dofs/s")
-    else:
-        best_b = None
+        # Optional diagnostics — never let them take down the headline run.
+        try:
+            batched = jax.jit(jax.vmap(getattr(executor, "_fn", executor)))
+            bargs = tuple(
+                jnp.asarray(jnp.broadcast_to(a, (S,) + a.shape)) for a in args
+            )
+            depth_b = max(1, K_deep // S)
+            out_b = batched(*bargs)
+            np.asarray(out_b[0][:1, :1, :1])  # warm + sync
+            best_b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_b = [batched(*bargs) for _ in range(depth_b)]
+                np.asarray(outs_b[-1][0][:1, :1, :1])
+                best_b = min(best_b, (time.perf_counter() - t0) / (S * depth_b))
+            log(f"batched x{S} (vmap, pipeline depth {depth_b}): "
+                f"{best_b * 1e3:.2f} ms/solve -> {n_dofs / best_b:.3e} dofs/s")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"batched serving stage skipped: {e!r}")
+            best_b = None
 
     # float32 serving mode: the same fused blocked program in single
     # precision — no X64 split/combine emulation and half the HBM traffic
@@ -196,22 +200,26 @@ def main() -> None:
     # contract).  Skippable via NXFX_BENCH_F32=0.
     t_pipe_f32 = None
     if os.environ.get("NXFX_BENCH_F32", "1") != "0" and prepare is not None:
-        ex32 = build_schur_executor(
-            asm, SolverOptions(dtype="float32"), outputs="blocks",
-            internal_layout=True,
-        )
-        args32 = jax.device_put(ex32.prepare_args(*asm.schur_arguments(device=False)))
-        out32 = ex32(*args32)
-        np.asarray(out32[0][:1, :1])  # warm + sync
-        best32 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs32 = [ex32(*args32) for _ in range(K_deep)]
-            np.asarray(outs32[-1][0][:1, :1])
-            best32 = min(best32, (time.perf_counter() - t0) / K_deep)
-        t_pipe_f32 = best32
-        log(f"pipelined x{K_deep} float32 serving: {t_pipe_f32 * 1e3:.2f} ms/solve "
-            f"-> {n_dofs / t_pipe_f32:.3e} dofs/s")
+        try:
+            ex32 = build_schur_executor(
+                asm, SolverOptions(dtype="float32"), outputs="blocks",
+                internal_layout=True,
+            )
+            args32 = jax.device_put(ex32.prepare_args(*asm.schur_arguments(device=False)))
+            out32 = ex32(*args32)
+            np.asarray(out32[0][:1, :1])  # warm + sync
+            best32 = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs32 = [ex32(*args32) for _ in range(K_deep)]
+                np.asarray(outs32[-1][0][:1, :1])
+                best32 = min(best32, (time.perf_counter() - t0) / K_deep)
+            t_pipe_f32 = best32
+            log(f"pipelined x{K_deep} float32 serving: {t_pipe_f32 * 1e3:.2f} ms/solve "
+                f"-> {n_dofs / t_pipe_f32:.3e} dofs/s")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"float32 serving stage skipped: {e!r}")
+            t_pipe_f32 = None
 
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
