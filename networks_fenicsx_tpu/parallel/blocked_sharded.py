@@ -291,21 +291,14 @@ class ShardedBlockedExecutor:
         return self._fn(R_rows, f_rows, spbc_rows, epbc_rows, self._rows())
 
 
-def build_sharded_blocked_executor(
-    asm,
-    plan: ShardedBlockedPlan,
-    mesh,
-    axis: str,
-    dtype=jnp.float64,
-) -> ShardedBlockedExecutor:
-    """Trace + jit the shard_map pipeline for a prepared plan."""
-    N = asm.network.N
-    Tn, E_loc, E_sub, c = plan.Tn, plan.E_loc, plan.E_sub, plan.c
+def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype):
+    """The per-device fused solve, parameterized so both the executor and
+    the vmapped 2-D sweep can reuse it.  Returns ``local_solve(R_e, f_e,
+    spbc, epbc, rows)`` — called INSIDE shard_map with device-local
+    shards."""
+    Tn, E_loc, E_sub = plan.Tn, plan.E_loc, plan.E_sub
     lp = plan.local_plan
     T_parent = plan.T_parent
-    R_mode, f_mode, _ = asm.coefficient_modes()
-    if R_mode not in ("scalar", "edge") or f_mode not in ("scalar", "edge"):
-        raise ValueError("sharded blocked executor requires per-edge coefficients")
 
     def local_solve(R_e, f_e, spbc, epbc, rows):
         def row(a):
@@ -410,6 +403,22 @@ def build_sharded_blocked_executor(
         finite = jax.lax.pmin(finite.astype(jnp.int32), axis) > 0
         return q_T, p_T, lam_loc, lam_T, rhs_norm, finite
 
+    return local_solve
+
+
+def build_sharded_blocked_executor(
+    asm,
+    plan: ShardedBlockedPlan,
+    mesh,
+    axis: str,
+    dtype=jnp.float64,
+) -> ShardedBlockedExecutor:
+    """Trace + jit the shard_map pipeline for a prepared plan."""
+    R_mode, f_mode, _ = asm.coefficient_modes()
+    if R_mode not in ("scalar", "edge") or f_mode not in ("scalar", "edge"):
+        raise ValueError("sharded blocked executor requires per-edge coefficients")
+    local_solve = _make_local_body(asm.network.N, plan, axis, dtype)
+
     spec_e = P(axis)
     in_specs = (
         spec_e, spec_e, spec_e, spec_e,
@@ -429,3 +438,119 @@ def build_sharded_blocked_executor(
     return ShardedBlockedExecutor(
         jax.jit(fn), plan, mesh, axis, R_mode, f_mode
     )
+
+
+def sharded_blocked_sweep(
+    asm,
+    plan: ShardedBlockedPlan,
+    R: "np.ndarray",
+    mesh2d,
+    batch_axis: str = "batch",
+    edge_axis: str = "edges",
+    dtype=jnp.float64,
+):
+    """2-D (scenarios × edges) sweep through the blocked elimination.
+
+    The scenario axis is data-parallel over ``batch_axis`` devices while
+    within each batch group the edge axis runs the blocked sharded
+    elimination over ``edge_axis`` devices — ``vmap`` of the per-device
+    body (measured on hardware: vmap does not degrade the blocked
+    layout).  This replaces the dense per-scenario Cholesky of the
+    legacy path, whose O(B²) memory made large-network sweeps
+    infeasible.  Only the resistance varies per scenario; f and the
+    boundary pressures are those of the assembler's computed forms.
+
+    Returns ``x (S, num_dofs)`` host array in the public layout.
+    """
+    R_mode, f_mode, _ = asm.coefficient_modes()
+    if R_mode != "edge":
+        raise ValueError("sharded_blocked_sweep requires per-edge R in compute_forms")
+    if f_mode not in ("scalar", "edge"):
+        raise ValueError("sharded_blocked_sweep requires per-edge (or scalar) f")
+    Db = mesh2d.shape[batch_axis]
+    De = mesh2d.shape[edge_axis]
+    assert De * plan.E_loc == plan.edge_rows.size
+
+    R = np.asarray(R, dtype=np.float64)
+    S, E = R.shape
+    S_pad = (-S) % Db
+
+    # per-row arg layout for every scenario (pad rows R=1) + pad scenarios
+    rows = plan.edge_rows.reshape(-1)
+    valid = rows >= 0
+    rv = np.maximum(rows, 0)
+    R_rows = np.where(valid[None, :], R[:, rv], 1.0)
+    if S_pad:
+        R_rows = np.concatenate([R_rows, np.ones((S_pad, rows.size))], axis=0)
+
+    def fixed(a, mode, pad):
+        a = np.asarray(a)
+        if mode == "scalar":
+            a = np.broadcast_to(a.reshape(-1)[:1], (rows.size,))
+            return np.where(valid, a, pad)
+        return np.where(valid, a[rv], pad)
+
+    f_rows = jnp.asarray(fixed(asm._f_data, f_mode, 0.0))
+    spbc_rows = jnp.asarray(fixed(asm._edge_start_pbc, "edge", 0.0))
+    epbc_rows = jnp.asarray(fixed(asm._edge_end_pbc, "edge", 0.0))
+    rows_dev = {f: jnp.asarray(getattr(plan, f)) for f in ROW_FIELDS}
+
+    body = _make_local_body(asm.network.N, plan, edge_axis, dtype)
+
+    def local(R_chunk, f_e, spbc, epbc, rows_d):
+        # R_chunk: (S_loc, E_loc) — vmap the per-device solve over the
+        # local scenario chunk; the edge-axis psums batch naturally.
+        return jax.vmap(
+            lambda R_e: body(R_e, f_e, spbc, epbc, rows_d)
+        )(R_chunk)
+
+    spec_R = P(batch_axis, edge_axis)
+    spec_e = P(edge_axis)
+    in_specs = (
+        spec_R, spec_e, spec_e, spec_e,
+        {f: spec_e for f in ROW_FIELDS},
+    )
+    out_specs = (
+        P(batch_axis, None, edge_axis),  # q_T (S, N+1, D_e*E_loc)
+        P(batch_axis, None, edge_axis),  # p_T
+        P(batch_axis, edge_axis),  # lam_loc (S, D_e*B_sub)
+        P(batch_axis),  # lam_T (S, Tn) — replicated over edges
+        P(batch_axis),  # rhs_norm
+        P(batch_axis),  # finite
+    )
+    fn = jax.jit(shard_map(
+        local, mesh=mesh2d, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
+    sharding_R = NamedSharding(mesh2d, spec_R)
+    sharding_e = NamedSharding(mesh2d, spec_e)
+    q_T, p_T, lam_loc, lam_T, _rhs, finite = fn(
+        jax.device_put(jnp.asarray(R_rows), sharding_R),
+        jax.device_put(f_rows, sharding_e),
+        jax.device_put(spbc_rows, sharding_e),
+        jax.device_put(epbc_rows, sharding_e),
+        jax.device_put(rows_dev, {f: sharding_e for f in rows_dev}),
+    )
+    if not bool(np.all(np.asarray(finite))):
+        raise RuntimeError(
+            "Solver did not converge: sharded blocked sweep produced "
+            "non-finite values"
+        )
+
+    # host flatten per scenario: internal rows -> public layout
+    q = np.swapaxes(np.asarray(q_T), 1, 2)[:S]  # (S, D_e*E_loc, N+1)
+    p = np.swapaxes(np.asarray(p_T), 1, 2)[:S]
+    q_edge = q[:, plan.edge_flat]  # (S, E, N+1)
+    p_cells = p[:, plan.edge_flat]
+    lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)], axis=1)[:S]
+    lam = lam_flat[:, plan.lam_src]
+
+    net = asm.network
+    x = np.zeros((S, asm.num_dofs))
+    dofs_per_edge = asm.flux_degree * net.N + 1
+    idx = asm._edge_flux_base[:, None] + np.arange(dofs_per_edge)[None, :]
+    x[:, idx.reshape(-1)] = q_edge.reshape(S, -1)
+    p_off = int(asm.block_offsets[net.num_edge_colors])
+    x[:, p_off : p_off + net.num_cells] = p_cells.reshape(S, -1)
+    x[:, asm._lm_offset :] = lam
+    return x

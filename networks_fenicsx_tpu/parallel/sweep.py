@@ -55,11 +55,6 @@ def sharded_sweep(
     modes = asm.coefficient_modes()
     if modes[0] != "edge":
         raise ValueError("compute_forms must have been called with per-edge R")
-    if not modes[2]:
-        raise ValueError(
-            "sharded_sweep assumes a zero source (f=0); forms were computed "
-            "with a nonzero f — use solve_sweep for source sweeps"
-        )
     if net.has_floating_component():
         raise RuntimeError("network has a component with no boundary node")
 
@@ -68,6 +63,25 @@ def sharded_sweep(
         mesh_shape = (devs.size, 1)
     Db, De = mesh_shape
     mesh2d = Mesh(devs.reshape(Db, De), axis_names=("batch", "edges"))
+
+    # Blocked fast path (round 3): K-ary forests run the blocked
+    # elimination vmapped over the scenario chunk — no dense per-scenario
+    # Cholesky (the legacy path's O(B²) memory made big-network sweeps
+    # infeasible), and nonzero fixed sources are supported.
+    if modes[1] in ("scalar", "edge"):
+        from .blocked_sharded import plan_sharded_blocked, sharded_blocked_sweep
+
+        plan = plan_sharded_blocked(asm, De)
+        if plan is not None:
+            x = sharded_blocked_sweep(asm, plan, np.asarray(R), mesh2d)
+            return SweepResult(asm, jnp.asarray(x))
+
+    if not modes[2]:
+        raise ValueError(
+            "sharded_sweep's general path assumes a zero source (f=0); "
+            "forms were computed with a nonzero f — use solve_sweep for "
+            "source sweeps (or a blocked-eligible topology)"
+        )
 
     R = np.asarray(R, dtype=np.float64)
     S, E = R.shape

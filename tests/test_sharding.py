@@ -451,3 +451,59 @@ def test_sharded_blocked_fuzz_uniform_forests(seed):
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-10 * scale)
+
+
+def test_sharded_blocked_sweep_matches_individual():
+    """The 2-D sharded sweep routes through the blocked elimination on
+    tree networks (no dense per-scenario Cholesky) and matches
+    per-scenario serial solves — including a nonzero fixed source, which
+    the legacy dense path refuses."""
+    from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
+
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(41)
+    R0 = rng.uniform(0.5, 2.0, mesh.num_edges)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R0, f=f)
+    scales = np.array([0.7, 1.0, 1.8, 3.0, 5.5])
+    res = sharded_sweep(
+        asm, R0[None, :] * scales[:, None],
+        mesh_shape=(2, min(4, max(1, len(jax.devices()) // 2))),
+    )
+    xs = np.asarray(res.x)
+    assert xs.shape[0] == scales.size
+    for i in (0, 2, 4):
+        asm_i = HydraulicNetworkAssembler(mesh)
+        asm_i.compute_forms(p_bc_ex=p_bc_y, R=R0 * scales[i], f=f)
+        s = Solver(asm_i)
+        s.assemble()
+        sol = s.solve()
+        x_i = np.concatenate([np.ravel(fn.values) for fn in sol])
+        scale = max(1.0, float(np.max(np.abs(x_i))))
+        np.testing.assert_allclose(xs[i], x_i, atol=1e-10 * scale)
+
+
+def test_sharded_blocked_sweep_scenarios_on_edges_axis_only():
+    """mesh_shape (1, D): all devices on the edge axis."""
+    from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs >= 2 devices")
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    R0 = np.linspace(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R0)
+    res = sharded_sweep(asm, R0[None, :] * np.array([1.0, 2.0])[:, None],
+                        devices=jax.devices()[:2], mesh_shape=(1, 2))
+    xs = np.asarray(res.x)
+    asm_1 = HydraulicNetworkAssembler(mesh)
+    asm_1.compute_forms(p_bc_ex=p_bc_y, R=2.0 * R0)
+    s = Solver(asm_1)
+    s.assemble()
+    sol = s.solve()
+    x_1 = np.concatenate([np.ravel(fn.values) for fn in sol])
+    np.testing.assert_allclose(xs[1], x_1, atol=1e-10)
