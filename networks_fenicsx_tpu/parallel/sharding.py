@@ -293,7 +293,7 @@ class ShardedNetworkSolver:
         self._tree_plan = None
         self._dist_plan = None
         self._blocked_exec = None
-        self._blocked_checked = False
+        self._blocked_checked: tuple | None = None
         self._info: SolveInfo | None = None
 
     @property
@@ -324,10 +324,15 @@ class ShardedNetworkSolver:
 
         # --- blocked-sibling sharded fast path: identically-shaped
         # per-device subforests run the serial blocked slice/concat
-        # program; cross-device coupling is one psum of the tiny top tree
-        if not self._blocked_checked and self._schur_method in ("auto", "blocked"):
-            self._blocked_checked = True
-            R_mode, f_mode, _ = asm.coefficient_modes()
+        # program; cross-device coupling is one psum of the tiny top tree.
+        # Keyed on coefficient_modes(): a compute_forms() call that changes
+        # the coefficient KINDS (e.g. per-edge -> scalar R) invalidates the
+        # executor's host-side arg permutation, like the serial Solver.
+        modes_key = asm.coefficient_modes()
+        if self._blocked_checked != modes_key and self._schur_method in ("auto", "blocked"):
+            self._blocked_checked = modes_key
+            self._blocked_exec = None
+            R_mode, f_mode, _ = modes_key
             if (
                 asm.flux_degree == 1
                 and R_mode in ("scalar", "edge")

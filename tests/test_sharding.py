@@ -507,3 +507,28 @@ def test_sharded_blocked_sweep_scenarios_on_edges_axis_only():
     sol = s.solve()
     x_1 = np.concatenate([np.ravel(fn.values) for fn in sol])
     np.testing.assert_allclose(xs[1], x_1, atol=1e-10)
+
+
+def test_sharded_blocked_recompute_forms_changes_modes():
+    """Switching coefficient kinds between solves (per-edge R -> scalar R)
+    rebuilds the blocked executor instead of mispermuting stale args."""
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    R0 = np.linspace(0.5, 2.0, mesh.num_edges)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R0)
+    solver = ShardedNetworkSolver(asm)
+    solver.assemble()
+    solver.solve()
+    assert solver.info.method == "schur_sharded_blocked"
+
+    asm.compute_forms(p_bc_ex=p_bc_y, R=3.0)  # scalar kind now
+    solver.assemble()
+    sol2 = solver.solve()
+    asm_s = HydraulicNetworkAssembler(mesh)
+    asm_s.compute_forms(p_bc_ex=p_bc_y, R=3.0)
+    ser = Solver(asm_s)
+    ser.assemble()
+    ref = ser.solve()
+    for a, b in zip(ref, sol2):
+        np.testing.assert_allclose(a.values, b.values, atol=1e-11)
