@@ -329,6 +329,12 @@ class ShardedNetworkSolver:
         # the coefficient KINDS (e.g. per-edge -> scalar R) invalidates the
         # executor's host-side arg permutation, like the serial Solver.
         modes_key = asm.coefficient_modes()
+        if getattr(self, "_modes_key", None) != modes_key:
+            # coefficient kinds changed: the edge-data layout (and hence
+            # the traced shard_map signature) may differ — drop caches
+            self._modes_key = modes_key
+            self._pipeline = None
+            self._dist_plan = None
         if self._blocked_checked != modes_key and self._schur_method in ("auto", "blocked"):
             self._blocked_checked = modes_key
             self._blocked_exec = None
