@@ -41,6 +41,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..solver import (
     _BlockedPlan,
     _blocked_backward,
+    _blocked_condense,
     _blocked_csr,
     _blocked_forward,
     _blocked_lambda_to_edges,
@@ -316,12 +317,9 @@ def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype):
         spbc = spbc.astype(dtype)
         epbc = epbc.astype(dtype)
 
-        # uniform closed-form condensation (cf. _make_edge_data_uniform)
-        a = R_e * h
-        F = f_e * h
-        W = a * N
-        Ftot = F * N
-        g = a * F * (N * N / 2.0)
+        # closed-form condensation + back-substitution, shared with the
+        # serial blocked executor (one source of truth for the formulas)
+        W, g, Ftot, back = _blocked_condense(N, E_loc, h, R_e, f_e, "edge", "edge")
         w = 1.0 / W
         const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
         cF = const + Ftot
@@ -384,14 +382,7 @@ def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype):
         r0_e = jnp.where(s_b, lam_s, -spbc)
         rN_e = jnp.where(t_b, -lam_t, epbc)
         q0 = (r0_e + rN_e - g) * w
-        j = jnp.arange(N + 1, dtype=dtype)
-        q_T = q0[None, :] + F[None, :] * j[:, None]
-        cc = jnp.arange(N, dtype=dtype)
-        p_T = (
-            r0_e[None, :]
-            - (a * q0)[None, :] * (cc + 0.5)[:, None]
-            - (a * F)[None, :] * (cc * cc / 2.0 + (3.0 * cc + 1.0) / 6.0)[:, None]
-        )
+        q_T, p_T = back(q0, r0_e)
         # finiteness from the (E_loc,)-sized precursors (q_T/p_T are
         # affine in them — see _blocked_uniform_solve), not the big blocks
         finite = (
@@ -399,6 +390,9 @@ def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype):
             & jnp.all(jnp.isfinite(r0_e))
             & jnp.all(jnp.isfinite(lam_loc))
             & jnp.all(jnp.isfinite(lam_T))
+            & jnp.all(jnp.isfinite(W))
+            & jnp.all(jnp.isfinite(g))
+            & jnp.all(jnp.isfinite(Ftot))
         )
         finite = jax.lax.pmin(finite.astype(jnp.int32), axis) > 0
         return q_T, p_T, lam_loc, lam_T, rhs_norm, finite
@@ -472,6 +466,11 @@ def sharded_blocked_sweep(
     assert De * plan.E_loc == plan.edge_rows.size
 
     R = np.asarray(R, dtype=np.float64)
+    if R.ndim != 2 or R.shape[1] != asm.network.num_edges:
+        raise ValueError(
+            f"R must be (num_scenarios, num_edges) = (S, "
+            f"{asm.network.num_edges}); got {R.shape}"
+        )
     S, E = R.shape
     S_pad = (-S) % Db
 

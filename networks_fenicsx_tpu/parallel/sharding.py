@@ -161,9 +161,13 @@ def _sharded_schur_pipeline(
     schur_method: str = "auto",
     tree_plan=None,
     level_plan=None,
-    ed_template: _EdgeData | None = None,
+    *,
+    ed_template: _EdgeData,
 ):
-    """Build the jitted shard_map solve: edge shards in → solution shards out."""
+    """Build the jitted shard_map solve: edge shards in → solution shards
+    out.  ``ed_template`` (required) supplies the edge-data pytree whose
+    structure defines the shard_map in_specs — layouts vary (general /
+    scalar / uniform), so the specs cannot be hardcoded."""
     if schur_method == "auto":
         if tree_plan is not None and tree_plan.core_size <= 4096:
             schur_method = "tree"
@@ -307,6 +311,15 @@ class ShardedNetworkSolver:
     def assemble(self, lhs: bool = True, rhs: bool = True) -> None:
         del lhs, rhs
         self._edge_data = _prepare_edge_data(self._assembler)
+        # Snapshot the coefficient buffers: like the reference
+        # (``solver.py:90-101``), solve() uses the state captured at
+        # assemble() time — a compute_forms() call between assemble() and
+        # solve() takes effect only after the next assemble(), uniformly
+        # across the blocked and general paths.
+        self._coeff_args = tuple(
+            np.array(a, copy=True)
+            for a in self._assembler.schur_arguments(device=False)
+        )
 
     @timed("nxfx:ShardedSolver:solve", block=True)
     def solve(self, functions: list[NetworkFunction] | None = None) -> list[NetworkFunction]:
@@ -331,10 +344,10 @@ class ShardedNetworkSolver:
         modes_key = asm.coefficient_modes()
         if getattr(self, "_modes_key", None) != modes_key:
             # coefficient kinds changed: the edge-data layout (and hence
-            # the traced shard_map signature) may differ — drop caches
+            # the traced shard_map signature) may differ — drop the traced
+            # pipeline (the topology-only _dist_plan stays valid)
             self._modes_key = modes_key
             self._pipeline = None
-            self._dist_plan = None
         if self._blocked_checked != modes_key and self._schur_method in ("auto", "blocked"):
             self._blocked_checked = modes_key
             self._blocked_exec = None
@@ -354,12 +367,14 @@ class ShardedNetworkSolver:
                     self._blocked_exec = build_sharded_blocked_executor(
                         asm, plan, self._mesh, self._axis
                     )
-            if self._blocked_exec is None and self._schur_method == "blocked":
-                raise ValueError(
-                    "schur_method='blocked' requires a uniformly-K-ary "
-                    "forest with per-edge coefficients and a level width "
-                    "divisible by the device count"
-                )
+        if self._blocked_exec is None and self._schur_method == "blocked":
+            # re-raise on EVERY solve — a forced 'blocked' must never
+            # silently fall through to the general pipeline
+            raise ValueError(
+                "schur_method='blocked' requires a uniformly-K-ary "
+                "forest with per-edge coefficients and a level width "
+                "divisible by the device count"
+            )
         if self._blocked_exec is not None:
             return self._solve_blocked(functions)
 
@@ -423,10 +438,13 @@ class ShardedNetworkSolver:
         """Blocked-sibling sharded path: per-device slice/concat programs,
         one psum of the tiny top-tree system per solve."""
         asm = self._assembler
-        net = asm.network
         ex = self._blocked_exec
         plan = ex.plan
-        args = ex.prepare_args(*asm.schur_arguments(device=False))
+        # coefficients captured at assemble() time (reference semantics)
+        coeff = getattr(self, "_coeff_args", None)
+        if coeff is None:
+            coeff = asm.schur_arguments(device=False)
+        args = ex.prepare_args(*coeff)
         q_T, p_T, lam_loc, lam_T, _rhs, finite = ex(*args)
         q = np.asarray(q_T).T  # (D*E_loc, N+1)
         p = np.asarray(p_T).T  # (D*E_loc, N)

@@ -532,3 +532,66 @@ def test_sharded_blocked_recompute_forms_changes_modes():
     ref = ser.solve()
     for a, b in zip(ref, sol2):
         np.testing.assert_allclose(a.values, b.values, atol=1e-11)
+
+
+def test_sharded_forced_blocked_raises_every_solve():
+    """A forced schur_method='blocked' on an infeasible topology raises on
+    EVERY solve — never a silent fall-through to the general pipeline."""
+    if len(jax.devices()) not in (3, 5, 6, 7, 8):
+        pytest.skip("needs a device count no tree level width divides")
+    G = network_generation.make_tree(3, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y)
+    solver = ShardedNetworkSolver(asm, schur_method="blocked")
+    solver.assemble()
+    with pytest.raises(ValueError, match="blocked"):
+        solver.solve()
+    with pytest.raises(ValueError, match="blocked"):
+        solver.solve()  # second attempt must raise too
+
+
+@pytest.mark.parametrize("topology", ["tree", "grid"])
+def test_sharded_coefficients_snapshot_at_assemble(topology):
+    """Reference semantics, uniform across the blocked and general paths:
+    solve() uses the coefficients captured at assemble() time; a
+    compute_forms() between assemble() and solve() takes effect only
+    after the next assemble() (reference solver.py:90-101)."""
+    if topology == "tree":
+        G = network_generation.make_tree(4, 1.0, 2.0)
+    else:
+        G = network_generation.make_grid(3, 3, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    R1 = np.linspace(0.5, 2.0, mesh.num_edges)
+    R2 = R1 * 3.0
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R1)
+    solver = ShardedNetworkSolver(asm)
+    solver.assemble()
+    x1 = np.concatenate([f.values.ravel() for f in solver.solve()])
+
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R2)  # NOT followed by assemble()
+    x_stale = np.concatenate([f.values.ravel() for f in solver.solve()])
+    np.testing.assert_allclose(x_stale, x1, atol=1e-14)  # still R1
+
+    solver.assemble()
+    x2 = np.concatenate([f.values.ravel() for f in solver.solve()])
+    asm_ref = HydraulicNetworkAssembler(mesh)
+    asm_ref.compute_forms(p_bc_ex=p_bc_y, R=R2)
+    ser = Solver(asm_ref)
+    ser.assemble()
+    x_ref = np.concatenate([f.values.ravel() for f in ser.solve()])
+    np.testing.assert_allclose(x2, x_ref, atol=1e-11)
+
+
+def test_sharded_blocked_sweep_rejects_bad_shape():
+    """R with the wrong column count raises clearly (not silent column
+    truncation)."""
+    from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
+
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=np.ones(mesh.num_edges))
+    with pytest.raises(ValueError, match="num_edges"):
+        sharded_sweep(asm, np.ones((2, mesh.num_edges + 5)))
