@@ -221,6 +221,35 @@ def main() -> None:
             log(f"float32 serving stage skipped: {e!r}")
             t_pipe_f32 = None
 
+    # Mixed serving contract: full-f64 solve, f32 output blocks
+    # (SolverOptions.output_dtype) — values carry f64-solve accuracy
+    # rounded once on output, while the program skips the X64Combine
+    # output recombination and halves output bytes.  NXFX_BENCH_MIXED=0
+    # to skip.
+    t_pipe_mixed = None
+    if os.environ.get("NXFX_BENCH_MIXED", "1") != "0" and prepare is not None:
+        try:
+            exm = build_schur_executor(
+                asm, SolverOptions(output_dtype="float32"), outputs="blocks",
+                internal_layout=True,
+            )
+            argsm = jax.device_put(exm.prepare_args(*asm.schur_arguments(device=False)))
+            outm = exm(*argsm)
+            np.asarray(outm[0][:1, :1])  # warm + sync
+            bestm = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outsm = [exm(*argsm) for _ in range(K_deep)]
+                np.asarray(outsm[-1][0][:1, :1])
+                bestm = min(bestm, (time.perf_counter() - t0) / K_deep)
+            t_pipe_mixed = bestm
+            log(f"pipelined x{K_deep} mixed (f64 solve, f32 out): "
+                f"{t_pipe_mixed * 1e3:.2f} ms/solve "
+                f"-> {n_dofs / t_pipe_mixed:.3e} dofs/s")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"mixed serving stage skipped: {e!r}")
+            t_pipe_mixed = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -297,6 +326,9 @@ def main() -> None:
             "batch_size": S if best_b else None,
             "pipelined_f32_ms_per_solve": (
                 round(t_pipe_f32 * 1e3, 3) if t_pipe_f32 else None
+            ),
+            "pipelined_mixed_out_f32_ms_per_solve": (
+                round(t_pipe_mixed * 1e3, 3) if t_pipe_mixed else None
             ),
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",

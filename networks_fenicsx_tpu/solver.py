@@ -2111,6 +2111,15 @@ def build_schur_executor(
     # single precision (a fast serving mode on TPU, where f64 is emulated;
     # expect ~1e-5 relative accuracy instead of the f64 contract).
     comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
+    # output_dtype = "float32" with a float64 solve is the mixed serving
+    # contract: values carry f64-solve accuracy (rounded once on output)
+    # while the big solution blocks leave the program in f32 — under the
+    # TPU's split-f32 X64 emulation this drops the X64Combine output
+    # recombination and halves output bytes (see SolverOptions docs).
+    if opts.output_dtype == "same":
+        out_dt = comp_dt
+    else:
+        out_dt = jnp.float32 if opts.output_dtype == "float32" else jnp.float64
 
     # Blocked-sibling fast path (see _BlockedPlan): interleave-free device
     # program for uniformly-binary forests.  Requires internally-ordered
@@ -2142,7 +2151,15 @@ def build_schur_executor(
             )
             iters = jnp.zeros((), dtype=jnp.int32)
             residual = jnp.zeros((), dtype=comp_dt)
-            return q_T, p_T, lam, iters, residual, rhs_norm, finite
+            return (
+                q_T.astype(out_dt),
+                p_T.astype(out_dt),
+                lam.astype(out_dt),
+                iters,
+                residual,
+                rhs_norm,
+                finite,
+            )
 
         return _BlockedExecutor(
             jax.jit(core_blocked) if jit else core_blocked,
@@ -2308,10 +2325,18 @@ def build_schur_executor(
                 & jnp.all(jnp.isfinite(p_T))
                 & jnp.all(jnp.isfinite(lam_b))
             )
-            return q_T, p_T, lam_b, iters, residual, rhs_norm, finite
+            return (
+                q_T.astype(out_dt),
+                p_T.astype(out_dt),
+                lam_b.astype(out_dt),
+                iters,
+                residual,
+                rhs_norm,
+                finite,
+            )
         x = _schur_back_substitute(asm, ed, lam)
         finite = jnp.all(jnp.isfinite(x))
-        return x, iters, residual, rhs_norm, finite
+        return x.astype(out_dt), iters, residual, rhs_norm, finite
 
     def core(arg0, arg1, start_pbc, end_pbc):
         arg0 = jnp.asarray(arg0, dtype=comp_dt)

@@ -46,6 +46,17 @@ class SolverOptions:
         monitor: Print residual progress, mirroring ``ksp_monitor``
             (reference ``solver.py:63``).
         dtype: Arithmetic dtype of the solve ("float64" or "float32").
+        output_dtype: Dtype of the solution arrays the fused schur
+            executor returns — ``"same"`` (default: follow ``dtype``),
+            ``"float32"`` or ``"float64"``.  ``dtype="float64"`` +
+            ``output_dtype="float32"`` is the mixed serving contract:
+            the solve runs in full f64 (so the *values* carry f64-solve
+            accuracy, only rounded on output) while the large solution
+            blocks leave the program in f32 — on TPU, where f64 is
+            emulated as split f32 pairs, this removes the X64 output
+            recombination passes and halves output bandwidth, which
+            dominate the device program at serving depth.  Convergence
+            diagnostics (residual, rhs_norm) always stay in ``dtype``.
         cheb_degree: Degree of the Chebyshev-Jacobi polynomial
             preconditioner used by the CG path (1 = plain Jacobi).  Each
             preconditioner application runs this many dot-free matvecs,
@@ -76,6 +87,7 @@ class SolverOptions:
     error_if_not_converged: bool = True
     monitor: bool = False
     dtype: str = "float64"
+    output_dtype: str = "same"
 
     def __post_init__(self) -> None:
         # Validate eagerly: several of these only steer rarely-traced
@@ -89,6 +101,7 @@ class SolverOptions:
         )
         _check(self.cg_precond, "cg_precond", ("auto", "mg", "chebyshev", "jacobi"))
         _check(self.dtype, "dtype", ("float64", "float32"))
+        _check(self.output_dtype, "output_dtype", ("same", "float64", "float32"))
         if self.cheb_degree < 1:
             raise ValueError(f"cheb_degree must be >= 1, got {self.cheb_degree}")
         if self.mg_overcorrect <= 0:

@@ -317,6 +317,48 @@ def test_float32_serving_mode():
     assert rel < 1e-4, rel
 
 
+@pytest.mark.parametrize("flux_degree", [1, 2])
+def test_float32_output_contract(flux_degree):
+    """dtype='float64' + output_dtype='float32' (the mixed serving
+    contract) solves in full f64 and only rounds the outputs — so the
+    result must sit at f32 *rounding* distance from the all-f64 solve
+    (~1e-7 rel), an order tighter than the all-f32 solve path.
+    flux_degree=1 exercises the blocked executor, 2 the general one."""
+    G = network_generation.make_arterial_tree(N=4, direction=np.array([0.1, 1, 0]))
+    mesh = NetworkMesh(G, N=4, color_strategy="fast")
+
+    def go(output_dtype):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+        asm.compute_forms(p_bc_ex=p_bc_y, R=1.0 / mesh.edge_radius**4)
+        s = Solver(asm, options=SolverOptions(output_dtype=output_dtype))
+        s.assemble()
+        return np.concatenate([f.values for f in s.solve()])
+
+    x64, x32 = go("same"), go("float32")
+    rel = np.max(np.abs(x64 - x32)) / np.max(np.abs(x64))
+    assert rel < 1e-6, rel
+
+    # Executor-level contract: the solution blocks leave the program in f32.
+    from networks_fenicsx_tpu.solver import build_schur_executor
+
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=1.0 / mesh.edge_radius**4)
+    ex = build_schur_executor(
+        asm,
+        SolverOptions(output_dtype="float32"),
+        jit=False,
+        outputs="blocks",
+        internal_layout=True,
+    )
+    prepare = getattr(ex, "prepare_args", None)
+    args = asm.schur_arguments(device=prepare is None)
+    if prepare is not None:
+        args = prepare(*args)
+    q_T, p_T, lam, *_ = ex(*args)
+    assert q_T.dtype == np.float32 and p_T.dtype == np.float32
+    assert lam.dtype == np.float32
+
+
 def test_most_general_configuration():
     """k=2 flux + nonzero source + per-edge resistance simultaneously:
     condensed schur == dense == host LU."""
