@@ -76,10 +76,14 @@ def _pad_edge_data(ed: _EdgeData, n_pad: int, n_cells: int = 1) -> _EdgeData:
         return jnp.concatenate([a, b], axis=0)
 
     interior = ed.interior
+    k = 1
     if interior:
         (Minv_IE,) = interior
-        km1 = Minv_IE.shape[1]
-        interior = (cat(Minv_IE, jnp.zeros((n_pad * N, km1, 2), dt)),)
+        km1 = Minv_IE.shape[-2]
+        k = km1 + 1
+        if Minv_IE.ndim == 3:
+            interior = (cat(Minv_IE, jnp.zeros((n_pad * N, km1, 2), dt)),)
+        # ndim == 2: fixed scale-free recovery matrix — shared by pad edges
     if ed.ua is not None:
         # uniform layout: pad a=1 ⇒ W = a·N keeps the layout identity;
         # cumF holds only the Ftot column in this layout
@@ -98,7 +102,14 @@ def _pad_edge_data(ed: _EdgeData, n_pad: int, n_cells: int = 1) -> _EdgeData:
         else:
             mt = None
             rh = cat(ed.rh, jnp.full((n_pad, N), 1.0 / N, dt))
-        W_pad = jnp.ones(n_pad, dt)
+        if mt is None and k > 1:
+            # scalar degree-k layout: W = w̃·Σa, so the unit-resistance
+            # pad edge carries W = w̃ (w̃ = 1 for P1)
+            from ..solver import _condensed_scalar_constants
+
+            W_pad = jnp.full(n_pad, _condensed_scalar_constants(k)[2], dt)
+        else:
+            W_pad = jnp.ones(n_pad, dt)
         cumF_pad = jnp.zeros((n_pad, N + 1), dt)
     return _EdgeData(
         mt=mt,
@@ -311,6 +322,18 @@ class ShardedNetworkSolver:
     def assemble(self, lhs: bool = True, rhs: bool = True) -> None:
         del lhs, rhs
         self._edge_data = _prepare_edge_data(self._assembler)
+        ed = self._edge_data
+        if ed.interior and ed.interior[0].ndim == 2:
+            # degree-k scalar layout carries a FIXED (k-1, 2) interior
+            # recovery matrix; expand it per-cell so every edge-data leaf
+            # shards uniformly along the edge axis (the shard_map specs
+            # tree-map over the pytree and cannot replicate single leaves).
+            C = self._assembler.network.num_cells
+            self._edge_data = ed._replace(
+                interior=(
+                    jnp.broadcast_to(ed.interior[0], (C,) + ed.interior[0].shape),
+                )
+            )
         # Snapshot the coefficient buffers: like the reference
         # (``solver.py:90-101``), solve() uses the state captured at
         # assemble() time — a compute_forms() call between assemble() and

@@ -49,6 +49,7 @@ a boundary.  Pressure back-substitutes as  p_i = r_0 − cumsum(m)_i.
 
 from __future__ import annotations
 
+import functools
 import typing
 
 import numpy as np
@@ -320,6 +321,34 @@ def _make_edge_data_uniform(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _condensed_scalar_constants(
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """Host constants of the degree-k condensed cell matrix.
+
+    For cellwise-constant resistance the cell mass is ``a_c · M̂`` with
+    ``M̂`` the fixed reference P_k mass (``elements.mass_matrix``).  Static
+    condensation of the interior dofs commutes with the scaling, so the
+    condensed endpoint matrix is ``a_c · M̃̂`` with a FIXED
+    ``M̃̂ = M̂_EE − M̂_EI M̂_II⁻¹ M̂_IE``, and the interior recovery matrix
+    ``M̂_II⁻¹ M̂_IE`` is scale-free — no per-cell Cholesky, no
+    ``(C, k+1, k+1)`` tensor anywhere.
+
+    Returns ``(M̃̂ (2, 2), colsum 1ᵀM̃̂ (2,), w̃ = 1ᵀM̃̂1, Minv_IE (k-1, 2))``.
+    """
+    Mhat = elements.mass_matrix(k)
+    if k == 1:
+        Mt = Mhat
+        Minv = np.zeros((0, 2))
+    else:
+        ends = [0, k]
+        ints = list(range(1, k))
+        Minv = np.linalg.solve(Mhat[np.ix_(ints, ints)], Mhat[np.ix_(ints, ends)])
+        Mt = Mhat[np.ix_(ends, ends)] - Mhat[np.ix_(ends, ints)] @ Minv
+    return Mt, Mt.sum(axis=0), float(Mt.sum()), Minv
+
+
 def _make_edge_data_scalar(
     asm: _assembly.HydraulicNetworkAssembler,
     cell_scale: jnp.ndarray,
@@ -328,14 +357,21 @@ def _make_edge_data_scalar(
     end_pbc: jnp.ndarray,
     f_is_zero: bool = False,
 ) -> _EdgeData:
-    """P1 scalar-layout edge data: cell mass = a_c * M̂ with a_c = R_c h_c.
+    """Scalar-layout edge data: cell mass = a_c * M̂ with a_c = R_c h_c.
 
-    Uses the closed forms 1ᵀM̂1 = 1 and 1ᵀM̂ = [1/2, 1/2], avoiding the
-    (C, 2, 2) tensor entirely.  ``f_is_zero`` (a build-time fact) elides
-    the source cumsums."""
+    P1 uses the closed forms 1ᵀM̂1 = 1 and 1ᵀM̂ = [1/2, 1/2]; degree ≥ 2
+    uses the fixed condensed constants of
+    :func:`_condensed_scalar_constants` — either way no ``(C, 2, 2)``
+    tensor (or per-cell condensation Cholesky) is ever materialised.
+    ``f_is_zero`` (a build-time fact) elides the source cumsums."""
     mesh = asm.network
     N, E = mesh.N, mesh.num_edges
+    k = asm.flux_degree
     a = cell_scale.reshape(E, N)
+    if k > 1:
+        return _make_edge_data_scalar_k(
+            asm, a, cell_f_int, start_pbc, end_pbc, f_is_zero
+        )
     W = jnp.sum(a, axis=1)
     if f_is_zero:
         cumF = jnp.zeros((E, N + 1), a.dtype)
@@ -365,6 +401,52 @@ def _make_edge_data_scalar(
         start_pbc=start_pbc,
         end_pbc=end_pbc,
         interior=(),
+        rh=a,
+    )
+
+
+def _make_edge_data_scalar_k(
+    asm: _assembly.HydraulicNetworkAssembler,
+    a: jnp.ndarray,
+    cell_f_int: jnp.ndarray,
+    start_pbc: jnp.ndarray,
+    end_pbc: jnp.ndarray,
+    f_is_zero: bool = False,
+) -> _EdgeData:
+    """Degree-k (k ≥ 2) scalar-layout edge data (see
+    :func:`_condensed_scalar_constants`): W = w̃·Σa and
+    g = Σ a·(c̃₀ cumF_j + c̃₁ cumF_{j+1}) with fixed condensed constants;
+    the interior field carries the fixed scale-free (k-1, 2) recovery
+    matrix instead of a per-cell array."""
+    mesh = asm.network
+    N, E = mesh.N, mesh.num_edges
+    _, csum, wt, Minv = _condensed_scalar_constants(asm.flux_degree)
+    dt = a.dtype
+    W = wt * jnp.sum(a, axis=1)
+    interior = (jnp.asarray(Minv, dtype=dt),)
+    if f_is_zero:
+        cumF = jnp.zeros((E, N + 1), dt)
+        g = jnp.zeros(E, dt)
+    else:
+        F = jnp.broadcast_to(jnp.asarray(cell_f_int), (mesh.num_cells,)).reshape(E, N)
+        cumF = jnp.concatenate(
+            [jnp.zeros((E, 1), dt), jnp.cumsum(F, axis=1)], axis=1
+        )
+        # float(): numpy f64 scalars would silently promote f32 arrays
+        g = jnp.sum(
+            a * (float(csum[0]) * cumF[:, :-1] + float(csum[1]) * cumF[:, 1:]),
+            axis=1,
+        )
+    return _EdgeData(
+        mt=None,
+        cumF=cumF,
+        W=W,
+        g=g,
+        start_bif=jnp.asarray(asm._edge_start_bif),
+        end_bif=jnp.asarray(asm._edge_end_bif),
+        start_pbc=start_pbc,
+        end_pbc=end_pbc,
+        interior=interior,
         rh=a,
     )
 
@@ -448,7 +530,7 @@ def _prepare_edge_data(asm: _assembly.HydraulicNetworkAssembler) -> _EdgeData:
             R_mode,
             f_mode,
         )
-    if asm.flux_degree == 1 and R_mode in ("scalar", "edge", "cell"):
+    if R_mode in ("scalar", "edge", "cell"):
         mesh = asm.network
         h = np.asarray(mesh.cell_h)
         if R_mode == "scalar":
@@ -2375,9 +2457,6 @@ def build_schur_executor(
                 else:  # "cell"
                     R_cells = arg0
                 cell_scale = R_cells * h
-                if asm.flux_degree > 1:
-                    Mhat = jnp.asarray(elements.mass_matrix(asm.flux_degree), dtype=comp_dt)
-                    cell_mass = cell_scale[:, None, None] * Mhat[None]
             if f_mode == "quad":
                 cell_f_int = jnp.einsum("cq,q->c", arg1, w) * h
             elif f_mode == "scalar":
@@ -2386,8 +2465,10 @@ def build_schur_executor(
                 cell_f_int = arg1[jnp.asarray(mesh.cell_edge)] * h
             else:  # "cell"
                 cell_f_int = arg1 * h
-            if cell_scale is not None and asm.flux_degree == 1:
-                # P1 + cellwise-constant R: scalar layout, no (C,2,2) tensor
+            if cell_scale is not None:
+                # cellwise-constant R, any degree: scalar layout — no
+                # (C,2,2) tensor, and for k >= 2 no per-cell condensation
+                # Cholesky (fixed condensed constants instead)
                 ed = _make_edge_data_scalar(
                     asm, cell_scale, cell_f_int, start_pbc, end_pbc, f_is_zero
                 )
@@ -2498,11 +2579,18 @@ def _backsub_from_lambda(
     # Scatter-free: node contributions assembled by shifted concatenation
     # (TPU scatters serialize; concats/pads fuse).
     qj, qj1 = q_chain[:, :-1], q_chain[:, 1:]
-    if ed.mt is None:
+    if ed.mt is None and k == 1:
         # P1 scalar layout: M_c = a_c * [[1/3, 1/6], [1/6, 1/3]]
         a = ed.rh
         mc0 = a * (qj / 3.0 + qj1 / 6.0)
         mc1 = a * (qj / 6.0 + qj1 / 3.0)
+    elif ed.mt is None:
+        # degree-k scalar layout: M̃_c = a_c · M̃̂ (fixed condensed matrix)
+        Mt, _, _, _ = _condensed_scalar_constants(k)
+        a = ed.rh
+        # float(): numpy f64 scalars would silently promote f32 arrays
+        mc0 = a * (float(Mt[0, 0]) * qj + float(Mt[0, 1]) * qj1)
+        mc1 = a * (float(Mt[1, 0]) * qj + float(Mt[1, 1]) * qj1)
     else:
         qc = jnp.stack([qj, qj1], axis=-1)  # (E, N, 2)
         mc = jnp.einsum("enij,enj->eni", ed.mt, qc)  # (E, N, 2)
@@ -2519,12 +2607,17 @@ def _backsub_from_lambda(
         q_edge = q_chain
     else:
         (Minv_IE,) = ed.interior
-        q_int = -jnp.einsum(
-            "cij,cj->ci",
-            Minv_IE,
-            jnp.stack([qj, qj1], axis=-1).reshape(E * N, 2),
-        )
-        q_int = q_int.reshape(E, N, k - 1)
+        if Minv_IE.ndim == 2:
+            # scalar layout: fixed scale-free recovery matrix, one einsum
+            q_int = -jnp.einsum(
+                "ij,enj->eni", Minv_IE, jnp.stack([qj, qj1], axis=-1)
+            )
+        else:
+            q_int = -jnp.einsum(
+                "cij,cj->ci",
+                Minv_IE,
+                jnp.stack([qj, qj1], axis=-1).reshape(E * N, 2),
+            ).reshape(E, N, k - 1)
         cell_block = jnp.concatenate(
             [q_chain[:, :-1, None], q_int], axis=2
         )  # (E, N, k)

@@ -359,6 +359,37 @@ def test_float32_output_contract(flux_degree):
     assert lam.dtype == np.float32
 
 
+@pytest.mark.parametrize("flux_degree", [2, 3])
+def test_scalar_layout_high_degree(flux_degree):
+    """Cellwise-constant R at flux degree >= 2 routes through the scalar
+    layout (fixed condensed constants — no per-cell Cholesky, no
+    (C, k+1, k+1) tensor) and must match the dense and host LU solvers.
+    Pins both the layout choice and the numbers."""
+    from networks_fenicsx_tpu.solver import _prepare_edge_data
+
+    G = network_generation.make_tree(3, 1.5, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(7)
+    R = rng.uniform(0.5, 3.0, mesh.num_edges)
+    sols = {}
+    for method in ("schur", "dense", "host_lu"):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+        asm.compute_forms(p_bc_ex=p_bc_y, f=0.8, R=R)
+        s = Solver(asm, options=SolverOptions(method=method))
+        s.assemble()
+        sols[method] = np.concatenate([fn.values for fn in s.solve()])
+    np.testing.assert_allclose(sols["schur"], sols["dense"], atol=1e-9)
+    np.testing.assert_allclose(sols["schur"], sols["host_lu"], atol=1e-9)
+
+    # layout assertion: scalar rh layout with the fixed (k-1, 2) interior
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm.compute_forms(p_bc_ex=p_bc_y, f=0.8, R=R)
+    ed = _prepare_edge_data(asm)
+    assert ed.mt is None and ed.rh is not None
+    (minv,) = ed.interior
+    assert minv.ndim == 2 and minv.shape == (flux_degree - 1, 2)
+
+
 def test_most_general_configuration():
     """k=2 flux + nonzero source + per-edge resistance simultaneously:
     condensed schur == dense == host LU."""
