@@ -292,7 +292,7 @@ class ShardedBlockedExecutor:
         return self._fn(R_rows, f_rows, spbc_rows, epbc_rows, self._rows())
 
 
-def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype):
+def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype, k: int = 1):
     """The per-device fused solve, parameterized so both the executor and
     the vmapped 2-D sweep can reuse it.  Returns ``local_solve(R_e, f_e,
     spbc, epbc, rows)`` — called INSIDE shard_map with device-local
@@ -319,7 +319,7 @@ def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype):
 
         # closed-form condensation + back-substitution, shared with the
         # serial blocked executor (one source of truth for the formulas)
-        W, g, Ftot, back = _blocked_condense(N, E_loc, h, R_e, f_e, "edge", "edge")
+        W, g, Ftot, back = _blocked_condense(N, E_loc, h, R_e, f_e, "edge", "edge", k=k)
         w = 1.0 / W
         const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
         cF = const + Ftot
@@ -411,7 +411,7 @@ def build_sharded_blocked_executor(
     R_mode, f_mode, _ = asm.coefficient_modes()
     if R_mode not in ("scalar", "edge") or f_mode not in ("scalar", "edge"):
         raise ValueError("sharded blocked executor requires per-edge coefficients")
-    local_solve = _make_local_body(asm.network.N, plan, axis, dtype)
+    local_solve = _make_local_body(asm.network.N, plan, axis, dtype, k=asm.flux_degree)
 
     spec_e = P(axis)
     in_specs = (
@@ -494,7 +494,7 @@ def sharded_blocked_sweep(
     epbc_rows = jnp.asarray(fixed(asm._edge_end_pbc, "edge", 0.0))
     rows_dev = {f: jnp.asarray(getattr(plan, f)) for f in ROW_FIELDS}
 
-    body = _make_local_body(asm.network.N, plan, edge_axis, dtype)
+    body = _make_local_body(asm.network.N, plan, edge_axis, dtype, k=asm.flux_degree)
 
     def local(R_chunk, f_e, spbc, epbc, rows_d):
         # R_chunk: (S_loc, E_loc) — vmap the per-device solve over the

@@ -375,11 +375,9 @@ class ShardedNetworkSolver:
             self._blocked_checked = modes_key
             self._blocked_exec = None
             R_mode, f_mode, _ = modes_key
-            if (
-                asm.flux_degree == 1
-                and R_mode in ("scalar", "edge")
-                and f_mode in ("scalar", "edge")
-            ):
+            if R_mode in ("scalar", "edge") and f_mode in ("scalar", "edge"):
+                # any flux degree: the blocked condensation carries the
+                # fixed condensed-constant forms (_condensed_scalar_constants)
                 from .blocked_sharded import (
                     build_sharded_blocked_executor,
                     plan_sharded_blocked,

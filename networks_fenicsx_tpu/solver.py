@@ -1843,24 +1843,36 @@ def _blocked_condense(
     f_data: jnp.ndarray,
     R_mode: str,
     f_mode: str,
+    k: int = 1,
 ):
     """Per-edge condensed quantities in the blocked internal order.
 
     Returns ``(W, g, Ftot, back)`` where ``back(q0, r0)`` produces the
-    j-major solution blocks ``(q_T (N+1, E), p_T (N, E))``.  Coefficient
+    j-major solution blocks ``(q_T (k·N+1, E), p_T (N, E))``.  Coefficient
     modes: "scalar"/"edge" use the uniform closed forms (no (C,)-sized
     intermediate anywhere — see :func:`_make_edge_data_uniform`); "cell"
     keeps (N, E) j-major arrays whose every op is contiguous along the
-    128-lane edge axis (cumsums run along the short sublane axis)."""
+    128-lane edge axis (cumsums run along the short sublane axis).
+
+    ``k`` is the flux degree: static condensation of the interior cell
+    dofs commutes with the per-cell scaling, so degree ≥ 2 only swaps the
+    P1 closed-form constants for the fixed condensed ones of
+    :func:`_condensed_scalar_constants` (and adds the scale-free interior
+    recovery in ``back``) — the elimination itself is degree-blind."""
     dt = R_data.dtype
+    if k == 1:
+        wt, cs0, cs1 = 1.0, 0.5, 0.5
+    else:
+        Mt_np, csum_np, wt, Minv_np = _condensed_scalar_constants(k)
+        cs0, cs1 = float(csum_np[0]), float(csum_np[1])
     if R_mode in ("scalar", "edge"):
         a1 = (R_data[0] * jnp.ones(E, dt) if R_mode == "scalar" else R_data) * h_e
         a2 = None
-        W = a1 * N
+        W = a1 * (N * wt)
     else:  # "cell": R_data is (N, E) j-major
         a2 = R_data * h_e[None, :]
         a1 = None
-        W = jnp.sum(a2, axis=0)
+        W = wt * jnp.sum(a2, axis=0)
     if f_mode in ("scalar", "edge"):
         F1 = (f_data[0] * jnp.ones(E, dt) if f_mode == "scalar" else f_data) * h_e
         F2 = None
@@ -1871,18 +1883,19 @@ def _blocked_condense(
         F1 = None
         cumF = jnp.concatenate([jnp.zeros((1, E), dt), jnp.cumsum(F2, axis=0)], axis=0)
         Ftot = cumF[-1]
-    # g = 1ᵀ M cumF
+    # g = 1ᵀ M cumF  (csum-weighted endpoint values of each cell;
+    # Σ_c (cs0·c + cs1·(c+1)) = wt·N(N−1)/2 + cs1·N, wt = cs0 + cs1)
     if a1 is not None and F1 is not None:
-        g = a1 * F1 * (N * N / 2.0)
+        g = a1 * F1 * (wt * (N * (N - 1) / 2.0) + cs1 * N)
     else:
         if cumF is None:
             j = jnp.arange(N + 1, dtype=dt)
             cumF = F1[None, :] * j[:, None]
-        mids = cumF[:-1] + cumF[1:]
-        g = 0.5 * (a1 * jnp.sum(mids, axis=0) if a2 is None else jnp.sum(a2 * mids, axis=0))
+        wsum = cs0 * cumF[:-1] + cs1 * cumF[1:]
+        g = a1 * jnp.sum(wsum, axis=0) if a2 is None else jnp.sum(a2 * wsum, axis=0)
 
     def back(q0: jnp.ndarray, r0: jnp.ndarray):
-        if a1 is not None and F1 is not None:
+        if k == 1 and a1 is not None and F1 is not None:
             j = jnp.arange(N + 1, dtype=dt)
             q_T = q0[None, :] + F1[None, :] * j[:, None]
             c = jnp.arange(N, dtype=dt)
@@ -1892,16 +1905,38 @@ def _blocked_condense(
                 - (a1 * F1)[None, :] * (c * c / 2.0 + (3.0 * c + 1.0) / 6.0)[:, None]
             )
             return q_T, p_T
-        q_T = q0[None, :] + cumF
-        qj, qj1 = q_T[:-1], q_T[1:]
+        cf = cumF
+        if cf is None:
+            j = jnp.arange(N + 1, dtype=dt)
+            cf = F1[None, :] * j[:, None]
+        q_chain = q0[None, :] + cf
+        qj, qj1 = q_chain[:-1], q_chain[1:]
         ab = a2 if a2 is not None else a1[None, :]
-        mc0 = ab * (qj / 3.0 + qj1 / 6.0)
-        mc1 = ab * (qj / 6.0 + qj1 / 3.0)
+        if k == 1:
+            mc0 = ab * (qj / 3.0 + qj1 / 6.0)
+            mc1 = ab * (qj / 6.0 + qj1 / 3.0)
+        else:
+            mc0 = ab * (float(Mt_np[0, 0]) * qj + float(Mt_np[0, 1]) * qj1)
+            mc1 = ab * (float(Mt_np[1, 0]) * qj + float(Mt_np[1, 1]) * qj1)
         zrow = jnp.zeros((1, E), dt)
         m_nodes = jnp.concatenate([mc0, zrow], axis=0) + jnp.concatenate(
             [zrow, mc1], axis=0
         )
         p_T = r0[None, :] - jnp.cumsum(m_nodes[:-1], axis=0)
+        if k == 1:
+            return q_chain, p_T
+        # Interior recovery: fixed scale-free (k-1, 2) matrix (see
+        # _condensed_scalar_constants); cell-major dof order matches
+        # _backsub_from_lambda's (chain_j, interior_j…) layout.
+        q_int = jnp.stack(
+            [
+                -(float(Minv_np[i, 0]) * qj + float(Minv_np[i, 1]) * qj1)
+                for i in range(k - 1)
+            ],
+            axis=1,
+        )  # (N, k-1, E)
+        cell_blk = jnp.concatenate([qj[:, None, :], q_int], axis=1)  # (N, k, E)
+        q_T = jnp.concatenate([cell_blk.reshape(N * k, E), q_chain[-1:]], axis=0)
         return q_T, p_T
 
     return W, g, Ftot, back
@@ -1936,7 +1971,9 @@ def _blocked_uniform_solve(
     h_e = jnp.asarray(
         np.asarray(mesh.edge_length)[plan.edge_order], dtype=dt
     ) / N
-    W, g, Ftot, back = _blocked_condense(N, E, h_e, R_data, f_data, R_mode, f_mode)
+    W, g, Ftot, back = _blocked_condense(
+        N, E, h_e, R_data, f_data, R_mode, f_mode, k=asm.flux_degree
+    )
     w = 1.0 / W
     s_b = jnp.asarray(plan.s_is_bif)
     t_b = jnp.asarray(plan.t_is_bif)
@@ -2214,7 +2251,6 @@ def build_schur_executor(
         and inputs == "coefficients"
         and schur_method == "tree"
         and level_plan is not None
-        and asm.flux_degree == 1
         and R_mode in ("scalar", "edge", "cell")
         and f_mode in ("scalar", "edge", "cell")
     ):

@@ -270,3 +270,35 @@ def test_blocked_asymmetric_depth_tree():
                                 edge_order=ex_b.edge_order, bif_order=ex_b.bif_order)
     xg = S._flatten_blocks_host(og[0], og[1], og[2], mesh.edge_color)
     np.testing.assert_allclose(xb, xg, atol=1e-13)
+
+
+@pytest.mark.parametrize("flux_degree", [2, 3])
+@pytest.mark.parametrize("R_kind", ["edge", "cell"])
+def test_blocked_high_degree_matches_dense(flux_degree, R_kind):
+    """Flux degree >= 2 routes through the blocked executor (fixed
+    condensed constants — see _condensed_scalar_constants) and matches
+    the dense solver, including the interior-dof recovery."""
+    G = network_generation.make_tree(4, 1.5, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(11)
+    n = mesh.num_edges if R_kind == "edge" else mesh.num_cells
+    R = rng.uniform(0.5, 3.0, n)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=f, R=R)
+    ex = S.build_schur_executor(
+        asm, SolverOptions(), outputs="blocks", internal_layout=True
+    )
+    assert isinstance(ex, S._BlockedExecutor)
+
+    s1 = Solver(asm, options=SolverOptions(method="schur"))
+    s1.assemble()
+    got = np.concatenate([np.asarray(fn.values).ravel() for fn in s1.solve()])
+
+    asm2 = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm2.compute_forms(p_bc_ex=lambda x: x[1], f=f, R=R)
+    s2 = Solver(asm2, options=SolverOptions(method="dense"))
+    s2.assemble()
+    ref = np.concatenate([np.asarray(fn.values).ravel() for fn in s2.solve()])
+    np.testing.assert_allclose(got, ref, atol=1e-10)

@@ -595,3 +595,33 @@ def test_sharded_blocked_sweep_rejects_bad_shape():
     asm.compute_forms(p_bc_ex=p_bc_y, R=np.ones(mesh.num_edges))
     with pytest.raises(ValueError, match="num_edges"):
         sharded_sweep(asm, np.ones((2, mesh.num_edges + 5)))
+
+
+@pytest.mark.parametrize("flux_degree", [2, 3])
+def test_sharded_blocked_high_degree(flux_degree):
+    """Flux degree >= 2 engages the sharded blocked executor (the
+    degree-blind elimination + fixed condensed-constant condensation)
+    and matches the serial dense solver at 1e-11."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    G = network_generation.make_tree(6, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=4, color_strategy="fast")
+    rng = np.random.default_rng(17)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm.compute_forms(p_bc_ex=p_bc_y, f=f, R=R)
+    s = Solver(asm, options=SolverOptions(method="dense"))
+    s.assemble()
+    serial = s.solve()
+
+    asm2 = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm2.compute_forms(p_bc_ex=p_bc_y, f=f, R=R)
+    sharded_solver = ShardedNetworkSolver(asm2, devices=jax.devices()[:8])
+    sharded_solver.assemble()
+    sharded = sharded_solver.solve()
+    assert sharded_solver.info.method == "schur_sharded_blocked"
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
