@@ -50,8 +50,8 @@ def sharded_sweep(
     """
     asm = assembler
     net = asm.network
-    if asm.pressure_degree != 0 or asm.flux_degree != 1:
-        raise ValueError("sharded_sweep currently requires P1 flux / DG0 pressure")
+    if asm.pressure_degree != 0:
+        raise ValueError("sharded_sweep requires DG0 pressure")
     modes = asm.coefficient_modes()
     if modes[0] != "edge":
         raise ValueError("compute_forms must have been called with per-edge R")
@@ -76,6 +76,13 @@ def sharded_sweep(
             x = sharded_blocked_sweep(asm, plan, np.asarray(R), mesh2d)
             return SweepResult(asm, jnp.asarray(x))
 
+    if asm.flux_degree != 1:
+        # the inline general path below hard-codes the P1 closed forms;
+        # degree >= 2 sweeps ride the blocked path (any K-ary forest)
+        raise ValueError(
+            "sharded_sweep at flux degree >= 2 requires a blocked-eligible "
+            "topology (uniformly-K-ary forest with per-edge coefficients)"
+        )
     if not modes[2]:
         raise ValueError(
             "sharded_sweep's general path assumes a zero source (f=0); "

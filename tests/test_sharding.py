@@ -625,3 +625,27 @@ def test_sharded_blocked_high_degree(flux_degree):
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+def test_sharded_sweep_high_degree_blocked():
+    """Degree-2 resistance sweeps ride the blocked path on the 2-D mesh
+    and match the serial dense solver per scenario."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
+
+    G = network_generation.make_tree(5, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(5)
+    Rb = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=2)
+    asm.compute_forms(p_bc_ex=p_bc_y, f=0.3, R=Rb)
+    Rs = rng.uniform(0.5, 2.0, (6, mesh.num_edges))
+    x = np.asarray(sharded_sweep(asm, Rs, mesh_shape=(4, 2)).x)
+
+    asm2 = HydraulicNetworkAssembler(mesh, flux_degree=2)
+    asm2.compute_forms(p_bc_ex=p_bc_y, f=0.3, R=Rs[2])
+    s2 = Solver(asm2, options=SolverOptions(method="dense"))
+    s2.assemble()
+    ref = np.concatenate([np.asarray(fn.values).ravel() for fn in s2.solve()])
+    np.testing.assert_allclose(x[2], ref, atol=1e-10)
