@@ -126,12 +126,50 @@ def sparse_exact_solve(
     return x
 
 
+def _invert_fraction_matrix(V: list[list[Fraction]]) -> list[list[Fraction]]:
+    """Exact Gauss-Jordan inverse of a square Fraction matrix."""
+    n = len(V)
+    A = [list(row) + [Fraction(int(i == j)) for j in range(n)] for i, row in enumerate(V)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if A[r][col] != 0)
+        A[col], A[piv] = A[piv], A[col]
+        pv = A[col][col]
+        A[col] = [v / pv for v in A[col]]
+        for r in range(n):
+            if r != col and A[r][col] != 0:
+                fac = A[r][col]
+                A[r] = [a - fac * b for a, b in zip(A[r], A[col])]
+    return [row[n:] for row in A]
+
+
+def _exact_mass(k: int) -> list[list[Fraction]]:
+    """Exact reference-interval P_k mass matrix (equispaced Lagrange).
+
+    ``M[i][j] = ∫₀¹ φ_i φ_j dx`` with nodes ``l/k`` — every entry is
+    rational (polynomial basis with rational coefficients integrated
+    against monomials).  Independent re-derivation of
+    ``ops/elements.mass_matrix`` for the oracle (shares no code)."""
+    n = k + 1
+    nodes = [Fraction(l, k) for l in range(n)]
+    V = [[nodes[i] ** j for j in range(n)] for i in range(n)]
+    C = _invert_fraction_matrix(V)  # φ_m(x) = Σ_j C[j][m] x^j
+    H = [[Fraction(1, a + b + 1) for b in range(n)] for a in range(n)]
+    return [
+        [
+            sum(C[a][i] * H[a][b] * C[b][j] for a in range(n) for b in range(n))
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+
+
 def exact_solve(
     G,
     N: int,
     p_bc: Callable[[np.ndarray], float],
     R: np.ndarray | float | None = None,
     f: float | None = None,
+    flux_degree: int = 1,
 ):
     """Exact-rational solve of the discrete network system on ``G``.
 
@@ -172,12 +210,16 @@ def exact_solve(
         R_arr = np.asarray(R, dtype=np.float64)
         assert R_arr.shape == (E,)
     f_frac = Fraction(0) if f is None else Fraction(float(f))
+    k = int(flux_degree)
+    Mhat = _exact_mass(k)  # for k=1: [[1/3, 1/6], [1/6, 1/3]]
 
-    # unknown numbering
+    # unknown numbering: flux dofs are the k·N+1 equispaced Lagrange nodes
+    # along each edge (cell-endpoint chain + k−1 interior nodes per cell,
+    # in along-edge node order — the production layout)
     def q_dof(e, i):
-        return e * (N + 1) + i
+        return e * (N * k + 1) + i
 
-    qn = E * (N + 1)
+    qn = E * (N * k + 1)
 
     def p_dof(e, c):
         return qn + e * N + c
@@ -198,21 +240,20 @@ def exact_solve(
         L = Fraction(float(np.linalg.norm(pos[v] - pos[u])))
         h = L / N
         Re = Fraction(float(R_arr[e]))
-        # P1 interval mass: (R h / 6) [[2, 1], [1, 2]] per cell
-        m_d = Re * h * 2 / 6
-        m_o = Re * h / 6
+        # per-cell mass: (R h) · M̂ over the cell's k+1 local nodes
+        a_c = Re * h
         for c in range(N):
-            i0, i1 = q_dof(e, c), q_dof(e, c + 1)
-            add(i0, i0, m_d)
-            add(i1, i1, m_d)
-            add(i0, i1, m_o)
-            add(i1, i0, m_o)
-            # -int p dv/ds: +p_c at left q-row, -p_c at right q-row
-            add(i0, p_dof(e, c), Fraction(1))
-            add(i1, p_dof(e, c), Fraction(-1))
-            # p-row: q_{c+1} - q_c = f h
-            add(p_dof(e, c), i1, Fraction(1))
-            add(p_dof(e, c), i0, Fraction(-1))
+            loc = [q_dof(e, c * k + l) for l in range(k + 1)]
+            for li in range(k + 1):
+                for lj in range(k + 1):
+                    if Mhat[li][lj] != 0:
+                        add(loc[li], loc[lj], a_c * Mhat[li][lj])
+            # -int p dv/ds = p_c (φ_i(0) − φ_i(h)): endpoint basis only
+            add(loc[0], p_dof(e, c), Fraction(1))
+            add(loc[k], p_dof(e, c), Fraction(-1))
+            # p-row: ∫ q' dx = q(right) − q(left) = f h
+            add(p_dof(e, c), loc[k], Fraction(1))
+            add(p_dof(e, c), loc[0], Fraction(-1))
             rhs[p_dof(e, c)] = f_frac * h
 
         if deg[u] > 1:  # out-edge of bifurcation u
@@ -223,15 +264,15 @@ def exact_solve(
             rhs[q_dof(e, 0)] -= Fraction(float(p_bc(coord3(u))))
         if deg[v] > 1:  # in-edge of bifurcation v
             b = bif_index[v]
-            add(q_dof(e, N), l_dof(b), Fraction(1))
-            add(l_dof(b), q_dof(e, N), Fraction(1))
+            add(q_dof(e, N * k), l_dof(b), Fraction(1))
+            add(l_dof(b), q_dof(e, N * k), Fraction(1))
         else:  # boundary end
-            rhs[q_dof(e, N)] += Fraction(float(p_bc(coord3(v))))
+            rhs[q_dof(e, N * k)] += Fraction(float(p_bc(coord3(v))))
 
     x = sparse_exact_solve(rows, rhs)
 
     flux = np.array(
-        [[float(x[q_dof(e, i)]) for i in range(N + 1)] for e in range(E)]
+        [[float(x[q_dof(e, i)]) for i in range(N * k + 1)] for e in range(E)]
     )
     pressure = np.array(
         [[float(x[p_dof(e, c)]) for c in range(N)] for e in range(E)]

@@ -80,6 +80,15 @@ CONFIGS: dict[str, dict] = {
         p_bc="y",
         R="poiseuille",
     ),
+    # higher flux degree: pins the fixed-condensed-constant scalar/blocked
+    # layouts (solver._condensed_scalar_constants) against exact arithmetic
+    "tree3_k2": dict(
+        graph="tree", n=3, H=1.0, W=2.0, N=3, p_bc="y", R=1.7, f=0.8,
+        flux_degree=2,
+    ),
+    "y_k3": dict(
+        graph="tree", n=2, H=1.0, W=3.0, N=4, p_bc="y", f=2.5, flux_degree=3
+    ),
 }
 
 P_BC = {"x": p_bc_x, "y": p_bc_y}
@@ -90,7 +99,12 @@ def main() -> None:
     for name, spec in CONFIGS.items():
         G = build_graph(spec)
         res = exact_solve(
-            G, spec["N"], P_BC[spec["p_bc"]], R=edge_R(spec, G), f=spec.get("f")
+            G,
+            spec["N"],
+            P_BC[spec["p_bc"]],
+            R=edge_R(spec, G),
+            f=spec.get("f"),
+            flux_degree=spec.get("flux_degree", 1),
         )
         payload = {
             "config": {k: v for k, v in spec.items()},

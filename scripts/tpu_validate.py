@@ -210,6 +210,19 @@ err = max(float(np.max(np.abs(a.values - b.values))) for a, b in zip(sob, sor))
 check("sharded-blocked-1chip", ssb.info.method == "schur_sharded_blocked" and err < 1e-11,
       f"method={ssb.info.method} err={err:.1e}")
 
+# 16. blocked executor at flux degree >= 2 (fixed condensed constants):
+# engagement + agreement with host LU, per-edge R and nonzero source
+ak = HydraulicNetworkAssembler(m5, flux_degree=2)
+ak.compute_forms(p_bc_ex=lambda x: x[1], f=0.4, R=np.linspace(0.5, 2.0, m5.num_edges))
+exk2 = _S.build_schur_executor(ak, _SO(), outputs="blocks", internal_layout=True)
+is_bk = isinstance(exk2, _S._BlockedExecutor)
+sk = Solver(ak); sk.assemble(); sok = sk.solve()
+ar = HydraulicNetworkAssembler(m5, flux_degree=2)
+ar.compute_forms(p_bc_ex=lambda x: x[1], f=0.4, R=np.linspace(0.5, 2.0, m5.num_edges))
+sr = Solver(ar, options=SolverOptions(method="host_lu")); sr.assemble(); sor = sr.solve()
+err = max(float(np.max(np.abs(a.values - b.values))) for a, b in zip(sok, sor))
+check("blocked-degree2", is_bk and err < 1e-9, f"blocked={is_bk} err={err:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)

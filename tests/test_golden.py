@@ -43,7 +43,7 @@ def _build_problem(golden: dict):
             N=spec["n"], direction=np.asarray(spec["direction"])
         )
     mesh = NetworkMesh(G, N=spec["N"])
-    asm = HydraulicNetworkAssembler(mesh)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=spec.get("flux_degree", 1))
     p_bc = (lambda x: x[0]) if spec["p_bc"] == "x" else (lambda x: x[1])
     if spec.get("R") == "poiseuille":
         R = 1.0 / mesh.edge_radius**4
@@ -55,13 +55,13 @@ def _build_problem(golden: dict):
 
 def _canonical(mesh, asm, sol):
     """Map the production function list onto the golden's canonical layout:
-    per-edge along-edge flux chains (E, N+1), per-edge cell pressures
-    (E, N), multipliers keyed by bifurcation node id."""
-    E, N = mesh.num_edges, mesh.N
-    flux = np.zeros((E, N + 1))
+    per-edge along-edge flux node values (E, k·N+1), per-edge cell
+    pressures (E, N), multipliers keyed by bifurcation node id."""
+    E, N, k = mesh.num_edges, mesh.N, asm.flux_degree
+    flux = np.zeros((E, k * N + 1))
     for fn in sol[:-2]:
         view = mesh.submeshes[fn.space.color]
-        per_edge = fn.values.reshape(view.edge_ids.size, N + 1)
+        per_edge = fn.values.reshape(view.edge_ids.size, k * N + 1)
         flux[np.asarray(view.edge_ids)] = per_edge
     pressure = np.asarray(sol[-2].values).reshape(E, N)
     lam = {
@@ -123,10 +123,12 @@ def test_golden_minres(name: str):
 
 
 def test_goldens_exist():
-    """All nine demo-parity configurations are committed."""
+    """All demo-parity configurations (plus the degree >= 2 hardening
+    variants) are committed."""
     expected = {
         "y_bifurcation", "double_y", "tree_N2", "tree_N16", "tree_N256",
         "tree4", "y_source", "arterial", "arterial_poiseuille",
+        "tree3_k2", "y_k3",
     }
     assert expected.issubset(set(GOLDEN_NAMES))
 
