@@ -66,8 +66,9 @@ def main() -> None:
         pos = {n_: np.asarray(G.nodes[n_]["pos"], float) for n_ in G.nodes}
         N = spec["N"]
 
+        k = int(spec.get("flux_degree", 1))
         mesh = NetworkMesh(G, N=N)
-        asm = HydraulicNetworkAssembler(mesh)
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=k)
 
         x = __import__("ufl").SpatialCoordinate(mesh.mesh)
         p_bc = x[0] if spec["p_bc"] == "x" else x[1]
@@ -91,19 +92,23 @@ def main() -> None:
                 Rvals[c] = 1.0 / radius[e] ** 4
             Rfun.x.array[:] = Rvals
             kwargs["R"] = Rfun
+        elif spec.get("R") is not None:
+            kwargs["R"] = float(spec["R"])
         asm.compute_forms(p_bc_ex=p_bc, **kwargs)
 
         solver = Solver(asm)
         solver.assemble()
         sol = solver.solve()
 
-        flux = np.full((len(edges), N + 1), np.nan)
+        # degree-k Lagrange flux dofs sit at the k·N+1 equispaced
+        # along-edge nodes, so the chain index is over N·k intervals
+        flux = np.full((len(edges), k * N + 1), np.nan)
         for color, q in enumerate(sol[:-2]):
             V = q.function_space
             coords = V.tabulate_dof_coordinates()
             for d, xc in enumerate(coords):
                 e = _nearest_edge(xc, edges, pos)
-                i = _chain_index(xc, edges[e], pos, N)
+                i = _chain_index(xc, edges[e], pos, k * N)
                 flux[e, i] = q.x.array[d]
         assert np.all(np.isfinite(flux)), "unmapped flux dofs"
 
