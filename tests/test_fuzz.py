@@ -156,3 +156,33 @@ def test_fuzz_sharded_matches_serial(seed: int):
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fd.values, fs.values, atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_high_degree_cross_method(seed: int):
+    """Random topologies (cycles included) at random flux degree >= 2:
+    the condensed scalar layout (fixed condensed constants + interior
+    recovery) must agree with host LU and conserve mass at junctions."""
+    rng = np.random.default_rng(500 + seed)
+    G = random_network(rng, n_core=int(rng.integers(5, 15)),
+                       n_extra=int(rng.integers(0, 4)))
+    mesh = NetworkMesh(G, N=int(rng.integers(1, 4)))
+    p_bc, f, R = _random_coefficients(rng, mesh)
+    k = int(rng.integers(2, 4))
+
+    sols = {}
+    for method in ("schur", "host_lu"):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=k)
+        asm.compute_forms(p_bc_ex=p_bc, f=f, R=R)
+        solver = Solver(asm, options=SolverOptions(method=method))
+        solver.assemble()
+        sols[method] = solver.solve()
+    for fs, fl in zip(sols["schur"], sols["host_lu"]):
+        scale = max(1.0, float(np.max(np.abs(fl.values))))
+        np.testing.assert_allclose(fs.values, fl.values, atol=1e-9 * scale)
+
+    flux_start, flux_end = _flux_endpoints(mesh, sols["schur"])
+    for b_idx in range(len(mesh.bifurcation_values)):
+        qin = sum(flux_end[int(e)] for e in mesh.in_edge_ids(b_idx))
+        qout = sum(flux_start[int(e)] for e in mesh.out_edge_ids(b_idx))
+        assert abs(qin - qout) < 1e-9
