@@ -143,6 +143,17 @@ def main() -> None:
     jax.block_until_ready(args)
     K = int(os.environ.get("NXFX_BENCH_PIPELINE", "16"))
     K_deep = int(os.environ.get("NXFX_BENCH_PIPELINE_DEEP", "64"))
+    # Cap outstanding solves so queued output blocks fit HBM: each f64
+    # solve holds ~(flux + pressure + padding) blocks at 2x under the
+    # split-f32 X64 emulation.  ~6 GB budget of the v5e's 16 GB leaves
+    # room for inputs, the program's working set and XLA scratch.
+    E_i = mesh.num_edges
+    out_bytes = (2 * N_ELEM + 1) * E_i * 8 * 2
+    fit = max(1, int(6e9 / max(out_bytes, 1)))
+    if fit < K_deep:
+        K_deep = fit
+        K = min(K, fit)
+        log(f"pipeline depth capped at {fit} to fit queued outputs in HBM")
 
     def pipelined(depth: int) -> float:
         # The tunnel's dispatch/sync cost is noisy run-to-run; take the
@@ -250,6 +261,71 @@ def main() -> None:
             log(f"mixed serving stage skipped: {e!r}")
             t_pipe_mixed = None
 
+    # --- XL scale point: one larger arterial tree (default 18 gen,
+    # 262,143 vessels, 21.4M dofs) showing throughput past the dispatch
+    # floor.  No host-LU baseline here — SuperLU MemoryErrors at this
+    # size (itself a statement: the stand-in cannot factor what the chip
+    # solves in ~0.1 s).  Failure-isolated; NXFX_BENCH_XL=0 skips.
+    xl = None
+    GENS_XL = int(os.environ.get("NXFX_BENCH_XL_GENS", "18"))
+    if os.environ.get("NXFX_BENCH_XL", "1") != "0" and GENS < GENS_XL:
+        try:
+            t0 = time.perf_counter()
+            G_x = make_arterial_tree(N=GENS_XL, direction=np.array([0.1, 1.0, 0.0]))
+            mesh_x = NetworkMesh(G_x, N=N_ELEM, color_strategy="fast")
+            asm_x = HydraulicNetworkAssembler(mesh_x, flux_degree=1, pressure_degree=0)
+            R_x = 1.0 / mesh_x.edge_radius**4
+            asm_x.compute_forms(p_bc_ex=p_bc, R=R_x)
+            ex_x = build_schur_executor(
+                asm_x, opts, outputs="blocks", internal_layout=True
+            )
+            log(f"XL: {GENS_XL} gen, {mesh_x.num_edges} vessels, "
+                f"{asm_x.num_dofs} dofs ({time.perf_counter() - t0:.1f}s build)")
+            out_x = ex_x(*jax.device_put(
+                ex_x.prepare_args(*asm_x.schur_arguments(device=False))
+            ))
+            np.asarray(out_x[0][:1, :1])  # warm (compile) + sync
+            xl_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                asm_x.compute_forms(p_bc_ex=p_bc, R=R_x)
+                a_x = ex_x.prepare_args(*asm_x.schur_arguments(device=False))
+                o_x = ex_x(*a_x)
+                np.asarray(o_x[0][:1, :1])
+                xl_times.append(time.perf_counter() - t0)
+            t_xl = min(xl_times)
+            args_x = jax.device_put(
+                ex_x.prepare_args(*asm_x.schur_arguments(device=False))
+            )
+            jax.block_until_ready(args_x)
+            fit_x = max(
+                1, int(6e9 / ((2 * N_ELEM + 1) * mesh_x.num_edges * 8 * 2))
+            )
+            depth_x = min(16, fit_x)
+            best_x = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_x = [ex_x(*args_x) for _ in range(depth_x)]
+                np.asarray(outs_x[-1][0][:1, :1])
+                best_x = min(best_x, (time.perf_counter() - t0) / depth_x)
+            xl = {
+                "generations": GENS_XL,
+                "num_dofs": int(asm_x.num_dofs),
+                "assemble_solve_ms": round(t_xl * 1e3, 3),
+                "dofs_per_sec": round(asm_x.num_dofs / t_xl, 1),
+                "pipelined_ms_per_solve": round(best_x * 1e3, 3),
+                "pipelined_dofs_per_sec": round(asm_x.num_dofs / best_x, 1),
+                "pipeline_depth": depth_x,
+            }
+            log(f"XL assemble+solve: best {t_xl * 1e3:.2f} ms "
+                f"-> {asm_x.num_dofs / t_xl:.3e} dofs/s; pipelined x{depth_x} "
+                f"{best_x * 1e3:.2f} ms/solve "
+                f"-> {asm_x.num_dofs / best_x:.3e} dofs/s")
+            del out_x, outs_x, o_x, args_x, ex_x, asm_x, mesh_x, G_x
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"XL stage skipped: {e!r}")
+            xl = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -289,28 +365,38 @@ def main() -> None:
     # speedup is read with the right error bars.
     base_reps = int(os.environ.get("NXFX_BENCH_BASELINE_REPS", "3"))
     base_times = []
-    for _ in range(base_reps):
-        t0 = time.perf_counter()
-        lu = spla.splu(As)
-        x_lu = lu.solve(bh)
-        base_times.append(time.perf_counter() - t0)
-    t_baseline = float(np.median(base_times))
-    log(
-        f"baseline SuperLU (MUMPS stand-in) factor+solve: median "
-        f"{t_baseline * 1e3:.2f} ms over {base_reps} reps "
-        f"(min {min(base_times) * 1e3:.2f}, max {max(base_times) * 1e3:.2f})"
-    )
-
-    # correctness cross-check vs the direct solve (BASELINE: 1e-8 matching)
-    err = float(np.max(np.abs(x - x_lu)) / max(1.0, np.max(np.abs(x_lu))))
-    log(f"max relative deviation schur vs direct LU: {err:.3e}")
-    assert err < 1e-8, f"solution mismatch vs direct solver: {err}"
+    err = None
+    try:
+        for _ in range(base_reps):
+            t0 = time.perf_counter()
+            lu = spla.splu(As)
+            x_lu = lu.solve(bh)
+            base_times.append(time.perf_counter() - t0)
+        t_baseline = float(np.median(base_times))
+        log(
+            f"baseline SuperLU (MUMPS stand-in) factor+solve: median "
+            f"{t_baseline * 1e3:.2f} ms over {base_reps} reps "
+            f"(min {min(base_times) * 1e3:.2f}, max {max(base_times) * 1e3:.2f})"
+        )
+        # correctness cross-check vs the direct solve (BASELINE: 1e-8)
+        err = float(np.max(np.abs(x - x_lu)) / max(1.0, np.max(np.abs(x_lu))))
+        log(f"max relative deviation schur vs direct LU: {err:.3e}")
+        assert err < 1e-8, f"solution mismatch vs direct solver: {err}"
+    except MemoryError:
+        # At XL sizes the host direct solver cannot even hold the
+        # factorisation (observed at 21.4M dofs) — report that honestly
+        # rather than taking down the headline JSON.
+        t_baseline = None
+        log("baseline SuperLU: MemoryError — the host direct solver "
+            "cannot factor this system in available RAM")
 
     result = {
         "metric": f"arterial_tree_{GENS}gen_assemble_solve_dofs_per_sec",
         "value": round(dofs_per_sec, 1),
         "unit": "dofs/s",
-        "vs_baseline": round(t_baseline / t_solve, 3),
+        "vs_baseline": (
+            round(t_baseline / t_solve, 3) if t_baseline is not None else None
+        ),
         "detail": {
             "generations": GENS,
             "elements_per_vessel": N_ELEM,
@@ -332,15 +418,22 @@ def main() -> None:
             ),
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",
-            "baseline_superlu_ms_median": round(t_baseline * 1e3, 3),
-            "baseline_superlu_ms_min": round(min(base_times) * 1e3, 3),
-            "baseline_superlu_ms_max": round(max(base_times) * 1e3, 3),
+            "baseline_superlu_ms_median": (
+                round(t_baseline * 1e3, 3) if t_baseline is not None else None
+            ),
+            "baseline_superlu_ms_min": (
+                round(min(base_times) * 1e3, 3) if base_times else None
+            ),
+            "baseline_superlu_ms_max": (
+                round(max(base_times) * 1e3, 3) if base_times else None
+            ),
             "warmup_s": round(t_warmup, 3),
             "tunnel_init_s": round(t_tunnel, 3),
             "roofline_model_mb_per_solve": round(model_bytes / 1e6, 2),
             "roofline_achieved_gbps": round(achieved / 1e9, 1),
             "roofline_hbm_peak_frac": round(hbm_frac, 4),
             "max_rel_err_vs_direct": err,
+            "xl": xl,
             "backend": jax.default_backend(),
         },
     }
