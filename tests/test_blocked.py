@@ -302,3 +302,25 @@ def test_blocked_high_degree_matches_dense(flux_degree, R_kind):
     s2.assemble()
     ref = np.concatenate([np.asarray(fn.values).ravel() for fn in s2.solve()])
     np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_solve_sweep_high_degree():
+    """Batched resistance sweeps at flux degree 2 vmapping the blocked
+    executor match the per-scenario dense solver."""
+    from networks_fenicsx_tpu import solve_sweep
+
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=3, color_strategy="fast")
+    rng = np.random.default_rng(9)
+    Rb = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=2)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=0.3, R=Rb)
+    Rs = rng.uniform(0.5, 2.0, (5, mesh.num_edges))
+    x = np.asarray(solve_sweep(asm, R=Rs).x)
+
+    asm2 = HydraulicNetworkAssembler(mesh, flux_degree=2)
+    asm2.compute_forms(p_bc_ex=lambda x: x[1], f=0.3, R=Rs[3])
+    s2 = Solver(asm2, options=SolverOptions(method="dense"))
+    s2.assemble()
+    ref = np.concatenate([np.asarray(fn.values).ravel() for fn in s2.solve()])
+    np.testing.assert_allclose(x[3], ref, atol=1e-10)
