@@ -147,12 +147,14 @@ def main() -> None:
     # solve holds ~(flux + pressure + padding) blocks at 2x under the
     # split-f32 X64 emulation.  ~6 GB budget of the v5e's 16 GB leaves
     # room for inputs, the program's working set and XLA scratch.
-    E_i = mesh.num_edges
-    out_bytes = (2 * N_ELEM + 1) * E_i * 8 * 2
-    fit = max(1, int(6e9 / max(out_bytes, 1)))
-    if fit < K_deep:
-        K_deep = fit
+    def hbm_fit(n_edges: int) -> int:
+        out_bytes = (2 * N_ELEM + 1) * n_edges * 8 * 2
+        return max(1, int(6e9 / max(out_bytes, 1)))
+
+    fit = hbm_fit(mesh.num_edges)
+    if fit < K or fit < K_deep:
         K = min(K, fit)
+        K_deep = min(K_deep, fit)
         log(f"pipeline depth capped at {fit} to fit queued outputs in HBM")
 
     def pipelined(depth: int) -> float:
@@ -298,10 +300,7 @@ def main() -> None:
                 ex_x.prepare_args(*asm_x.schur_arguments(device=False))
             )
             jax.block_until_ready(args_x)
-            fit_x = max(
-                1, int(6e9 / ((2 * N_ELEM + 1) * mesh_x.num_edges * 8 * 2))
-            )
-            depth_x = min(16, fit_x)
+            depth_x = min(16, hbm_fit(mesh_x.num_edges))
             best_x = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -245,7 +245,7 @@ class ShardedBlockedExecutor:
     per-device row layout (host numpy, once per coefficient set) and
     device_puts them sharded; calling the executor runs the fused
     multi-device solve and returns
-    ``(q_T (N+1, D·E_loc), p_T (N, D·E_loc), lam_loc (D·B_sub,),
+    ``(q_T (k·N+1, D·E_loc), p_T (N, D·E_loc), lam_loc (D·B_sub,),
     lam_T (Tn,), rhs_norm, finite)`` with the edge axis sharded."""
 
     def __init__(self, fn, plan: ShardedBlockedPlan, mesh, axis: str,
@@ -510,7 +510,7 @@ def sharded_blocked_sweep(
         {f: spec_e for f in ROW_FIELDS},
     )
     out_specs = (
-        P(batch_axis, None, edge_axis),  # q_T (S, N+1, D_e*E_loc)
+        P(batch_axis, None, edge_axis),  # q_T (S, k*N+1, D_e*E_loc)
         P(batch_axis, None, edge_axis),  # p_T
         P(batch_axis, edge_axis),  # lam_loc (S, D_e*B_sub)
         P(batch_axis),  # lam_T (S, Tn) — replicated over edges
@@ -537,9 +537,9 @@ def sharded_blocked_sweep(
         )
 
     # host flatten per scenario: internal rows -> public layout
-    q = np.swapaxes(np.asarray(q_T), 1, 2)[:S]  # (S, D_e*E_loc, N+1)
+    q = np.swapaxes(np.asarray(q_T), 1, 2)[:S]  # (S, D_e*E_loc, k*N+1)
     p = np.swapaxes(np.asarray(p_T), 1, 2)[:S]
-    q_edge = q[:, plan.edge_flat]  # (S, E, N+1)
+    q_edge = q[:, plan.edge_flat]  # (S, E, k*N+1)
     p_cells = p[:, plan.edge_flat]
     lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)], axis=1)[:S]
     lam = lam_flat[:, plan.lam_src]

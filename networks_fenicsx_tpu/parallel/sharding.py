@@ -57,6 +57,20 @@ def make_device_mesh(devices=None, axis_name: str = "edges") -> Mesh:
     return Mesh(devices.reshape(-1), axis_names=(axis_name,))
 
 
+def _edge_specs(ed: _EdgeData, spec_e, spec_rep):
+    """Per-leaf shard_map specs/shardings for an edge-data pytree.
+
+    Every leaf shards along the edge axis, except the degree-k scalar
+    layout's FIXED scale-free ``(k-1, 2)`` interior recovery matrix
+    (:func:`networks_fenicsx_tpu.solver._condensed_scalar_constants`),
+    which has no edge axis and is replicated — broadcasting it per-cell
+    instead would re-materialise the O(C) tensor the layout eliminates."""
+    specs = jax.tree.map(lambda _: spec_e, ed)
+    if ed.interior and ed.interior[0].ndim == 2:
+        specs = specs._replace(interior=(spec_rep,))
+    return specs
+
+
 def _pad_edge_data(ed: _EdgeData, n_pad: int, n_cells: int = 1) -> _EdgeData:
     """Append inert edges so the edge count divides the device count.
 
@@ -144,7 +158,7 @@ def _distributed_tree_pipeline(
 
     spec_e = P(axis)
     in_specs = (
-        jax.tree.map(lambda _: spec_e, ed_template),
+        _edge_specs(ed_template, spec_e, P()),
         {key: spec_e for key in plan_rows(plan)},
     )
     out_specs = (spec_e, spec_e, spec_e, P())  # λ_T replicated
@@ -270,7 +284,7 @@ def _sharded_schur_pipeline(
         return q_edge, p_cells, lam
 
     spec_e = P(axis)
-    in_specs = jax.tree.map(lambda _: spec_e, ed_template)
+    in_specs = _edge_specs(ed_template, spec_e, P())
     out_specs = (spec_e, spec_e, P())  # λ replicated
     fn = shard_map(
         local_solve, mesh=mesh, in_specs=(in_specs, spec_e), out_specs=out_specs
@@ -322,18 +336,6 @@ class ShardedNetworkSolver:
     def assemble(self, lhs: bool = True, rhs: bool = True) -> None:
         del lhs, rhs
         self._edge_data = _prepare_edge_data(self._assembler)
-        ed = self._edge_data
-        if ed.interior and ed.interior[0].ndim == 2:
-            # degree-k scalar layout carries a FIXED (k-1, 2) interior
-            # recovery matrix; expand it per-cell so every edge-data leaf
-            # shards uniformly along the edge axis (the shard_map specs
-            # tree-map over the pytree and cannot replicate single leaves).
-            C = self._assembler.network.num_cells
-            self._edge_data = ed._replace(
-                interior=(
-                    jnp.broadcast_to(ed.interior[0], (C,) + ed.interior[0].shape),
-                )
-            )
         # Snapshot the coefficient buffers: like the reference
         # (``solver.py:90-101``), solve() uses the state captured at
         # assemble() time — a compute_forms() call between assemble() and
@@ -467,7 +469,7 @@ class ShardedNetworkSolver:
             coeff = asm.schur_arguments(device=False)
         args = ex.prepare_args(*coeff)
         q_T, p_T, lam_loc, lam_T, _rhs, finite = ex(*args)
-        q = np.asarray(q_T).T  # (D*E_loc, N+1)
+        q = np.asarray(q_T).T  # (D*E_loc, k*N+1)
         p = np.asarray(p_T).T  # (D*E_loc, N)
         q_edge = q[plan.edge_flat]  # public edge order
         p_cells = p[plan.edge_flat]
@@ -503,7 +505,9 @@ class ShardedNetworkSolver:
             return None if a is None else jnp.asarray(np.asarray(a)[perm])
 
         interior = ed.interior
-        if interior:
+        if interior and interior[0].ndim == 3:
+            # per-cell recovery tensors follow the edge permutation; the
+            # fixed 2-D scalar-layout matrix is shared and needs none
             (Minv_IE,) = interior
             per_edge = np.asarray(Minv_IE).reshape(E + 1, N, *Minv_IE.shape[1:])
             interior = (jnp.asarray(per_edge[perm].reshape(perm.size * N, *Minv_IE.shape[1:])),)
@@ -569,7 +573,7 @@ class ShardedNetworkSolver:
     def _edge_sharding(self, ed: _EdgeData):
         """NamedSharding pytree matching the shard_map input specs."""
         s = NamedSharding(self._mesh, P(self._axis))
-        return jax.tree.map(lambda _: s, ed)
+        return _edge_specs(ed, s, NamedSharding(self._mesh, P()))
 
 
 def shard_solve(

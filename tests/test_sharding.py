@@ -649,3 +649,44 @@ def test_sharded_sweep_high_degree_blocked():
     s2.assemble()
     ref = np.concatenate([np.asarray(fn.values).ravel() for fn in s2.solve()])
     np.testing.assert_allclose(x[2], ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("flux_degree", [2, 3])
+def test_sharded_general_path_high_degree_cyclic(flux_degree):
+    """Cyclic topology at flux degree >= 2 takes the GENERAL sharded
+    pipeline (blocked plan inapplicable); the fixed (k-1, 2) interior
+    recovery matrix is replicated across devices — never broadcast to an
+    O(C) per-cell tensor — and results match host LU."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import networkx as nx
+
+    G = nx.DiGraph()
+    pos = {0: (0, 0, 0), 1: (1, 0, 0), 2: (2, 1, 0), 3: (2, -1, 0),
+           4: (3, 0, 0), 5: (4, 0, 0)}
+    for n_, v in pos.items():
+        G.add_node(n_, pos=np.array(v, float))
+    for e in [(0, 1), (1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]:
+        G.add_edge(*e)
+
+    mesh = NetworkMesh(G, N=3)
+    rng = np.random.default_rng(1)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=f, R=R)
+    s = Solver(asm, options=SolverOptions(method="host_lu"))
+    s.assemble()
+    serial = s.solve()
+
+    asm2 = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm2.compute_forms(p_bc_ex=lambda x: x[0], f=f, R=R)
+    sharded_solver = ShardedNetworkSolver(asm2, devices=jax.devices()[:8])
+    sharded_solver.assemble()
+    (minv,) = sharded_solver._edge_data.interior
+    assert minv.ndim == 2 and minv.shape == (flux_degree - 1, 2)
+    sharded = sharded_solver.solve()
+    assert sharded_solver.info.method != "schur_sharded_blocked"
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-10 * scale)
