@@ -249,13 +249,14 @@ class ShardedBlockedExecutor:
     lam_T (Tn,), rhs_norm, finite)`` with the edge axis sharded."""
 
     def __init__(self, fn, plan: ShardedBlockedPlan, mesh, axis: str,
-                 R_mode: str, f_mode: str):
+                 R_mode: str, f_mode: str, N: int = 1):
         self._fn = fn
         self.plan = plan
         self._mesh = mesh
         self._axis = axis
         self._R_mode = R_mode
         self._f_mode = f_mode
+        self._N = N
         self._rows_dev = None
 
     def _rows(self):
@@ -277,6 +278,10 @@ class ShardedBlockedExecutor:
             if mode == "scalar":
                 a = np.broadcast_to(a.reshape(-1)[:1], (p.edge_rows.size,))
                 return np.where(valid, a, pad)
+            if mode == "cell":
+                # (C,) public cell order -> j-major (N, rows) internal
+                cells = a.reshape(-1, self._N)[rv].T  # (N, rows)
+                return np.where(valid[None, :], cells, pad)
             return np.where(valid, a[rv], pad)
 
         args = (
@@ -286,13 +291,18 @@ class ShardedBlockedExecutor:
             per_edge(end_pbc, "edge", 0.0),
         )
         sharding = NamedSharding(self._mesh, P(self._axis))
-        return tuple(jax.device_put(jnp.asarray(a), sharding) for a in args)
+        sharding2 = NamedSharding(self._mesh, P(None, self._axis))
+        return tuple(
+            jax.device_put(jnp.asarray(a), sharding2 if a.ndim == 2 else sharding)
+            for a in args
+        )
 
     def __call__(self, R_rows, f_rows, spbc_rows, epbc_rows):
         return self._fn(R_rows, f_rows, spbc_rows, epbc_rows, self._rows())
 
 
-def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype, k: int = 1):
+def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype,
+                     k: int = 1, R_mode: str = "edge", f_mode: str = "edge"):
     """The per-device fused solve, parameterized so both the executor and
     the vmapped 2-D sweep can reuse it.  Returns ``local_solve(R_e, f_e,
     spbc, epbc, rows)`` — called INSIDE shard_map with device-local
@@ -319,7 +329,12 @@ def _make_local_body(N: int, plan: ShardedBlockedPlan, axis: str, dtype, k: int 
 
         # closed-form condensation + back-substitution, shared with the
         # serial blocked executor (one source of truth for the formulas)
-        W, g, Ftot, back = _blocked_condense(N, E_loc, h, R_e, f_e, "edge", "edge", k=k)
+        W, g, Ftot, back = _blocked_condense(
+            N, E_loc, h, R_e, f_e,
+            "cell" if R_e.ndim == 2 else "edge",
+            "cell" if f_e.ndim == 2 else "edge",
+            k=k,
+        )
         w = 1.0 / W
         const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
         cF = const + Ftot
@@ -409,13 +424,23 @@ def build_sharded_blocked_executor(
 ) -> ShardedBlockedExecutor:
     """Trace + jit the shard_map pipeline for a prepared plan."""
     R_mode, f_mode, _ = asm.coefficient_modes()
-    if R_mode not in ("scalar", "edge") or f_mode not in ("scalar", "edge"):
-        raise ValueError("sharded blocked executor requires per-edge coefficients")
-    local_solve = _make_local_body(asm.network.N, plan, axis, dtype, k=asm.flux_degree)
+    if R_mode not in ("scalar", "edge", "cell") or f_mode not in (
+        "scalar", "edge", "cell"
+    ):
+        raise ValueError(
+            "sharded blocked executor requires per-edge or per-cell coefficients"
+        )
+    local_solve = _make_local_body(
+        asm.network.N, plan, axis, dtype, k=asm.flux_degree,
+        R_mode=R_mode, f_mode=f_mode,
+    )
 
     spec_e = P(axis)
+    spec_c = P(None, axis)  # j-major (N, E) per-cell coefficient rows
     in_specs = (
-        spec_e, spec_e, spec_e, spec_e,
+        spec_c if R_mode == "cell" else spec_e,
+        spec_c if f_mode == "cell" else spec_e,
+        spec_e, spec_e,
         {f: spec_e for f in ROW_FIELDS},
     )
     # λ_T / scalars are replicated by construction (psum-reduced inputs +
@@ -430,7 +455,7 @@ def build_sharded_blocked_executor(
         check_vma=False,
     )
     return ShardedBlockedExecutor(
-        jax.jit(fn), plan, mesh, axis, R_mode, f_mode
+        jax.jit(fn), plan, mesh, axis, R_mode, f_mode, N=asm.network.N
     )
 
 

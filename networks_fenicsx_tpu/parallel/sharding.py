@@ -377,7 +377,9 @@ class ShardedNetworkSolver:
             self._blocked_checked = modes_key
             self._blocked_exec = None
             R_mode, f_mode, _ = modes_key
-            if R_mode in ("scalar", "edge") and f_mode in ("scalar", "edge"):
+            if R_mode in ("scalar", "edge", "cell") and f_mode in (
+                "scalar", "edge", "cell"
+            ):
                 # any flux degree: the blocked condensation carries the
                 # fixed condensed-constant forms (_condensed_scalar_constants)
                 from .blocked_sharded import (

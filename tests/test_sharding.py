@@ -690,3 +690,33 @@ def test_sharded_general_path_high_degree_cyclic(flux_degree):
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("flux_degree", [1, 2])
+def test_sharded_blocked_per_cell_coefficients(flux_degree):
+    """Per-cell R and f now ride the blocked sharded path (j-major
+    (N, E_loc) coefficient rows sharded along the edge axis) and match
+    the serial dense solver."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    G = network_generation.make_tree(6, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=4, color_strategy="fast")
+    rng = np.random.default_rng(21)
+    R = rng.uniform(0.5, 2.0, mesh.num_cells)
+    f = rng.uniform(-1.0, 1.0, mesh.num_cells)
+
+    asm = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm.compute_forms(p_bc_ex=p_bc_y, f=f, R=R)
+    s = Solver(asm, options=SolverOptions(method="dense"))
+    s.assemble()
+    serial = s.solve()
+
+    asm2 = HydraulicNetworkAssembler(mesh, flux_degree=flux_degree)
+    asm2.compute_forms(p_bc_ex=p_bc_y, f=f, R=R)
+    sharded_solver = ShardedNetworkSolver(asm2, devices=jax.devices()[:8])
+    sharded_solver.assemble()
+    sharded = sharded_solver.solve()
+    assert sharded_solver.info.method == "schur_sharded_blocked"
+    for fs, fd in zip(serial, sharded):
+        scale = max(1.0, float(np.max(np.abs(fs.values))))
+        np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
