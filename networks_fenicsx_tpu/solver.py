@@ -600,9 +600,25 @@ def _lambda_system_sorted(ed: _EdgeData, B: int, lp: _LambdaPlan):
         both = _segsum_sorted(
             jnp.stack([vals_d, vals_r], axis=-1), seg, len(bins), sel=sel
         )
-        b_idx = jnp.asarray(bins)
-        out_diag = out_diag.at[b_idx].add(both[:, 0], indices_are_sorted=True, unique_indices=True)
-        out_rhs = out_rhs.at[b_idx].add(both[:, 1], indices_are_sorted=True, unique_indices=True)
+        bins = np.asarray(bins)
+        if bins.size and np.array_equal(
+            bins, np.arange(bins[0], bins[0] + bins.size)
+        ):
+            # contiguous bin range (every multiplier touched on this side —
+            # lattices, dense graphs): a static slice-add instead of the
+            # B-sized scatter, which serializes on TPU (measured ~28 ms per
+            # scatter pair at B=262144 — it dominated the whole grid solve)
+            lo = int(bins[0])
+            out_diag = out_diag.at[lo : lo + bins.size].add(both[:, 0])
+            out_rhs = out_rhs.at[lo : lo + bins.size].add(both[:, 1])
+        else:
+            b_idx = jnp.asarray(bins)
+            out_diag = out_diag.at[b_idx].add(
+                both[:, 0], indices_are_sorted=True, unique_indices=True
+            )
+            out_rhs = out_rhs.at[b_idx].add(
+                both[:, 1], indices_are_sorted=True, unique_indices=True
+            )
     return out_diag, out_rhs
 
 
@@ -693,6 +709,175 @@ def _shift_matvec(class_w, diag: jnp.ndarray, m: int):
 
 def _matvec_from_shift_plan(ed: _EdgeData, diag: jnp.ndarray, classes, B: int):
     return _shift_matvec(_shift_class_weights(ed, classes, B), diag, B)
+
+
+class _DctPlan(typing.NamedTuple):
+    """Host plan for the separable-DCT direct λ solve (see
+    :func:`_plan_dct_lattice`)."""
+
+    s: int                    # row stride (lattice width nx)
+    ny: int
+    rep_x: int                # representative x-edge id (runtime w_x = 1/W)
+    rep_y: int
+    len_x: float              # geometric x-edge length (κ = W[rep_x]/len_x)
+    stub_rows: np.ndarray     # (r,) λ rows carrying boundary-stub coupling
+    stub_edge_idx: np.ndarray  # stub edge ids (runtime w_r = Σ 1/W)
+    stub_edge_group: np.ndarray  # group index (into stub_rows) per stub edge
+    g_geo: np.ndarray         # (r, B) geometric L⁺ columns at the stub rows
+    lamx: np.ndarray          # (s,) Neumann path eigenvalues 2−2cos(πk/s)
+    lamy: np.ndarray
+
+
+def _plan_dct_lattice(asm: _assembly.HydraulicNetworkAssembler, shift_plan):
+    """Exact direct λ solve plan for uniform rectangular lattices, or None.
+
+    When the multiplier graph is a uniform rectangular grid (the
+    `make_grid` capillary-mesh family) with scalar resistance, the Schur
+    Laplacian separates:  ``L = w_x (I ⊗ Lx) + w_y (Ly ⊗ I) + D_s`` with
+    ``Lx/Ly`` 1-D Neumann path Laplacians (diagonalised by the
+    orthonormal DCT-II: eigenvalues ``2 − 2cos(πk/n)``) and ``D_s`` the
+    boundary-stub diagonal coupling at r ≪ B rows.  λ then solves EXACTLY
+    in O(B log B) by the capacitance-matrix method: one 2-D DCT solve of
+    the singular separable part (zero mode dropped) plus an (r+1)×(r+1)
+    bordered system for the stub charges and the additive constant —
+    replacing the ~13–16 MG-preconditioned CG iterations the general path
+    needs.  Structure checks are host-side and build-time: four shift
+    classes {±1, ±s} with the exact grid row patterns, uniform edge
+    length per class, and ≤ 16 stub rows."""
+    if shift_plan is None:
+        return None
+    deltas = sorted(c[0] for c in shift_plan)
+    if len(deltas) != 4:
+        return None
+    s = deltas[3]
+    if deltas != [-s, -1, 1, s] or s <= 2:
+        return None
+    mesh = asm.network
+    B = mesh.num_multipliers
+    if B % s != 0:
+        return None
+    ny = B // s
+    if ny < 2:
+        return None
+    idx = np.arange(B)
+    want = {
+        1: idx[idx % s != s - 1],
+        -1: idx[idx % s != 0],
+        s: idx[: B - s],
+        -s: idx[s:],
+    }
+    L_all = np.asarray(mesh.edge_length)
+    lens: dict[int, float] = {}
+    rep: dict[int, int] = {}
+    for d, rows, esel in shift_plan:
+        if not np.array_equal(np.sort(rows), want[d]):
+            return None
+        Ld = L_all[esel]
+        if Ld.size == 0 or not np.allclose(Ld, Ld[0], rtol=1e-12, atol=0.0):
+            return None
+        prev = lens.get(abs(d))
+        if prev is not None and not np.isclose(prev, Ld[0], rtol=1e-12):
+            return None
+        lens[abs(d)] = float(Ld[0])
+        rep[d] = int(esel[0])
+    # boundary stubs: edges with exactly one multiplier endpoint
+    sb = np.asarray(asm._edge_start_bif)
+    eb = np.asarray(asm._edge_end_bif)
+    one = (sb >= 0) ^ (eb >= 0)
+    stub_e = np.nonzero(one)[0]
+    if stub_e.size == 0 or stub_e.size > 16:
+        return None
+    stub_row = np.where(sb[stub_e] >= 0, sb[stub_e], eb[stub_e])
+    rows_u, group = np.unique(stub_row, return_inverse=True)
+
+    import scipy.fft as _sfft
+
+    lamx = 2.0 - 2.0 * np.cos(np.pi * np.arange(s) / s)
+    lamy = 2.0 - 2.0 * np.cos(np.pi * np.arange(ny) / ny)
+    sym = (1.0 / lens[1]) * lamx[None, :] + (1.0 / lens[s]) * lamy[:, None]
+    sym[0, 0] = np.inf
+    g = np.empty((rows_u.size, B))
+    for t, row in enumerate(rows_u):
+        e = np.zeros(B)
+        e[int(row)] = 1.0
+        c = _sfft.dctn(e.reshape(ny, s), type=2, norm="ortho") / sym
+        g[t] = _sfft.idctn(c, type=2, norm="ortho").reshape(-1)
+    return _DctPlan(
+        s, ny, rep[1], rep[s], lens[1],
+        rows_u.astype(np.int64), stub_e.astype(np.int64),
+        group.astype(np.int64), g, lamx, lamy,
+    )
+
+
+def _dct_lattice_solve(plan: _DctPlan, ed: _EdgeData, rhs: jnp.ndarray, matvec):
+    """Device-side exact λ solve on the DCT plan (see _plan_dct_lattice).
+
+    The geometric L⁺ columns scale to runtime conductances by
+    κ = W[rep_x]/len_x (scalar resistance makes the whole separable part
+    a uniform multiple of the geometric operator).  Two refinement passes
+    with the exact shift matvec absorb any reduced-precision FFT lowering
+    (TPU FFTs run f32 internally), landing at f64 direct-solve accuracy."""
+    from jax.scipy import fft as _jfft
+
+    dt = rhs.dtype
+    s, ny = plan.s, plan.ny
+    wx = 1.0 / ed.W[plan.rep_x]
+    wy = 1.0 / ed.W[plan.rep_y]
+    sym = wx * jnp.asarray(plan.lamx, dt)[None, :] + wy * jnp.asarray(
+        plan.lamy, dt
+    )[:, None]
+    pos = sym > 0
+    inv = jnp.where(pos, 1.0 / jnp.where(pos, sym, 1.0), 0.0)
+    # TPU FFTs are f32-only (f64 lowers to an unsupported c128 FFT), so
+    # there the transform pair runs in f32 and the OUTER refinement below
+    # restores f64: each direct() pass contracts the error by ~κ·ε_f32,
+    # so a few passes reach direct-solve accuracy.  CPU keeps f64.
+    fft_dt = (
+        jnp.float32
+        if dt == jnp.float64 and jax.default_backend() == "tpu"
+        else dt
+    )
+    inv32 = inv.astype(fft_dt)
+
+    def Lplus(b):
+        c = _jfft.dctn(b.reshape(ny, s).astype(fft_dt), type=2, norm="ortho")
+        return (
+            _jfft.idctn(c * inv32, type=2, norm="ortho").reshape(-1).astype(dt)
+        )
+
+    kappa = ed.W[plan.rep_x] / plan.len_x
+    g = kappa * jnp.asarray(plan.g_geo, dt)  # (r, B)
+    r = int(plan.stub_rows.size)
+    w_r = jnp.zeros(r, dt).at[jnp.asarray(plan.stub_edge_group)].add(
+        1.0 / ed.W[jnp.asarray(plan.stub_edge_idx)]
+    )
+    rows = jnp.asarray(plan.stub_rows)
+    # bordered capacitance system: stub charges q_r = w_r·λ[row_r] plus the
+    # additive constant γ of the pseudo-inverse (range condition 1ᵀ(b−Uq)=0)
+    M = jnp.zeros((r + 1, r + 1), dt)
+    M = M.at[:r, :r].set(g[:, plan.stub_rows].T + jnp.diag(1.0 / w_r))
+    M = M.at[:r, r].set(-1.0)
+    M = M.at[r, :r].set(1.0)
+    # TPU LU supports f32 only: invert the tiny bordered matrix in f32 and
+    # polish to f64 with two Newton steps X ← X(2I − MX) (pure matmuls)
+    Minv = jnp.linalg.inv(M.astype(jnp.float32)).astype(dt)
+    eye2 = 2.0 * jnp.eye(r + 1, dtype=dt)
+    for _ in range(2):
+        Minv = Minv @ (eye2 - M @ Minv)
+
+    def direct(b):
+        z = Lplus(b)
+        v = jnp.concatenate([z[rows], jnp.sum(b)[None]])
+        sol = Minv @ v
+        return z - sol[:r] @ g + sol[r]
+
+    # refinement passes: contraction ≈ κ·ε_fft per pass (κ ~ O(n²) for an
+    # n-wide lattice), so reduced-precision transforms need a few more
+    n_refine = 4 if fft_dt != dt else 2
+    lam = direct(rhs)
+    for _ in range(n_refine):
+        lam = lam + direct(rhs - matvec(lam))
+    return lam
 
 
 def _mg2d_feasible(B: int, stride: int, max_coarsest: int = 4096) -> bool:
@@ -2220,6 +2405,26 @@ def build_schur_executor(
     R_mode, f_mode, f_zero = (
         asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
     )
+    # Uniform-lattice direct solve (exact, O(B log B)): auto-engaged when
+    # "auto" resolved to the CG path and the structure admits it;
+    # schur_method="dct" forces it.  An explicitly requested "cg" stays
+    # CG (iteration-count tests and preconditioner studies rely on it).
+    dct_plan = None
+    if (
+        B > 0
+        and shift_plan is not None
+        and R_mode == "scalar"
+        and (
+            schur_method == "dct"
+            or (opts.schur_method == "auto" and schur_method == "cg")
+        )
+    ):
+        dct_plan = _plan_dct_lattice(asm, shift_plan)
+    if schur_method == "dct" and dct_plan is None:
+        raise ValueError(
+            "schur_method='dct' requires a uniform rectangular-lattice "
+            "multiplier graph (make_grid family) with scalar resistance"
+        )
     # The zero-source elision is a *variant* of the traced program, valid
     # only while f stays zero; callers that feed varying f through the
     # executor's f argument (batched sweeps) must pass elide_zero_f=False.
@@ -2360,75 +2565,81 @@ def build_schur_executor(
                         f"unknown cg_precond {opts.cg_precond!r}; expected "
                         "'auto', 'mg', 'chebyshev' or 'jacobi'"
                     )
-                mg_kind = None
-                deltas = [c[0] for c in shift_plan] if shift_plan else []
-                if shift_plan is not None and opts.cg_precond in ("auto", "mg"):
-                    # auto: the V-cycle's fixed overhead (unrolled levels +
-                    # per-solve coarse Cholesky) only wins above ~32k
-                    # multipliers (measured: 128^2 lattice 41 ms Chebyshev
-                    # vs 71 ms MG; 512^2 1.90 s vs 0.28 s)
-                    if opts.cg_precond == "mg" or B > 32768:
-                        strides = sorted({abs(d) for d in deltas} - {1})
-                        row_ok = True
-                        for d, rows, _ in shift_plan:
-                            # ±1 couplings must not cross 2-D row boundaries
-                            # (the reshape-based shifts zero-pad row ends)
-                            if strides and d == 1:
-                                row_ok &= bool(np.all(rows % strides[0] != strides[0] - 1))
-                            if strides and d == -1:
-                                row_ok &= bool(np.all(rows % strides[0] != 0))
-                        if (
-                            len(strides) == 1
-                            and strides[0] > 2
-                            and B % strides[0] == 0
-                            and row_ok
-                            and _mg2d_feasible(B, strides[0])
-                        ):
-                            mg_kind = ("2d", strides[0])
+                if dct_plan is not None:
+                    # exact separable-DCT direct solve (uniform lattice);
+                    # see _plan_dct_lattice
+                    lam = _dct_lattice_solve(dct_plan, ed, rhs, matvec)
+                    iters = jnp.zeros((), dtype=jnp.int32)
+                else:
+                    mg_kind = None
+                    deltas = [c[0] for c in shift_plan] if shift_plan else []
+                    if shift_plan is not None and opts.cg_precond in ("auto", "mg"):
+                        # auto: the V-cycle's fixed overhead (unrolled levels +
+                        # per-solve coarse Cholesky) only wins above ~32k
+                        # multipliers (measured: 128^2 lattice 41 ms Chebyshev
+                        # vs 71 ms MG; 512^2 1.90 s vs 0.28 s)
+                        if opts.cg_precond == "mg" or B > 32768:
+                            strides = sorted({abs(d) for d in deltas} - {1})
+                            row_ok = True
+                            for d, rows, _ in shift_plan:
+                                # ±1 couplings must not cross 2-D row boundaries
+                                # (the reshape-based shifts zero-pad row ends)
+                                if strides and d == 1:
+                                    row_ok &= bool(np.all(rows % strides[0] != strides[0] - 1))
+                                if strides and d == -1:
+                                    row_ok &= bool(np.all(rows % strides[0] != 0))
+                            if (
+                                len(strides) == 1
+                                and strides[0] > 2
+                                and B % strides[0] == 0
+                                and row_ok
+                                and _mg2d_feasible(B, strides[0])
+                            ):
+                                mg_kind = ("2d", strides[0])
+                            else:
+                                plan1d = _plan_mg(deltas, B)
+                                if plan1d is not None:
+                                    mg_kind = ("1d", plan1d)
+                    if mg_kind is None and opts.cg_precond == "mg":
+                        raise ValueError(
+                            "cg_precond='mg' requires a few-shift-class topology "
+                            "(lattice-like multiplier graph); this network does "
+                            "not qualify — use 'auto' or 'chebyshev'"
+                        )
+                    if mg_kind is not None:
+                        # Shift-preserving aggregation multigrid (2-D geometric
+                        # when the class set reveals a lattice, 1-D index
+                        # pairing otherwise): ~grid-independent PCG iterations.
+                        class_w0 = _shift_class_weights(ed, shift_plan, B)
+                        if mg_kind[0] == "2d":
+                            precond = _mg2d_preconditioner(
+                                class_w0, diag, B, mg_kind[1],
+                                overcorrect=opts.mg_overcorrect,
+                            )
                         else:
-                            plan1d = _plan_mg(deltas, B)
-                            if plan1d is not None:
-                                mg_kind = ("1d", plan1d)
-                if mg_kind is None and opts.cg_precond == "mg":
-                    raise ValueError(
-                        "cg_precond='mg' requires a few-shift-class topology "
-                        "(lattice-like multiplier graph); this network does "
-                        "not qualify — use 'auto' or 'chebyshev'"
-                    )
-                if mg_kind is not None:
-                    # Shift-preserving aggregation multigrid (2-D geometric
-                    # when the class set reveals a lattice, 1-D index
-                    # pairing otherwise): ~grid-independent PCG iterations.
-                    class_w0 = _shift_class_weights(ed, shift_plan, B)
-                    if mg_kind[0] == "2d":
-                        precond = _mg2d_preconditioner(
-                            class_w0, diag, B, mg_kind[1],
-                            overcorrect=opts.mg_overcorrect,
+                            precond = _mg_preconditioner(
+                                mg_kind[1], class_w0, diag, B,
+                                overcorrect=opts.mg_overcorrect,
+                            )
+                    elif opts.cheb_degree > 1 and opts.cg_precond != "jacobi":
+                        # Chebyshev-Jacobi polynomial preconditioning: folds
+                        # cheb_degree matvecs into one dot-free preconditioner
+                        # application, amortizing CG's per-iteration sequential
+                        # overhead (see krylov.chebyshev_preconditioner).
+                        precond = krylov.chebyshev_preconditioner(
+                            matvec, diag, degree=opts.cheb_degree
                         )
                     else:
-                        precond = _mg_preconditioner(
-                            mg_kind[1], class_w0, diag, B,
-                            overcorrect=opts.mg_overcorrect,
-                        )
-                elif opts.cheb_degree > 1 and opts.cg_precond != "jacobi":
-                    # Chebyshev-Jacobi polynomial preconditioning: folds
-                    # cheb_degree matvecs into one dot-free preconditioner
-                    # application, amortizing CG's per-iteration sequential
-                    # overhead (see krylov.chebyshev_preconditioner).
-                    precond = krylov.chebyshev_preconditioner(
-                        matvec, diag, degree=opts.cheb_degree
+                        precond = lambda v: v / diag  # noqa: E731
+                    result = krylov.cg(
+                        matvec,
+                        rhs,
+                        precond=precond,
+                        rtol=opts.rtol,
+                        atol=opts.atol,
+                        maxiter=opts.maxiter,
                     )
-                else:
-                    precond = lambda v: v / diag  # noqa: E731
-                result = krylov.cg(
-                    matvec,
-                    rhs,
-                    precond=precond,
-                    rtol=opts.rtol,
-                    atol=opts.atol,
-                    maxiter=opts.maxiter,
-                )
-                lam, iters = result.x, result.iters
+                    lam, iters = result.x, result.iters
             residual = jnp.linalg.norm(matvec(lam) - rhs)
             rhs_norm = jnp.linalg.norm(rhs)
         else:

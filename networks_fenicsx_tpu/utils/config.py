@@ -37,6 +37,9 @@ class SolverOptions:
         schur_method: How the bifurcation Schur complement is solved:
             ``"auto"``, ``"dense"`` (Cholesky) or ``"cg"`` (matrix-free
             conjugate gradients on the bifurcation graph Laplacian).
+            ``"dct"`` forces the exact separable-DCT direct solve (uniform
+            rectangular lattices with scalar resistance; auto-engaged on
+            the cg path when the structure admits it).
         rtol: Relative residual tolerance for iterative paths.
         atol: Absolute residual tolerance for iterative paths.
         maxiter: Iteration cap for iterative paths (None = dimension-based).
@@ -97,7 +100,7 @@ class SolverOptions:
         _check(
             self.schur_method,
             "schur_method",
-            ("auto", "tree", "tree_dist", "dense", "dense_f64", "cg"),
+            ("auto", "tree", "tree_dist", "dense", "dense_f64", "cg", "dct"),
         )
         _check(self.cg_precond, "cg_precond", ("auto", "mg", "chebyshev", "jacobi"))
         _check(self.dtype, "dtype", ("float64", "float32"))

@@ -267,3 +267,87 @@ def test_solver_options_validation():
         SolverOptions(schur_method="lu")
     with _pytest.raises(ValueError, match="mg_overcorrect"):
         SolverOptions(mg_overcorrect=0.0)
+
+
+@pytest.mark.parametrize("dims", [(9, 7), (24, 24)])
+def test_dct_lattice_direct_solve(dims):
+    """Forced separable-DCT direct solve on uniform grids == host LU."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        SolverOptions,
+        network_generation,
+    )
+
+
+    nx_, ny_ = dims
+    G = network_generation.make_grid(nx_, ny_, arrays=True)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=2.0, f=0.3)
+    s = Solver(asm, options=SolverOptions(method="schur", schur_method="dct"))
+    s.assemble()
+    sol = s.solve()
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=lambda x: x[0], R=2.0, f=0.3)
+    s2 = Solver(asm2, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    ref = s2.solve()
+    for a, b in zip(sol, ref):
+        scale = max(1.0, float(np.max(np.abs(b.values))))
+        np.testing.assert_allclose(a.values, b.values, atol=1e-10 * scale)
+
+
+def test_dct_auto_engages_above_dense_threshold():
+    """Above the dense cutoff the auto path picks cg and the DCT plan
+    takes over: zero iterations reported, host-LU accuracy."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        SolverOptions,
+        network_generation,
+    )
+
+
+    G = network_generation.make_grid(66, 66, arrays=True)  # B=4356 > 4096
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=1.0)
+    s = Solver(asm, options=SolverOptions(method="schur"))
+    s.assemble()
+    sol = s.solve()
+    assert s.info.iterations == 0
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=lambda x: x[0], R=1.0)
+    s2 = Solver(asm2, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    ref = s2.solve()
+    for a, b in zip(sol, ref):
+        scale = max(1.0, float(np.max(np.abs(b.values))))
+        np.testing.assert_allclose(a.values, b.values, atol=1e-9 * scale)
+
+
+def test_dct_requires_uniform_lattice():
+    """Per-edge resistance disqualifies the DCT plan: forcing it raises,
+    and the auto path silently falls back to preconditioned CG."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        SolverOptions,
+        network_generation,
+    )
+
+
+    G = network_generation.make_grid(12, 10, arrays=True)
+    mesh = NetworkMesh(G, N=1)
+    rng = np.random.default_rng(3)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    s = Solver(asm, options=SolverOptions(method="schur", schur_method="dct"))
+    s.assemble()
+    with pytest.raises(ValueError, match="uniform rectangular-lattice"):
+        s.solve()
