@@ -812,17 +812,31 @@ def _plan_dct_lattice(asm: _assembly.HydraulicNetworkAssembler, shift_plan):
 def _dct_lattice_solve(plan: _DctPlan, ed: _EdgeData, rhs: jnp.ndarray, matvec):
     """Device-side exact λ solve on the DCT plan (see _plan_dct_lattice).
 
+    Reads the runtime conductance scalars from the general-path edge data
+    and delegates to :func:`_dct_capacitance_solve`."""
+    wx = 1.0 / ed.W[plan.rep_x]
+    wy = 1.0 / ed.W[plan.rep_y]
+    r = int(plan.stub_rows.size)
+    w_r = jnp.zeros(r, rhs.dtype).at[jnp.asarray(plan.stub_edge_group)].add(
+        1.0 / ed.W[jnp.asarray(plan.stub_edge_idx)]
+    )
+    return _dct_capacitance_solve(plan, wx, wy, w_r, rhs, matvec)
+
+
+def _dct_capacitance_solve(
+    plan: _DctPlan, wx, wy, w_r: jnp.ndarray, rhs: jnp.ndarray, matvec
+):
+    """Exact λ solve given runtime scalars (see _plan_dct_lattice).
+
     The geometric L⁺ columns scale to runtime conductances by
-    κ = W[rep_x]/len_x (scalar resistance makes the whole separable part
-    a uniform multiple of the geometric operator).  Two refinement passes
-    with the exact shift matvec absorb any reduced-precision FFT lowering
+    κ = 1/(w_x·len_x) (scalar resistance makes the whole separable part
+    a uniform multiple of the geometric operator).  Refinement passes
+    with the exact matvec absorb any reduced-precision FFT lowering
     (TPU FFTs run f32 internally), landing at f64 direct-solve accuracy."""
     from jax.scipy import fft as _jfft
 
     dt = rhs.dtype
     s, ny = plan.s, plan.ny
-    wx = 1.0 / ed.W[plan.rep_x]
-    wy = 1.0 / ed.W[plan.rep_y]
     sym = wx * jnp.asarray(plan.lamx, dt)[None, :] + wy * jnp.asarray(
         plan.lamy, dt
     )[:, None]
@@ -845,12 +859,9 @@ def _dct_lattice_solve(plan: _DctPlan, ed: _EdgeData, rhs: jnp.ndarray, matvec):
             _jfft.idctn(c * inv32, type=2, norm="ortho").reshape(-1).astype(dt)
         )
 
-    kappa = ed.W[plan.rep_x] / plan.len_x
+    kappa = 1.0 / (wx * plan.len_x)
     g = kappa * jnp.asarray(plan.g_geo, dt)  # (r, B)
     r = int(plan.stub_rows.size)
-    w_r = jnp.zeros(r, dt).at[jnp.asarray(plan.stub_edge_group)].add(
-        1.0 / ed.W[jnp.asarray(plan.stub_edge_idx)]
-    )
     rows = jnp.asarray(plan.stub_rows)
     # bordered capacitance system: stub charges q_r = w_r·λ[row_r] plus the
     # additive constant γ of the pseudo-inverse (range condition 1ᵀ(b−Uq)=0)
@@ -878,6 +889,205 @@ def _dct_lattice_solve(plan: _DctPlan, ed: _EdgeData, rhs: jnp.ndarray, matvec):
     for _ in range(n_refine):
         lam = lam + direct(rhs - matvec(lam))
     return lam
+
+
+class _GridPlan(typing.NamedTuple):
+    """Host plan for the lattice-internal edge layout (see
+    :func:`_plan_grid_layout`)."""
+
+    nx: int
+    ny: int
+    edge_order: np.ndarray    # (E,) internal position -> public edge id
+    Ex: int                   # x-edges: rows 0..Ex, (ny, nx-1) row-major
+    Ey: int                   # y-edges: rows Ex..Ex+Ey, (ny-1, nx) row-major
+    s_is_bif: np.ndarray      # (E,) internal-order endpoint masks
+    t_is_bif: np.ndarray
+    stub_rows_e: np.ndarray   # (n_stub,) λ row of each stub edge (tail order)
+    stub_s_bif: np.ndarray    # (n_stub,) True when the bif end is the START
+    stub_group: np.ndarray    # (n_stub,) index into dct.stub_rows
+    h_e: np.ndarray           # (E,) internal-order cell lengths (L/N)
+    dct: "_DctPlan"
+    bif_order: None = None    # λ stays in node order (flatten no-op)
+
+
+def _plan_grid_layout(asm: _assembly.HydraulicNetworkAssembler, dct: _DctPlan):
+    """Lattice-internal edge order, or None.
+
+    Companion to :func:`_plan_dct_lattice` (which proves the multiplier
+    graph is a uniform nx×ny grid): reorders edges into [x-edges (ny,
+    nx−1) row-major | y-edges (ny−1, nx) row-major | boundary stubs] so
+    every structural map in the fused solve — Schur rhs assembly, the
+    refinement-matvec stencil, and the λ→edge-endpoint expansion —
+    becomes a 2-D SLICE of the λ grid instead of an E-sized device
+    gather/scatter.  Profiled at 512² on a v5e: the general path spends
+    ~56 ms/solve in those gathers (segment folds + λ expansion); this
+    layout removes all of them.  The same prepare-args/host-flatten
+    machinery as the forest blocked layout applies (``_BlockedExecutor``)."""
+    nx, ny = dct.s, dct.ny
+    mesh = asm.network
+    E = mesh.num_edges
+    Ex, Ey = ny * (nx - 1), (ny - 1) * nx
+    sb = np.asarray(asm._edge_start_bif)
+    eb = np.asarray(asm._edge_end_bif)
+    both = (sb >= 0) & (eb >= 0)
+    slots = np.full(Ex + Ey, -1, dtype=np.int64)
+    for e in np.nonzero(both)[0]:
+        d = eb[e] - sb[e]
+        if d == 1:
+            y, x = divmod(sb[e], nx)
+            slots[y * (nx - 1) + x] = e
+        elif d == nx:
+            slots[Ex + sb[e]] = e
+        else:  # reversed or non-grid edge: layout inapplicable
+            return None
+    if np.any(slots < 0):
+        return None
+    stubs = np.nonzero(~both)[0]
+    if np.any((sb[stubs] < 0) & (eb[stubs] < 0)):
+        return None  # fully-boundary edge: not a lattice stub
+    edge_order = np.concatenate([slots, stubs])
+    if edge_order.size != E:
+        return None
+    stub_rows_e = np.where(sb[stubs] >= 0, sb[stubs], eb[stubs])
+    # group index into the dct plan's unique stub rows
+    pos = {int(r): i for i, r in enumerate(dct.stub_rows)}
+    try:
+        stub_group = np.array([pos[int(r)] for r in stub_rows_e], dtype=np.int64)
+    except KeyError:  # pragma: no cover - dct plan guarantees coverage
+        return None
+    return _GridPlan(
+        nx=nx,
+        ny=ny,
+        edge_order=edge_order,
+        Ex=Ex,
+        Ey=Ey,
+        s_is_bif=(sb[edge_order] >= 0),
+        t_is_bif=(eb[edge_order] >= 0),
+        stub_rows_e=stub_rows_e.astype(np.int64),
+        stub_s_bif=(sb[stubs] >= 0),
+        stub_group=stub_group,
+        h_e=np.asarray(mesh.edge_length)[edge_order] / mesh.N,
+        dct=dct,
+    )
+
+
+def _grid_blocked_core(
+    asm: _assembly.HydraulicNetworkAssembler,
+    plan: _GridPlan,
+    R_mode: str,
+    f_mode: str,
+    comp_dt,
+    out_dt,
+):
+    """Fused gather-free lattice solve: condense → 2-D slice assembly →
+    DCT capacitance λ solve (stencil-matvec refinement) → slice λ
+    expansion → back-substitution.  Args/outputs in INTERNAL edge order
+    (``_BlockedExecutor.prepare_args`` / host flatten)."""
+    mesh = asm.network
+    N, E = mesh.N, mesh.num_edges
+    nx, ny, Ex, Ey = plan.nx, plan.ny, plan.Ex, plan.Ey
+    k = asm.flux_degree
+    h_e = jnp.asarray(plan.h_e, dtype=comp_dt)
+    s_b = jnp.asarray(plan.s_is_bif)
+    t_b = jnp.asarray(plan.t_is_bif)
+    n_stub = int(plan.stub_rows_e.size)
+    stub_rows = jnp.asarray(plan.stub_rows_e)
+    stub_s = jnp.asarray(plan.stub_s_bif)
+    r_dct = int(plan.dct.stub_rows.size)
+
+    def core(arg0, arg1, start_pbc, end_pbc):
+        arg0 = jnp.asarray(arg0, dtype=comp_dt)
+        arg1 = jnp.asarray(arg1, dtype=comp_dt)
+        spbc = jnp.asarray(start_pbc, dtype=comp_dt)
+        epbc = jnp.asarray(end_pbc, dtype=comp_dt)
+        W, g, Ftot, back = _blocked_condense(
+            N, E, h_e, arg0, arg1, R_mode, f_mode, k=k
+        )
+        w = 1.0 / W
+        const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
+        cF = const + Ftot
+
+        # 2-D views of the two rectangular edge blocks
+        def x2d(v):
+            return v[:Ex].reshape(ny, nx - 1)
+
+        def y2d(v):
+            return v[Ex : Ex + Ey].reshape(ny - 1, nx)
+
+        # Schur rhs: target-node += cF, source-node -= const — pure
+        # 2-D slice adds (the general path's B-sized scatter/segment fold)
+        rhs2 = jnp.zeros((ny, nx), comp_dt)
+        rhs2 = rhs2.at[:, 1:].add(x2d(cF))
+        rhs2 = rhs2.at[:, : nx - 1].add(-x2d(const))
+        rhs2 = rhs2.at[1:, :].add(y2d(cF))
+        rhs2 = rhs2.at[: ny - 1, :].add(-y2d(const))
+        # diagonal: w of every incident edge
+        wx2, wy2 = x2d(w), y2d(w)
+        diag2 = jnp.zeros((ny, nx), comp_dt)
+        diag2 = diag2.at[:, : nx - 1].add(wx2)
+        diag2 = diag2.at[:, 1:].add(wx2)
+        diag2 = diag2.at[: ny - 1, :].add(wy2)
+        diag2 = diag2.at[1:, :].add(wy2)
+        if n_stub:
+            w_st = w[Ex + Ey :]
+            cF_st = cF[Ex + Ey :]
+            const_st = const[Ex + Ey :]
+            rhs_st = jnp.where(stub_s, -const_st, cF_st)
+            rhs2 = rhs2.reshape(-1).at[stub_rows].add(rhs_st).reshape(ny, nx)
+            diag2 = diag2.reshape(-1).at[stub_rows].add(w_st).reshape(ny, nx)
+        rhs = rhs2.reshape(-1)
+
+        def matvec(lam):
+            l2 = lam.reshape(ny, nx)
+            out = diag2 * l2
+            out = out.at[:, : nx - 1].add(-wx2 * l2[:, 1:])
+            out = out.at[:, 1:].add(-wx2 * l2[:, : nx - 1])
+            out = out.at[: ny - 1, :].add(-wy2 * l2[1:, :])
+            out = out.at[1:, :].add(-wy2 * l2[: ny - 1, :])
+            return out.reshape(-1)
+
+        w_r = jnp.zeros(r_dct, comp_dt)
+        if n_stub:
+            w_r = w_r.at[jnp.asarray(plan.stub_group)].add(w[Ex + Ey :])
+        lam = _dct_capacitance_solve(plan.dct, w[0], w[Ex], w_r, rhs, matvec)
+
+        # λ → edge endpoints: 2-D slices (+ tiny stub gather)
+        l2 = lam.reshape(ny, nx)
+        parts_s = [l2[:, : nx - 1].reshape(-1), l2[: ny - 1, :].reshape(-1)]
+        parts_t = [l2[:, 1:].reshape(-1), l2[1:, :].reshape(-1)]
+        if n_stub:
+            lam_st = lam[stub_rows]
+            parts_s.append(jnp.where(stub_s, lam_st, 0.0))
+            parts_t.append(jnp.where(stub_s, 0.0, lam_st))
+        lam_s = jnp.concatenate(parts_s)
+        lam_t = jnp.concatenate(parts_t)
+
+        r0 = jnp.where(s_b, lam_s, -spbc)
+        rN = jnp.where(t_b, -lam_t, epbc)
+        q0 = (r0 + rN - g) * w
+        q_T, p_T = back(q0, r0)
+        residual = jnp.linalg.norm(matvec(lam) - rhs)
+        rhs_norm = jnp.linalg.norm(rhs)
+        finite = (
+            jnp.all(jnp.isfinite(q0))
+            & jnp.all(jnp.isfinite(r0))
+            & jnp.all(jnp.isfinite(lam))
+            & jnp.all(jnp.isfinite(W))
+            & jnp.all(jnp.isfinite(g))
+            & jnp.all(jnp.isfinite(Ftot))
+        )
+        iters = jnp.zeros((), dtype=jnp.int32)
+        return (
+            q_T.astype(out_dt),
+            p_T.astype(out_dt),
+            lam.astype(out_dt),
+            iters,
+            residual,
+            rhs_norm,
+            finite,
+        )
+
+    return core
 
 
 def _mg2d_feasible(B: int, stride: int, max_coarsest: int = 4096) -> bool:
@@ -2444,6 +2654,30 @@ def build_schur_executor(
         out_dt = comp_dt
     else:
         out_dt = jnp.float32 if opts.output_dtype == "float32" else jnp.float64
+
+    # Lattice fast path (see _plan_grid_layout): gather-free device
+    # program for uniform rectangular grids on top of the exact DCT λ
+    # solve.  Same internal-layout opt-in contract as the forest blocked
+    # path below.
+    if (
+        dct_plan is not None
+        and internal_layout
+        and outputs == "blocks"
+        and inputs == "coefficients"
+        and f_mode in ("scalar", "edge", "cell")
+    ):
+        grid_plan = _plan_grid_layout(asm, dct_plan)
+        if grid_plan is not None:
+            core_grid = _grid_blocked_core(
+                asm, grid_plan, R_mode, f_mode, comp_dt, out_dt
+            )
+            return _BlockedExecutor(
+                jax.jit(core_grid) if jit else core_grid,
+                grid_plan,
+                R_mode,
+                f_mode,
+                N=mesh.N,
+            )
 
     # Blocked-sibling fast path (see _BlockedPlan): interleave-free device
     # program for uniformly-binary forests.  Requires internally-ordered

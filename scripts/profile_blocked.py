@@ -35,17 +35,41 @@ def build(case: str):
     from networks_fenicsx_tpu.network_generation import make_arterial_tree, make_tree
     from networks_fenicsx_tpu.solver import build_schur_executor
 
+    internal = True
     if case == "16gen":
         G = make_arterial_tree(N=16, direction=np.array([0.1, 1.0, 0.0]))
         mesh = NetworkMesh(G, N=40, color_strategy="fast")
         asm = HydraulicNetworkAssembler(mesh)
         asm.compute_forms(p_bc_ex=lambda x: x[1], R=1.0 / mesh.edge_radius**4)
+    elif case.startswith("grid"):
+        # 512² capillary lattice: general dct path vs gather-free grid layout
+        from networks_fenicsx_tpu.network_generation import make_grid
+
+        G = make_grid(512, 512, arrays=True)
+        mesh = NetworkMesh(G, N=1, color_strategy="fast")
+        asm = HydraulicNetworkAssembler(mesh)
+        asm.compute_forms(p_bc_ex=lambda x: x[0], R=1.0)
+        internal = case == "grid_blocked"
     else:  # n20
         G = make_tree(20, 1.0, 2.0, arrays=True)
         mesh = NetworkMesh(G, N=1, color_strategy="fast")
         asm = HydraulicNetworkAssembler(mesh)
         asm.compute_forms(p_bc_ex=lambda x: x[1])
-    ex = build_schur_executor(asm, SolverOptions(), outputs="blocks", internal_layout=True)
+    ex = build_schur_executor(
+        asm, SolverOptions(), outputs="blocks", internal_layout=internal
+    )
+    if not hasattr(ex, "prepare_args"):
+        class _Plain:
+            def __init__(self, fn):
+                self._fn = fn
+
+            def __call__(self, *a):
+                return self._fn(*a)
+
+            def prepare_args(self, *a):
+                return a
+
+        ex = _Plain(ex)
     args = ex.prepare_args(*asm.schur_arguments(device=False))
     import jax
 
@@ -129,3 +153,7 @@ if __name__ == "__main__":
         profile("n20", outdir)
     if which == "batched16":
         profile("batched16", outdir)
+    if which in ("grid", "grid_general"):
+        profile("grid_general", outdir)
+    if which in ("grid", "grid_blocked"):
+        profile("grid_blocked", outdir)
