@@ -155,7 +155,16 @@ def solve_sweep(
     if opts.schur_method == "auto" and 0 < B <= 4096:
         import dataclasses
 
-        opts = dataclasses.replace(opts, schur_method="dense")
+        from .solver import lattice_solve_applicable
+
+        # Uniform lattices take the exact DCT solve: it vmaps without a
+        # per-scenario B×B Cholesky (and the grid-layout executor keeps
+        # the per-scenario work gather-free).  Everything else falls back
+        # to the batched dense-Cholesky Schur solve.
+        if lattice_solve_applicable(asm):
+            opts = dataclasses.replace(opts, schur_method="dct")
+        else:
+            opts = dataclasses.replace(opts, schur_method="dense")
     key = (in_axes, opts.schur_method, asm.coefficient_modes())
     cache = getattr(asm, "_sweep_cache", None)
     if cache is None:
@@ -181,6 +190,20 @@ def solve_sweep(
     prepare = getattr(executor, "prepare_args", None)
 
     base_R, base_f, base_sp, base_ep = asm.schur_arguments(device=prepare is None)
+    # Kind check: a batch whose trailing shape disagrees with the compute_forms
+    # representative silently solves the wrong problem (e.g. an (S, E)
+    # per-edge batch against scalar-kind forms feeds element [0] per
+    # scenario) — fail loudly instead.
+    for name, batch, base in (("R", R, base_R), ("f", f, base_f)):
+        if batch is not None and tuple(np.shape(batch)[1:]) != tuple(
+            np.shape(base)
+        ):
+            raise ValueError(
+                f"{name} batch trailing shape {tuple(np.shape(batch)[1:])} does "
+                f"not match the coefficient kind fixed by compute_forms "
+                f"(expected {tuple(np.shape(base))}); recompute forms with a "
+                f"representative {name} of the batched kind"
+            )
     if prepare is not None:
         base_R, base_f, base_sp, base_ep = prepare(base_R, base_f, base_sp, base_ep)
 
@@ -188,6 +211,16 @@ def solve_sweep(
         # Only touch the host when a permutation is actually needed —
         # np.asarray on a device-resident batch would force a device→host
         # round trip per sweep (~45 ms each over the tunneled runtime).
+        if edge_order is not None and mode == "cell":
+            # (S, C) public cell order -> (S, N, E) j-major internal blocks
+            # (the batched mirror of _BlockedExecutor._permute)
+            a = np.asarray(arr)
+            E = edge_order.shape[0]
+            return jnp.asarray(
+                np.ascontiguousarray(
+                    a.reshape(a.shape[0], E, -1)[:, edge_order].swapaxes(1, 2)
+                )
+            )
         if edge_order is not None and mode != "scalar":
             return jnp.asarray(np.asarray(arr)[:, edge_order])
         return jnp.asarray(arr)

@@ -2544,6 +2544,26 @@ class _BlockedExecutor:
         )
 
 
+def lattice_solve_applicable(asm: _assembly.HydraulicNetworkAssembler) -> bool:
+    """Host-side check: would the exact separable-DCT lattice solve engage?
+
+    True when the multiplier graph is a uniform rectangular lattice
+    (``make_grid`` family) and the resistance coefficient is scalar —
+    the envelope of :func:`_plan_dct_lattice`.  Used by
+    :func:`networks_fenicsx_tpu.batch.solve_sweep` to decide between the
+    vmapped DCT solve and the batched dense-Cholesky fallback for
+    small-to-medium bifurcation counts."""
+    if asm.network.num_multipliers == 0:
+        return False
+    R_mode, _, _ = asm.coefficient_modes()
+    if R_mode != "scalar":
+        return False
+    shift_plan = _plan_shift_matvec(asm)
+    if shift_plan is None:
+        return False
+    return _plan_dct_lattice(asm, shift_plan) is not None
+
+
 def build_schur_executor(
     asm: _assembly.HydraulicNetworkAssembler,
     opts: SolverOptions,
@@ -2616,20 +2636,26 @@ def build_schur_executor(
         asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
     )
     # Uniform-lattice direct solve (exact, O(B log B)): auto-engaged when
-    # "auto" resolved to the CG path and the structure admits it;
-    # schur_method="dct" forces it.  An explicitly requested "cg" stays
-    # CG (iteration-count tests and preconditioner studies rely on it).
+    # "auto" resolved to the CG *or dense* path and the structure admits
+    # it (a lattice's cycle core is the whole grid, so small lattices
+    # resolve to dense — the DCT solve is exact and beats the B² dense
+    # apply, and it vmaps without a per-scenario Cholesky in sweeps);
+    # schur_method="dct" forces it.  An explicitly requested "cg"/"dense"
+    # stays put (iteration-count tests and preconditioner studies rely
+    # on it).
     dct_plan = None
     if (
         B > 0
-        and shift_plan is not None
         and R_mode == "scalar"
         and (
             schur_method == "dct"
-            or (opts.schur_method == "auto" and schur_method == "cg")
+            or (opts.schur_method == "auto" and schur_method in ("cg", "dense"))
         )
     ):
-        dct_plan = _plan_dct_lattice(asm, shift_plan)
+        if shift_plan is None:
+            shift_plan = _plan_shift_matvec(asm)
+        if shift_plan is not None:
+            dct_plan = _plan_dct_lattice(asm, shift_plan)
     if schur_method == "dct" and dct_plan is None:
         raise ValueError(
             "schur_method='dct' requires a uniform rectangular-lattice "
@@ -2756,7 +2782,14 @@ def build_schur_executor(
                 off_w = jnp.where(both, 1.0 / ed.W, 0.0)
             else:  # pragma: no cover - kept for completeness
                 matvec, diag, rhs, (s_idx, t_idx, off_w, both) = _schur_lambda_system(ed, B)
-            if schur_method in ("dense", "dense_f64"):
+            if dct_plan is not None:
+                # exact separable-DCT direct solve (uniform lattice); takes
+                # precedence over whatever "auto" resolved to — the plan is
+                # only built for auto/dct (see the gate above), so an
+                # explicitly requested dense/cg never lands here.
+                lam = _dct_lattice_solve(dct_plan, ed, rhs, matvec)
+                iters = jnp.zeros((), dtype=jnp.int32)
+            elif schur_method in ("dense", "dense_f64"):
                 L = jnp.zeros((B, B), dtype=ed.W.dtype)
                 L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
                 L = L.at[s_idx, t_idx].add(-off_w)
@@ -2799,81 +2832,75 @@ def build_schur_executor(
                         f"unknown cg_precond {opts.cg_precond!r}; expected "
                         "'auto', 'mg', 'chebyshev' or 'jacobi'"
                     )
-                if dct_plan is not None:
-                    # exact separable-DCT direct solve (uniform lattice);
-                    # see _plan_dct_lattice
-                    lam = _dct_lattice_solve(dct_plan, ed, rhs, matvec)
-                    iters = jnp.zeros((), dtype=jnp.int32)
-                else:
-                    mg_kind = None
-                    deltas = [c[0] for c in shift_plan] if shift_plan else []
-                    if shift_plan is not None and opts.cg_precond in ("auto", "mg"):
-                        # auto: the V-cycle's fixed overhead (unrolled levels +
-                        # per-solve coarse Cholesky) only wins above ~32k
-                        # multipliers (measured: 128^2 lattice 41 ms Chebyshev
-                        # vs 71 ms MG; 512^2 1.90 s vs 0.28 s)
-                        if opts.cg_precond == "mg" or B > 32768:
-                            strides = sorted({abs(d) for d in deltas} - {1})
-                            row_ok = True
-                            for d, rows, _ in shift_plan:
-                                # ±1 couplings must not cross 2-D row boundaries
-                                # (the reshape-based shifts zero-pad row ends)
-                                if strides and d == 1:
-                                    row_ok &= bool(np.all(rows % strides[0] != strides[0] - 1))
-                                if strides and d == -1:
-                                    row_ok &= bool(np.all(rows % strides[0] != 0))
-                            if (
-                                len(strides) == 1
-                                and strides[0] > 2
-                                and B % strides[0] == 0
-                                and row_ok
-                                and _mg2d_feasible(B, strides[0])
-                            ):
-                                mg_kind = ("2d", strides[0])
-                            else:
-                                plan1d = _plan_mg(deltas, B)
-                                if plan1d is not None:
-                                    mg_kind = ("1d", plan1d)
-                    if mg_kind is None and opts.cg_precond == "mg":
-                        raise ValueError(
-                            "cg_precond='mg' requires a few-shift-class topology "
-                            "(lattice-like multiplier graph); this network does "
-                            "not qualify — use 'auto' or 'chebyshev'"
-                        )
-                    if mg_kind is not None:
-                        # Shift-preserving aggregation multigrid (2-D geometric
-                        # when the class set reveals a lattice, 1-D index
-                        # pairing otherwise): ~grid-independent PCG iterations.
-                        class_w0 = _shift_class_weights(ed, shift_plan, B)
-                        if mg_kind[0] == "2d":
-                            precond = _mg2d_preconditioner(
-                                class_w0, diag, B, mg_kind[1],
-                                overcorrect=opts.mg_overcorrect,
-                            )
+                mg_kind = None
+                deltas = [c[0] for c in shift_plan] if shift_plan else []
+                if shift_plan is not None and opts.cg_precond in ("auto", "mg"):
+                    # auto: the V-cycle's fixed overhead (unrolled levels +
+                    # per-solve coarse Cholesky) only wins above ~32k
+                    # multipliers (measured: 128^2 lattice 41 ms Chebyshev
+                    # vs 71 ms MG; 512^2 1.90 s vs 0.28 s)
+                    if opts.cg_precond == "mg" or B > 32768:
+                        strides = sorted({abs(d) for d in deltas} - {1})
+                        row_ok = True
+                        for d, rows, _ in shift_plan:
+                            # ±1 couplings must not cross 2-D row boundaries
+                            # (the reshape-based shifts zero-pad row ends)
+                            if strides and d == 1:
+                                row_ok &= bool(np.all(rows % strides[0] != strides[0] - 1))
+                            if strides and d == -1:
+                                row_ok &= bool(np.all(rows % strides[0] != 0))
+                        if (
+                            len(strides) == 1
+                            and strides[0] > 2
+                            and B % strides[0] == 0
+                            and row_ok
+                            and _mg2d_feasible(B, strides[0])
+                        ):
+                            mg_kind = ("2d", strides[0])
                         else:
-                            precond = _mg_preconditioner(
-                                mg_kind[1], class_w0, diag, B,
-                                overcorrect=opts.mg_overcorrect,
-                            )
-                    elif opts.cheb_degree > 1 and opts.cg_precond != "jacobi":
-                        # Chebyshev-Jacobi polynomial preconditioning: folds
-                        # cheb_degree matvecs into one dot-free preconditioner
-                        # application, amortizing CG's per-iteration sequential
-                        # overhead (see krylov.chebyshev_preconditioner).
-                        precond = krylov.chebyshev_preconditioner(
-                            matvec, diag, degree=opts.cheb_degree
+                            plan1d = _plan_mg(deltas, B)
+                            if plan1d is not None:
+                                mg_kind = ("1d", plan1d)
+                if mg_kind is None and opts.cg_precond == "mg":
+                    raise ValueError(
+                        "cg_precond='mg' requires a few-shift-class topology "
+                        "(lattice-like multiplier graph); this network does "
+                        "not qualify — use 'auto' or 'chebyshev'"
+                    )
+                if mg_kind is not None:
+                    # Shift-preserving aggregation multigrid (2-D geometric
+                    # when the class set reveals a lattice, 1-D index
+                    # pairing otherwise): ~grid-independent PCG iterations.
+                    class_w0 = _shift_class_weights(ed, shift_plan, B)
+                    if mg_kind[0] == "2d":
+                        precond = _mg2d_preconditioner(
+                            class_w0, diag, B, mg_kind[1],
+                            overcorrect=opts.mg_overcorrect,
                         )
                     else:
-                        precond = lambda v: v / diag  # noqa: E731
-                    result = krylov.cg(
-                        matvec,
-                        rhs,
-                        precond=precond,
-                        rtol=opts.rtol,
-                        atol=opts.atol,
-                        maxiter=opts.maxiter,
+                        precond = _mg_preconditioner(
+                            mg_kind[1], class_w0, diag, B,
+                            overcorrect=opts.mg_overcorrect,
+                        )
+                elif opts.cheb_degree > 1 and opts.cg_precond != "jacobi":
+                    # Chebyshev-Jacobi polynomial preconditioning: folds
+                    # cheb_degree matvecs into one dot-free preconditioner
+                    # application, amortizing CG's per-iteration sequential
+                    # overhead (see krylov.chebyshev_preconditioner).
+                    precond = krylov.chebyshev_preconditioner(
+                        matvec, diag, degree=opts.cheb_degree
                     )
-                    lam, iters = result.x, result.iters
+                else:
+                    precond = lambda v: v / diag  # noqa: E731
+                result = krylov.cg(
+                    matvec,
+                    rhs,
+                    precond=precond,
+                    rtol=opts.rtol,
+                    atol=opts.atol,
+                    maxiter=opts.maxiter,
+                )
+                lam, iters = result.x, result.iters
             residual = jnp.linalg.norm(matvec(lam) - rhs)
             rhs_norm = jnp.linalg.norm(rhs)
         else:

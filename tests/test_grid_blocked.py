@@ -115,3 +115,34 @@ def test_grid_blocked_engages_on_auto():
     # mass conservation at every junction as an independent check
     fns = s.solution_vector()
     assert np.all(np.isfinite(np.asarray(fns)))
+
+
+def test_grid_sweep_vmaps_dct_path():
+    """solve_sweep on a lattice engages the DCT/grid executor (no
+    per-scenario dense Cholesky) and matches per-scenario host LU for
+    per-edge and per-cell source batches."""
+    from networks_fenicsx_tpu import solve_sweep
+
+    rng = np.random.default_rng(5)
+    G = network_generation.make_grid(8, 6, arrays=True)
+    mesh = NetworkMesh(G, N=2)
+    for kind in ("edge", "cell"):
+        n = mesh.num_edges * (1 if kind == "edge" else mesh.N)
+        asm = HydraulicNetworkAssembler(mesh)
+        asm.compute_forms(
+            p_bc_ex=lambda x: x[0], f=rng.uniform(0.5, 1.5, n), R=1.0
+        )
+        fb = rng.uniform(-1.0, 1.0, (3, n))
+        res = solve_sweep(asm, f=fb)
+        executor = list(asm._sweep_cache.values())[0][1]
+        assert isinstance(executor.blocked_plan, _GridPlan)
+        X = np.asarray(res.x)
+        for i in range(3):
+            asm2 = HydraulicNetworkAssembler(mesh)
+            asm2.compute_forms(p_bc_ex=lambda x: x[0], f=fb[i], R=1.0)
+            s = Solver(asm2, options=SolverOptions(method="host_lu"))
+            s.solve()
+            ref = np.asarray(s.solution_vector())
+            np.testing.assert_allclose(
+                X[i], ref, atol=1e-9 * max(1.0, np.abs(ref).max())
+            )

@@ -145,3 +145,58 @@ def test_grad_through_blocked_high_degree():
     Rm[2] -= eps
     fd = (loss(jnp.asarray(Rp)) - loss(jnp.asarray(Rm))) / (2 * eps)
     np.testing.assert_allclose(float(g[2]), float(fd), rtol=1e-6)
+
+
+def test_solve_sweep_kind_mismatch_raises():
+    """A batch whose trailing shape disagrees with the coefficient kind
+    fixed by compute_forms raises instead of solving the wrong problem."""
+    import pytest
+
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        network_generation,
+        solve_sweep,
+    )
+
+    mesh = NetworkMesh(network_generation.make_tree(3, 1.0, 2.0), N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=0.2)  # scalar-kind f
+    with pytest.raises(ValueError, match="coefficient kind"):
+        solve_sweep(asm, f=np.ones((3, mesh.num_edges)))
+
+
+def test_solve_sweep_per_cell_blocked_forest():
+    """Per-cell coefficient batches permute correctly into the blocked
+    executor's (N, E) j-major layout (regression: the per-edge permutation
+    was applied to (S, C) cell batches, scrambling every scenario)."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        SolverOptions,
+        network_generation,
+        solve_sweep,
+    )
+    from networks_fenicsx_tpu.solver import _BlockedPlan
+
+    rng = np.random.default_rng(9)
+    # B = 8191 > 4096 so the sweep keeps the (blocked) tree path
+    G = network_generation.make_tree(14, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    C = mesh.num_edges * mesh.N
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=rng.uniform(0.5, 1.5, C))
+    fb = rng.uniform(-1.0, 1.0, (2, C))
+    res = solve_sweep(asm, f=fb)
+    executor = list(asm._sweep_cache.values())[0][1]
+    assert isinstance(executor.blocked_plan, _BlockedPlan)
+    X = np.asarray(res.x)
+    for i in range(2):
+        asm2 = HydraulicNetworkAssembler(mesh)
+        asm2.compute_forms(p_bc_ex=lambda x: x[0], f=fb[i])
+        s = Solver(asm2, options=SolverOptions(method="host_lu"))
+        s.solve()
+        ref = np.asarray(s.solution_vector())
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(X[i], ref, atol=1e-9 * scale)
