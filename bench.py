@@ -325,6 +325,68 @@ def main() -> None:
             log(f"XL stage skipped: {e!r}")
             xl = None
 
+    # --- lattice scale point: 512² capillary grid (262k junctions,
+    # 1.8M dofs, fully cyclic — a topology the reference's generators
+    # cannot produce).  Exercises the gather-free grid executor over the
+    # exact separable-DCT λ solve.  Failure-isolated; NXFX_BENCH_LATTICE=0
+    # skips.
+    lattice = None
+    if os.environ.get("NXFX_BENCH_LATTICE", "1") != "0":
+        try:
+            from networks_fenicsx_tpu.network_generation import make_grid
+            from networks_fenicsx_tpu.solver import _GridPlan
+
+            n_lat = int(os.environ.get("NXFX_BENCH_LATTICE_N", "512"))
+            t0 = time.perf_counter()
+            G_l = make_grid(n_lat, n_lat, arrays=True)
+            mesh_l = NetworkMesh(G_l, N=1, color_strategy="fast")
+            import dataclasses
+
+            asm_l = HydraulicNetworkAssembler(mesh_l)
+            asm_l.compute_forms(p_bc_ex=p_bc, R=1.0)
+            # Request the exact DCT solve explicitly: below the dense
+            # threshold "auto" resolves to peel-then-core, which has no
+            # internal layout (and no prepare_args).
+            opts_l = dataclasses.replace(opts, schur_method="dct")
+            ex_l = build_schur_executor(
+                asm_l, opts_l, outputs="blocks", internal_layout=True
+            )
+            engaged = isinstance(getattr(ex_l, "blocked_plan", None), _GridPlan)
+            log(f"lattice: {n_lat}x{n_lat}, {mesh_l.num_edges} vessels, "
+                f"{asm_l.num_dofs} dofs, grid plan engaged: {engaged} "
+                f"({time.perf_counter() - t0:.1f}s build)")
+            args_l = jax.device_put(
+                ex_l.prepare_args(*asm_l.schur_arguments(device=False))
+            )
+            jax.block_until_ready(args_l)
+            out_l = ex_l(*args_l)
+            np.asarray(out_l[0][:1, :1])  # warm (compile) + sync
+            depth_l = 16
+            best_l = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_l = [ex_l(*args_l) for _ in range(depth_l)]
+                np.asarray(outs_l[-1][0][:1, :1])
+                best_l = min(best_l, (time.perf_counter() - t0) / depth_l)
+            # accuracy vs the exact stencil operator: residual of the λ
+            # system is returned by the executor
+            res_l = float(out_l[4]) / max(float(out_l[5]), 1e-300)
+            lattice = {
+                "grid": n_lat,
+                "num_dofs": int(asm_l.num_dofs),
+                "grid_plan": engaged,
+                "pipelined_ms_per_solve": round(best_l * 1e3, 3),
+                "pipelined_dofs_per_sec": round(asm_l.num_dofs / best_l, 1),
+                "lambda_rel_residual": res_l,
+            }
+            log(f"lattice pipelined x{depth_l}: {best_l * 1e3:.2f} ms/solve "
+                f"-> {asm_l.num_dofs / best_l:.3e} dofs/s "
+                f"(lambda rel residual {res_l:.1e})")
+            del out_l, outs_l, args_l, ex_l, asm_l, mesh_l, G_l
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"lattice stage skipped: {e!r}")
+            lattice = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -433,6 +495,7 @@ def main() -> None:
             "roofline_hbm_peak_frac": round(hbm_frac, 4),
             "max_rel_err_vs_direct": err,
             "xl": xl,
+            "lattice": lattice,
             "backend": jax.default_backend(),
         },
     }

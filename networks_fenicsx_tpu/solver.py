@@ -853,11 +853,61 @@ def _dct_capacitance_solve(
     )
     inv32 = inv.astype(fft_dt)
 
-    def Lplus(b):
-        c = _jfft.dctn(b.reshape(ny, s).astype(fft_dt), type=2, norm="ortho")
-        return (
-            _jfft.idctn(c * inv32, type=2, norm="ortho").reshape(-1).astype(dt)
+    if max(s, ny) <= 4096:
+        # Matmul DCT: TPU FFTs lower poorly (the 512² dctn+idctn pair
+        # profiles at ~1.1 ms) while the MXU runs the same transform as
+        # two (n, n) matmuls per axis — O(n³) beats O(n² log n) by the
+        # hardware ratio until n is in the thousands.  Precision: the
+        # FIRST direct pass runs the matmuls in the compute dtype (f64
+        # dots emulate as while-lowered VPU programs, ~1.1 ms at 512² but
+        # exact); refinement passes act on residuals that are already
+        # ~ε_f64·κ of the answer, so their transforms run in f32 MXU
+        # dots — a κ·ε_f32-relative error of a tiny correction, invisible
+        # in the result.  (All-f32 transforms are NOT enough: measured
+        # stalls at 5.3e-6 / 6.5e-3 relative λ residual on 128²/512².)
+        transform_exact = True
+
+        def _dct2_matrix(n: int) -> np.ndarray:
+            j = np.arange(n)
+            D = np.cos(np.pi * (j[None, :] + 0.5) * j[:, None] / n)
+            D *= np.sqrt(2.0 / n)
+            D[0] *= np.sqrt(0.5)
+            return D  # orthonormal DCT-II: c = D @ b, b = D.T @ c
+
+        Dx_np = _dct2_matrix(s)
+        Dy_np = _dct2_matrix(ny)
+
+        def _make_matmul_lplus(tdt):
+            Dx = jnp.asarray(Dx_np, tdt)
+            Dy = jnp.asarray(Dy_np, tdt)
+            inv_t = inv.astype(tdt)
+
+            def Lplus(b):
+                B2 = b.reshape(ny, s).astype(tdt)
+                c = Dy @ B2 @ Dx.T
+                return (Dy.T @ (c * inv_t) @ Dx).reshape(-1).astype(dt)
+
+            return Lplus
+
+        Lplus_exact = _make_matmul_lplus(dt)
+        Lplus_fast = (
+            _make_matmul_lplus(fft_dt) if fft_dt != dt else Lplus_exact
         )
+
+    else:
+        transform_exact = fft_dt == dt
+
+        def Lplus_exact(b):
+            c = _jfft.dctn(
+                b.reshape(ny, s).astype(fft_dt), type=2, norm="ortho"
+            )
+            return (
+                _jfft.idctn(c * inv32, type=2, norm="ortho")
+                .reshape(-1)
+                .astype(dt)
+            )
+
+        Lplus_fast = Lplus_exact
 
     kappa = 1.0 / (wx * plan.len_x)
     g = kappa * jnp.asarray(plan.g_geo, dt)  # (r, B)
@@ -876,18 +926,28 @@ def _dct_capacitance_solve(
     for _ in range(2):
         Minv = Minv @ (eye2 - M @ Minv)
 
-    def direct(b):
-        z = Lplus(b)
-        v = jnp.concatenate([z[rows], jnp.sum(b)[None]])
-        sol = Minv @ v
-        return z - sol[:r] @ g + sol[r]
+    def _direct(Lplus):
+        def direct(b):
+            z = Lplus(b)
+            v = jnp.concatenate([z[rows], jnp.sum(b)[None]])
+            sol = Minv @ v
+            # r-row broadcast-sum, not an (r)×(r, B) f64 dot (the dot
+            # while-lowers on TPU at ~205 µs; the fused broadcast is free)
+            corr = jnp.sum(sol[:r, None] * g, axis=0)
+            return z - corr + sol[r]
 
-    # refinement passes: contraction ≈ κ·ε_fft per pass (κ ~ O(n²) for an
-    # n-wide lattice), so reduced-precision transforms need a few more
-    n_refine = 4 if fft_dt != dt else 2
-    lam = direct(rhs)
+        return direct
+
+    # refinement passes: contraction ≈ κ·ε_trans per pass (κ ~ O(n²) for
+    # an n-wide lattice).  An exact first pass needs 2 passes for f64
+    # roundoff; the reduced-precision FFT fallback (> 4096-wide only)
+    # gets more, with the residual surfaced in SolveInfo for the caller
+    # to check.
+    n_refine = 6 if not transform_exact else 2
+    lam = _direct(Lplus_exact)(rhs)
+    refine = _direct(Lplus_fast)
     for _ in range(n_refine):
-        lam = lam + direct(rhs - matvec(lam))
+        lam = lam + refine(rhs - matvec(lam))
     return lam
 
 
