@@ -392,6 +392,19 @@ class ShardedNetworkSolver:
                     self._blocked_exec = build_sharded_blocked_executor(
                         asm, plan, self._mesh, self._axis
                     )
+                elif self._schur_method == "auto":
+                    # uniform lattice: strip-sharded assembly + replicated
+                    # exact DCT λ solve (the forest planner rejects grids)
+                    from .grid_sharded import (
+                        build_sharded_grid_executor,
+                        plan_sharded_grid,
+                    )
+
+                    gplan = plan_sharded_grid(asm, D)
+                    if gplan is not None:
+                        self._blocked_exec = build_sharded_grid_executor(
+                            asm, gplan, self._mesh, self._axis
+                        )
         if self._blocked_exec is None and self._schur_method == "blocked":
             # re-raise on EVERY solve — a forced 'blocked' must never
             # silently fall through to the general pipeline
@@ -478,7 +491,8 @@ class ShardedNetworkSolver:
         lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)])
         lam = lam_flat[plan.lam_src]
         ok = bool(np.asarray(finite))
-        self._info = SolveInfo("schur_sharded_blocked", 0, 0.0, ok)
+        method = getattr(ex, "method_name", "schur_sharded_blocked")
+        self._info = SolveInfo(method, 0, 0.0, ok)
         if not ok:
             raise RuntimeError(
                 "Solver did not converge: sharded blocked solve produced "

@@ -223,6 +223,36 @@ sr = Solver(ar, options=SolverOptions(method="host_lu")); sr.assemble(); sor = s
 err = max(float(np.max(np.abs(a.values - b.values))) for a, b in zip(sok, sor))
 check("blocked-degree2", is_bk and err < 1e-9, f"blocked={is_bk} err={err:.1e}")
 
+# 17. lattice DCT exactness AT SCALE on the chip (CPU tests cannot see
+# this: transforms are exact f64 there; on TPU an f32-transform
+# regression stalls the residual at ~5e-6 on a 128^2 lattice)
+from networks_fenicsx_tpu.solver import _GridPlan as _GP
+Gl = make_grid(128, 128, arrays=True)
+ml = NetworkMesh(Gl, N=1, color_strategy="fast")
+al = HydraulicNetworkAssembler(ml)
+al.compute_forms(p_bc_ex=lambda x: x[0], R=1.0)
+exl = _S.build_schur_executor(
+    al, _SO(schur_method="dct"), outputs="blocks", internal_layout=True
+)
+is_gl = isinstance(getattr(exl, "blocked_plan", None), _GP)
+outl = exl(*jax.device_put(exl.prepare_args(*al.schur_arguments(device=False))))
+rel_l = float(outl[4]) / max(float(outl[5]), 1e-300)
+check("lattice-dct-exact-128", is_gl and rel_l < 1e-10,
+      f"grid_plan={is_gl} rel_residual={rel_l:.1e}")
+
+# 18. strip-sharded lattice executor on the single chip (D=1 degenerate)
+Gsg = make_grid(9, 7, arrays=True)
+msg = NetworkMesh(Gsg, N=2, color_strategy="fast")
+asg = HydraulicNetworkAssembler(msg)
+asg.compute_forms(p_bc_ex=lambda x: x[0], f=0.4, R=1.5)
+ssg = ShardedNetworkSolver(asg); ssg.assemble(); sog = ssg.solve()
+asr2 = HydraulicNetworkAssembler(msg)
+asr2.compute_forms(p_bc_ex=lambda x: x[0], f=0.4, R=1.5)
+ssr2 = Solver(asr2, options=SolverOptions(method="host_lu")); ssr2.assemble(); sor2 = ssr2.solve()
+err = max(float(np.max(np.abs(a.values - b.values))) for a, b in zip(sog, sor2))
+check("sharded-grid-1chip", ssg.info.method == "schur_sharded_grid" and err < 1e-10,
+      f"method={ssg.info.method} err={err:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)

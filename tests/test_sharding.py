@@ -291,14 +291,20 @@ def test_sharded_blocked_forced_raises_when_infeasible():
 
 
 def test_sharded_blocked_fallback_general():
-    """Topologies outside the blocked envelope fall back to the general
-    sharded pipeline under schur_method='auto' and still match serial."""
+    """Topologies outside the blocked/grid fast-path envelopes fall back
+    to the general sharded pipeline under schur_method='auto' and still
+    match serial.  (Per-edge R disqualifies the lattice DCT plan, so a
+    cyclic lattice with heterogeneous resistance exercises the general
+    psum pipeline — a uniform lattice now engages schur_sharded_grid,
+    pinned in test_grid_sharded.py.)"""
     G = network_generation.make_grid(4, 4, arrays=True)  # cyclic lattice
     mesh = NetworkMesh(G, N=2, color_strategy="fast")
-    asm, serial = _serial_solution(mesh)
+    rng = np.random.default_rng(2)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm, serial = _serial_solution(mesh, R=R)
 
     asm2 = HydraulicNetworkAssembler(mesh)
-    asm2.compute_forms(p_bc_ex=p_bc_y)
+    asm2.compute_forms(p_bc_ex=p_bc_y, R=R)
     solver = ShardedNetworkSolver(asm2)
     solver.assemble()
     sharded = solver.solve()
