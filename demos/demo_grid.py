@@ -51,3 +51,25 @@ print(
     f"(cycle core: {plan.core_size}), method={solver.info.method}, "
     f"converged={solver.info.converged}"
 )
+
+# The exact separable-DCT direct solve (uniform lattice + scalar R) over
+# the gather-free grid edge layout — auto-engaged above the dense
+# threshold, forced here so the small demo exercises it too.
+from networks_fenicsx_tpu import SolverOptions  # noqa: E402
+from networks_fenicsx_tpu.solver import _GridPlan  # noqa: E402
+
+solver_dct = Solver(
+    assembler, options=SolverOptions(method="schur", schur_method="dct")
+)
+sol_dct = solver_dct.solve()
+engaged = isinstance(
+    getattr(solver_dct._executor, "blocked_plan", None), _GridPlan
+)
+err = max(
+    float(np.max(np.abs(a.values - b.values))) for a, b in zip(sol, sol_dct)
+)
+print(
+    f"exact DCT direct solve: grid layout engaged={engaged}, "
+    f"max |Δ| vs cycle-core solve = {err:.2e}"
+)
+assert engaged and err < 1e-9
