@@ -990,16 +990,15 @@ def _plan_grid_layout(asm: _assembly.HydraulicNetworkAssembler, dct: _DctPlan):
     sb = np.asarray(asm._edge_start_bif)
     eb = np.asarray(asm._edge_end_bif)
     both = (sb >= 0) & (eb >= 0)
+    d = np.where(both, eb - sb, 0)
+    is_x = both & (d == 1)
+    is_y = both & (d == nx)
+    if np.any(both & ~is_x & ~is_y):
+        return None  # reversed or non-grid edge: layout inapplicable
     slots = np.full(Ex + Ey, -1, dtype=np.int64)
-    for e in np.nonzero(both)[0]:
-        d = eb[e] - sb[e]
-        if d == 1:
-            y, x = divmod(sb[e], nx)
-            slots[y * (nx - 1) + x] = e
-        elif d == nx:
-            slots[Ex + sb[e]] = e
-        else:  # reversed or non-grid edge: layout inapplicable
-            return None
+    sx = sb[is_x]
+    slots[(sx // nx) * (nx - 1) + sx % nx] = np.nonzero(is_x)[0]
+    slots[Ex + sb[is_y]] = np.nonzero(is_y)[0]
     if np.any(slots < 0):
         return None
     stubs = np.nonzero(~both)[0]
