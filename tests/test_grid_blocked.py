@@ -146,3 +146,28 @@ def test_grid_sweep_vmaps_dct_path():
             np.testing.assert_allclose(
                 X[i], ref, atol=1e-9 * max(1.0, np.abs(ref).max())
             )
+
+
+def test_lattice_solve_applicable_probe():
+    """The host probe matches the executor's actual engagement envelope."""
+    from networks_fenicsx_tpu.solver import lattice_solve_applicable
+
+    G = network_generation.make_grid(6, 5, arrays=True)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=2.0)
+    assert lattice_solve_applicable(asm)
+
+    # per-edge R: no DCT
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(
+        p_bc_ex=lambda x: x[0], R=np.linspace(0.5, 2.0, mesh.num_edges)
+    )
+    assert not lattice_solve_applicable(asm2)
+
+    # forest: no lattice
+    Gt = network_generation.make_tree(3, 1.0, 2.0)
+    mt = NetworkMesh(Gt, N=2)
+    asm3 = HydraulicNetworkAssembler(mt)
+    asm3.compute_forms(p_bc_ex=lambda x: x[0])
+    assert not lattice_solve_applicable(asm3)
