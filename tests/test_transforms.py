@@ -200,3 +200,31 @@ def test_solve_sweep_per_cell_blocked_forest():
         ref = np.asarray(s.solution_vector())
         scale = np.abs(ref).max()
         np.testing.assert_allclose(X[i], ref, atol=1e-9 * scale)
+
+
+def test_solve_sweep_p_bc_blocked_forest():
+    """Boundary-pressure batches permute correctly into the blocked
+    executor's internal edge order (B > 4096 keeps the blocked tree path;
+    linearity in p_bc pins correctness without a host reference)."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        network_generation,
+        solve_sweep,
+    )
+    from networks_fenicsx_tpu.solver import _BlockedPlan
+
+    G = network_generation.make_tree(14, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    pb = np.asarray(mesh.vertices[: mesh.num_graph_nodes][:, 1])
+    res = solve_sweep(
+        asm, p_bc_node_values=pb[None, :] * np.array([1.0, 2.0, -0.5])[:, None]
+    )
+    executor = list(asm._sweep_cache.values())[0][1]
+    assert isinstance(executor.blocked_plan, _BlockedPlan)
+    x0, x1, x2 = (np.asarray(res.x[i]) for i in range(3))
+    scale = max(1.0, np.abs(x0).max())
+    np.testing.assert_allclose(x1, 2.0 * x0, atol=1e-11 * scale)
+    np.testing.assert_allclose(x2, -0.5 * x0, atol=1e-11 * scale)
