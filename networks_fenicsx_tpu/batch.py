@@ -100,6 +100,7 @@ def solve_sweep(
     f: np.ndarray | jnp.ndarray | None = None,
     p_bc_node_values: np.ndarray | jnp.ndarray | None = None,
     options: SolverOptions | None = None,
+    devices=None,
 ) -> SweepResult:
     """Solve a batch of coefficient scenarios in one vmapped dispatch.
 
@@ -118,6 +119,12 @@ def solve_sweep(
         p_bc_node_values: Optional (S, num_graph_nodes) boundary pressure
             values per graph node (only boundary-node entries are used).
         options: Solver options (schur path; default auto).
+        devices: Optional device list — shards the SCENARIO axis over
+            them (data-parallel serving: each device solves its chunk of
+            the batch through the same vmapped executor; no cross-device
+            communication).  Requires the batch size to be divisible by
+            the device count.  Works for every topology, including the
+            blocked forest and lattice DCT executors.
 
     Returns:
         :class:`SweepResult` with ``x`` of shape (S, num_dofs).
@@ -240,12 +247,36 @@ def solve_sweep(
         ep_batch = None
 
     R_mode, f_mode, _ = asm.coefficient_modes()
-    blocks = batched(
+    call_args = (
         batch_edge_kind(R, R_mode) if R is not None else base_R,
         batch_edge_kind(f, f_mode) if f is not None else base_f,
         sp_batch if sp_batch is not None else base_sp,
         ep_batch if ep_batch is not None else base_ep,
     )
+    if devices is not None and len(devices) > 1:
+        # Scenario-axis data parallelism: shard every batched arg's
+        # leading axis over the device mesh and let XLA partition the
+        # vmapped program (pure per-scenario work — zero collectives).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+        D = len(devices)
+        if S % D != 0:
+            raise ValueError(
+                f"batch size {S} not divisible by device count {D}"
+            )
+        smesh = Mesh(np.asarray(devices), ("scen",))
+        rep_sh = NamedSharding(smesh, Pspec())
+
+        def place(arg, ax):
+            if ax is None:
+                return jax.device_put(arg, rep_sh)
+            spec = Pspec(*(["scen"] + [None] * (np.ndim(arg) - 1)))
+            return jax.device_put(arg, NamedSharding(smesh, spec))
+
+        call_args = tuple(
+            place(a, ax) for a, ax in zip(call_args, in_axes)
+        )
+    blocks = batched(*call_args)
     return SweepResult(
         asm, blocks=blocks, edge_order=edge_order, bif_order=bif_order
     )

@@ -228,3 +228,41 @@ def test_solve_sweep_p_bc_blocked_forest():
     scale = max(1.0, np.abs(x0).max())
     np.testing.assert_allclose(x1, 2.0 * x0, atol=1e-11 * scale)
     np.testing.assert_allclose(x2, -0.5 * x0, atol=1e-11 * scale)
+
+
+def test_solve_sweep_scenario_sharding():
+    """solve_sweep(devices=...) shards the scenario axis data-parallel and
+    matches the single-device sweep exactly (lattice + forest paths)."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        network_generation,
+        solve_sweep,
+    )
+
+    rng = np.random.default_rng(1)
+    devices = jax.devices()
+    if len(devices) < 2:
+        import pytest
+
+        pytest.skip("needs the multi-device virtual mesh")
+    S = len(devices)
+
+    G = network_generation.make_grid(8, 6, arrays=True)
+    mesh = NetworkMesh(G, N=2)
+    rep = rng.uniform(0.5, 1.5, mesh.num_edges)
+    fb = rng.uniform(-1.0, 1.0, (S, mesh.num_edges))
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=rep, R=1.0)
+    res_dp = solve_sweep(asm, f=fb, devices=devices)
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=lambda x: x[0], f=rep, R=1.0)
+    res = solve_sweep(asm2, f=fb)
+    np.testing.assert_allclose(
+        np.asarray(res_dp.x), np.asarray(res.x), atol=1e-12
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        solve_sweep(asm, f=fb[: S - 1], devices=devices)
