@@ -47,6 +47,8 @@ def build_graph(spec: dict):
         return network_generation.make_arterial_tree(
             N=spec["n"], direction=np.asarray(spec["direction"])
         )
+    if kind == "grid":
+        return network_generation.make_grid(spec["nx"], spec["ny"])
     raise ValueError(kind)
 
 
@@ -89,6 +91,10 @@ CONFIGS: dict[str, dict] = {
     "y_k3": dict(
         graph="tree", n=2, H=1.0, W=3.0, N=4, p_bc="y", f=2.5, flux_degree=3
     ),
+    # fully cyclic lattice (beyond the reference's generators): pins the
+    # cycle-core elimination, the MG/Chebyshev CG paths AND the exact
+    # separable-DCT direct solve against exact rational arithmetic
+    "grid5x4": dict(graph="grid", nx=5, ny=4, N=2, p_bc="x", R=2.0, f=0.3),
 }
 
 P_BC = {"x": p_bc_x, "y": p_bc_y}

@@ -56,6 +56,11 @@ def main() -> None:
     outdir.mkdir(parents=True, exist_ok=True)
 
     for name, spec in CONFIGS.items():
+        if spec["graph"] == "grid":
+            # lattice topologies are beyond the reference's generators
+            # (no make_grid there); the exact-Fraction oracle covers them
+            print(f"{name}: skipped (reference has no grid generator)")
+            continue
         if spec["graph"] == "tree":
             G = network_generation.make_tree(spec["n"], spec["H"], spec["W"])
         else:

@@ -38,6 +38,8 @@ def _build_problem(golden: dict):
     spec = golden["config"]
     if spec["graph"] == "tree":
         G = network_generation.make_tree(spec["n"], spec["H"], spec["W"])
+    elif spec["graph"] == "grid":
+        G = network_generation.make_grid(spec["nx"], spec["ny"])
     else:
         G = network_generation.make_arterial_tree(
             N=spec["n"], direction=np.asarray(spec["direction"])
@@ -112,6 +114,21 @@ def test_golden_schur_variants(name: str, schur_method: str):
     _check(golden, mesh, asm, sol, tol=1e-10)
 
 
+@pytest.mark.parametrize("schur_method", ["tree", "dct", "cg"])
+def test_golden_grid_schur_variants(schur_method: str):
+    """The lattice golden pins the cycle-core elimination, the exact
+    separable-DCT direct solve AND the CG path against exact rational
+    arithmetic (independent of host_lu and of each other)."""
+    golden = _load("grid5x4")
+    _, mesh, asm = _build_problem(golden)
+    solver = Solver(
+        asm, options=SolverOptions(method="schur", schur_method=schur_method)
+    )
+    solver.assemble()
+    sol = solver.solve()
+    _check(golden, mesh, asm, sol, tol=1e-10)
+
+
 @pytest.mark.parametrize("name", ["y_bifurcation", "tree4"])
 def test_golden_minres(name: str):
     golden = _load(name)
@@ -128,7 +145,7 @@ def test_goldens_exist():
     expected = {
         "y_bifurcation", "double_y", "tree_N2", "tree_N16", "tree_N256",
         "tree4", "y_source", "arterial", "arterial_poiseuille",
-        "tree3_k2", "y_k3",
+        "tree3_k2", "y_k3", "grid5x4",
     }
     assert expected.issubset(set(GOLDEN_NAMES))
 
