@@ -186,3 +186,49 @@ def test_fuzz_high_degree_cross_method(seed: int):
         qin = sum(flux_end[int(e)] for e in mesh.in_edge_ids(b_idx))
         qout = sum(flux_start[int(e)] for e in mesh.out_edge_ids(b_idx))
         assert abs(qin - qout) < 1e-9
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_lattice_dct_vs_host_lu(seed: int):
+    """Random lattice dimensions / refinement / coefficient modes through
+    the exact DCT grid executor agree with host LU (includes the minimal
+    nx=3, ny=2 shapes the plan admits)."""
+    from networks_fenicsx_tpu.solver import _GridPlan
+
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(900 + seed)
+    nx_ = int(rng.integers(3, 11))
+    ny_ = int(rng.integers(2, 11))
+    N = int(rng.integers(1, 4))
+    G = network_generation.make_grid(nx_, ny_, arrays=True)
+    mesh = NetworkMesh(G, N=N)
+    E, C = mesh.num_edges, mesh.num_edges * N
+    fkind = rng.choice(["scalar", "edge", "cell", "zero"])
+    f = {
+        "zero": None,
+        "scalar": float(rng.uniform(-1, 1)),
+        "edge": rng.uniform(-1.0, 1.0, E),
+        "cell": rng.uniform(-1.0, 1.0, C),
+    }[fkind]
+    R = float(rng.uniform(0.5, 3.0))
+    k = int(rng.integers(1, 4))
+
+    sols = {}
+    for method, opts in (
+        ("dct", SolverOptions(method="schur", schur_method="dct")),
+        ("host_lu", SolverOptions(method="host_lu")),
+    ):
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=k)
+        kw = {} if f is None else {"f": f}
+        asm.compute_forms(p_bc_ex=lambda x: x[0] - 0.3 * x[1], R=R, **kw)
+        solver = Solver(asm, options=opts)
+        solver.assemble()
+        sols[method] = solver.solve()
+        if method == "dct":
+            assert isinstance(
+                getattr(solver._executor, "blocked_plan", None), _GridPlan
+            ), (nx_, ny_, N, fkind, k)
+    for fs, fl in zip(sols["dct"], sols["host_lu"]):
+        scale = max(1.0, float(np.max(np.abs(fl.values))))
+        np.testing.assert_allclose(fs.values, fl.values, atol=1e-9 * scale)
