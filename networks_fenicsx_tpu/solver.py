@@ -2169,6 +2169,75 @@ def _plan_blocked(asm: _assembly.HydraulicNetworkAssembler) -> _BlockedPlan | No
     )
 
 
+def _parts_concat(vec, parts):
+    ps = [jax.lax.slice_in_dim(vec, s, s + width) for s, width in parts]
+    return ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+
+
+def _blocked_forward_factor(plan: _BlockedPlan, w: jnp.ndarray):
+    """R-side (coefficient-matrix) half of the forward elimination.
+
+    Returns ``(d_lev, wn_lev, factor_lev)`` — the eliminated per-level
+    diagonals, the in-edge (parent-coupling) conductances, and the
+    per-level elimination factors wn/d.  Depends on the resistance data
+    only: this is the reusable "factorization" (the MUMPS-factor analog,
+    reference ``solver.py:58-65`` — KSP reuses the factor across solves)
+    consumed by :func:`_blocked_forward_apply` for each right-hand side."""
+    L = len(plan.levels)
+    d_lev: list = [None] * L
+    wn_lev: list = [None] * L
+    for l, lv in enumerate(plan.levels):
+        w_in = _parts_concat(w, lv.in_parts)
+        d = w_in
+        for o, _ in lv.outs:
+            d = d + jax.lax.slice_in_dim(w, o, o + lv.m)
+        d_lev[l], wn_lev[l] = d, w_in
+    factor_lev: list = [None] * L
+    for l in range(L - 1, 0, -1):
+        lv_par = plan.levels[l - 1]
+        m_par = lv_par.m
+        wn = wn_lev[l]
+        factor = wn / d_lev[l]
+        cd = -wn * factor
+        upd_d = cd[:m_par]
+        for j in range(1, lv_par.n_bif_outs):
+            upd_d = upd_d + cd[j * m_par : (j + 1) * m_par]
+        d_lev[l - 1] = d_lev[l - 1] + upd_d
+        factor_lev[l] = factor
+    return d_lev, wn_lev, factor_lev
+
+
+def _blocked_forward_apply(
+    plan: _BlockedPlan,
+    d_lev: list,
+    wn_lev: list,
+    factor_lev: list,
+    const: jnp.ndarray,
+    Ftot: jnp.ndarray,
+):
+    """Rhs half of the forward elimination against a cached factor."""
+    L = len(plan.levels)
+    r_lev: list = [None] * L
+    cF = const + Ftot
+    for l, lv in enumerate(plan.levels):
+        r = _parts_concat(cF, lv.in_parts)
+        for o, _ in lv.outs:
+            r = r - jax.lax.slice_in_dim(const, o, o + lv.m)
+        r_lev[l] = r
+    rhs_sq = sum(jnp.sum(r * r) for r in r_lev)
+    saved: list = [None] * L
+    for l in range(L - 1, 0, -1):
+        lv_par = plan.levels[l - 1]
+        m_par = lv_par.m
+        cr = factor_lev[l] * r_lev[l]
+        upd_r = cr[:m_par]
+        for j in range(1, lv_par.n_bif_outs):
+            upd_r = upd_r + cr[j * m_par : (j + 1) * m_par]
+        r_lev[l - 1] = r_lev[l - 1] + upd_r
+        saved[l] = (d_lev[l], r_lev[l], wn_lev[l])
+    return d_lev[0], r_lev[0], wn_lev[0], saved, rhs_sq
+
+
 def _blocked_forward(
     plan: _BlockedPlan,
     w: jnp.ndarray,  # (>=E_sub,) 1/W in INTERNAL edge order
@@ -2180,49 +2249,12 @@ def _blocked_forward(
     root-level system, the in-edge (parent-coupling) conductances of the
     roots, and the per-level state for :func:`_blocked_backward`.  Shared
     by the serial eliminate (roots close against the boundary) and the
-    sharded one (roots eliminate into the psum-reduced top system)."""
-
-    def parts_concat(vec, parts):
-        ps = [jax.lax.slice_in_dim(vec, s, s + width) for s, width in parts]
-        return ps[0] if len(ps) == 1 else jnp.concatenate(ps)
-
-    L = len(plan.levels)
-    d_lev: list = [None] * L
-    r_lev: list = [None] * L
-    wn_lev: list = [None] * L  # conductance to parent (in-edge w)
-    cF = const + Ftot
-    # assembly: diag = w(in) + Σ_j w(out_j); rhs = (const+Ftot)(in)
-    #           − Σ_j const(out_j)
-    for l, lv in enumerate(plan.levels):
-        w_in = parts_concat(w, lv.in_parts)
-        d = w_in
-        r = parts_concat(cF, lv.in_parts)
-        for o, _ in lv.outs:
-            d = d + jax.lax.slice_in_dim(w, o, o + lv.m)
-            r = r - jax.lax.slice_in_dim(const, o, o + lv.m)
-        d_lev[l], r_lev[l], wn_lev[l] = d, r, w_in
-    rhs_sq = sum(jnp.sum(r * r) for r in r_lev)
-
-    # forward: deepest level first; per-slot child chunks add to parents
-    saved: list = [None] * L
-    for l in range(L - 1, 0, -1):
-        lv_par = plan.levels[l - 1]
-        m_par = lv_par.m
-        nb = lv_par.n_bif_outs
-        wn = wn_lev[l]
-        factor = wn / d_lev[l]
-        cd = -wn * factor
-        cr = factor * r_lev[l]
-        upd_d = cd[:m_par]
-        upd_r = cr[:m_par]
-        for j in range(1, nb):
-            upd_d = upd_d + cd[j * m_par : (j + 1) * m_par]
-            upd_r = upd_r + cr[j * m_par : (j + 1) * m_par]
-        d_lev[l - 1] = d_lev[l - 1] + upd_d
-        r_lev[l - 1] = r_lev[l - 1] + upd_r
-        saved[l] = (d_lev[l], r_lev[l], wn)
-
-    return d_lev[0], r_lev[0], wn_lev[0], saved, rhs_sq
+    sharded one (roots eliminate into the psum-reduced top system).
+    Internally split into the R-side factor and the rhs apply so
+    factor-reuse serving (:func:`build_blocked_factorization`) shares the
+    exact same formulas."""
+    d_lev, wn_lev, factor_lev = _blocked_forward_factor(plan, w)
+    return _blocked_forward_apply(plan, d_lev, wn_lev, factor_lev, const, Ftot)
 
 
 def _blocked_backward(plan: _BlockedPlan, saved: list, lam0: jnp.ndarray):
@@ -2312,13 +2344,22 @@ def _blocked_condense(
     dofs commutes with the per-cell scaling, so degree ≥ 2 only swaps the
     P1 closed-form constants for the fixed condensed ones of
     :func:`_condensed_scalar_constants` (and adds the scale-free interior
-    recovery in ``back``) — the elimination itself is degree-blind."""
+    recovery in ``back``) — the elimination itself is degree-blind.
+
+    Internally split into :func:`_blocked_condense_R` (resistance side —
+    the reusable factor half) and the source/back-substitution half here,
+    so factor-reuse serving shares the exact same formulas."""
+    W, a1, a2 = _blocked_condense_R(N, E, h_e, R_data, R_mode, k)
+    g, Ftot, back = _blocked_condense_f(N, E, h_e, f_data, f_mode, a1, a2, k)
+    return W, g, Ftot, back
+
+
+def _blocked_condense_R(
+    N: int, E: int, h_e: jnp.ndarray, R_data: jnp.ndarray, R_mode: str, k: int
+):
+    """Resistance-side condensation: ``(W, a1, a2)`` (see _blocked_condense)."""
     dt = R_data.dtype
-    if k == 1:
-        wt, cs0, cs1 = 1.0, 0.5, 0.5
-    else:
-        Mt_np, csum_np, wt, Minv_np = _condensed_scalar_constants(k)
-        cs0, cs1 = float(csum_np[0]), float(csum_np[1])
+    wt = 1.0 if k == 1 else _condensed_scalar_constants(k)[2]
     if R_mode in ("scalar", "edge"):
         a1 = (R_data[0] * jnp.ones(E, dt) if R_mode == "scalar" else R_data) * h_e
         a2 = None
@@ -2327,6 +2368,28 @@ def _blocked_condense(
         a2 = R_data * h_e[None, :]
         a1 = None
         W = wt * jnp.sum(a2, axis=0)
+    return W, a1, a2
+
+
+def _blocked_condense_f(
+    N: int,
+    E: int,
+    h_e: jnp.ndarray,
+    f_data: jnp.ndarray,
+    f_mode: str,
+    a1,
+    a2,
+    k: int,
+):
+    """Source-side condensation against cached resistance data: returns
+    ``(g, Ftot, back)`` (see _blocked_condense)."""
+    dt = f_data.dtype
+    if k == 1:
+        wt, cs0, cs1 = 1.0, 0.5, 0.5
+        Mt_np = Minv_np = None
+    else:
+        Mt_np, csum_np, wt, Minv_np = _condensed_scalar_constants(k)
+        cs0, cs1 = float(csum_np[0]), float(csum_np[1])
     if f_mode in ("scalar", "edge"):
         F1 = (f_data[0] * jnp.ones(E, dt) if f_mode == "scalar" else f_data) * h_e
         F2 = None
@@ -2393,7 +2456,7 @@ def _blocked_condense(
         q_T = jnp.concatenate([cell_blk.reshape(N * k, E), q_chain[-1:]], axis=0)
         return q_T, p_T
 
-    return W, g, Ftot, back
+    return g, Ftot, back
 
 
 def _blocked_uniform_solve(
@@ -2453,6 +2516,139 @@ def _blocked_uniform_solve(
         & jnp.all(jnp.isfinite(Ftot))
     )
     return q_T, p_T, lam, rhs_norm, finite
+
+
+class BlockedFactorization:
+    """Factor-reuse serving pair for the blocked forest executor.
+
+    The reference's KSP holds the MUMPS factorization and re-solves for
+    new right-hand sides without refactorizing (reference
+    ``solver.py:58-65``); this is the TPU-native analog for the blocked
+    fast layout: :meth:`factor` runs the resistance-side work once
+    (condensed conductances + the eliminated per-level diagonals and
+    elimination factors — a device-resident pytree), and :meth:`solve`
+    runs only the rhs sweeps (source condensation, forward/backward
+    r-recursions, back-substitution) against it.
+
+    Both take PUBLIC-order coefficient arrays (host-permuted like
+    ``_BlockedExecutor.prepare_args``); :meth:`solve` returns internal
+    j-major blocks ``(q_T, p_T, lam, rhs_norm, finite)``;
+    :meth:`solution_vector` maps them to the global flat layout.
+    """
+
+    def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
+                 opts: "SolverOptions | None" = None):
+        plan = _plan_blocked(asm)
+        if plan is None:
+            raise ValueError(
+                "BlockedFactorization requires a blocked-eligible topology "
+                "(uniformly-K-ary forest; see _plan_blocked)"
+            )
+        R_mode, f_mode, _ = asm.coefficient_modes()
+        if R_mode not in ("scalar", "edge", "cell") or f_mode not in (
+            "scalar", "edge", "cell"
+        ):
+            raise ValueError(
+                "BlockedFactorization requires scalar/per-edge/per-cell "
+                "coefficients (quad-mode callables stay on the fused path)"
+            )
+        opts = opts or SolverOptions()
+        self._asm = asm
+        self._plan = plan
+        self._R_mode, self._f_mode = R_mode, f_mode
+        mesh = asm.network
+        self._N, self._E, self._k = mesh.N, mesh.num_edges, asm.flux_degree
+        comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
+        N, E, k = self._N, self._E, self._k
+        h_e = jnp.asarray(
+            np.asarray(mesh.edge_length)[plan.edge_order], dtype=comp_dt
+        ) / N
+        s_b = jnp.asarray(plan.s_is_bif)
+        t_b = jnp.asarray(plan.t_is_bif)
+
+        def factor_fn(R_rows):
+            R_rows = jnp.asarray(R_rows, dtype=comp_dt)
+            W, a1, a2 = _blocked_condense_R(N, E, h_e, R_rows, R_mode, k)
+            w = 1.0 / W
+            d_lev, wn_lev, factor_lev = _blocked_forward_factor(plan, w)
+            return {
+                "W": W, "w": w, "a1": a1, "a2": a2, "d_lev": d_lev,
+                "wn_lev": wn_lev, "factor_lev": factor_lev,
+            }
+
+        def solve_fn(state, f_rows, spbc, epbc):
+            f_rows = jnp.asarray(f_rows, dtype=comp_dt)
+            spbc = jnp.asarray(spbc, dtype=comp_dt)
+            epbc = jnp.asarray(epbc, dtype=comp_dt)
+            g, Ftot, back = _blocked_condense_f(
+                N, E, h_e, f_rows, f_mode, state["a1"], state["a2"], k
+            )
+            w = state["w"]
+            const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
+            d0, r0_root, _w0, saved, rhs_sq = _blocked_forward_apply(
+                plan, state["d_lev"], state["wn_lev"], state["factor_lev"],
+                const, Ftot,
+            )
+            lam_lev, lam = _blocked_backward(plan, saved, r0_root / d0)
+            lam_s, lam_t = _blocked_lambda_to_edges(plan, lam_lev, comp_dt)
+            r0 = jnp.where(s_b, lam_s, -spbc)
+            rN = jnp.where(t_b, -lam_t, epbc)
+            q0 = (r0 + rN - g) * w
+            q_T, p_T = back(q0, r0)
+            finite = (
+                jnp.all(jnp.isfinite(q0))
+                & jnp.all(jnp.isfinite(r0))
+                & jnp.all(jnp.isfinite(lam))
+                & jnp.all(jnp.isfinite(state["W"]))
+                & jnp.all(jnp.isfinite(g))
+                & jnp.all(jnp.isfinite(Ftot))
+            )
+            return q_T, p_T, lam, jnp.sqrt(rhs_sq), finite
+
+        self._factor_fn = jax.jit(factor_fn)
+        self._solve_fn = jax.jit(solve_fn)
+
+    # -- host-side permutation (mirrors _BlockedExecutor._permute)
+    def _permute(self, arr, mode):
+        a = np.asarray(arr)
+        eo = self._plan.edge_order
+        if mode == "scalar":
+            return a
+        if mode == "cell":
+            return np.ascontiguousarray(a.reshape(self._E, self._N)[eo].T)
+        return a[eo]
+
+    def factor(self, R_data):
+        """Resistance-side factorization (device pytree, reusable)."""
+        return self._factor_fn(self._permute(R_data, self._R_mode))
+
+    def solve(self, state, f_data, start_pbc, end_pbc):
+        """Solve against a cached factor for one rhs (f, boundary p)."""
+        eo = self._plan.edge_order
+        return self._solve_fn(
+            state,
+            self._permute(f_data, self._f_mode),
+            np.asarray(start_pbc)[eo],
+            np.asarray(end_pbc)[eo],
+        )
+
+    def solution_vector(self, out) -> np.ndarray:
+        """Global flat block vector from a :meth:`solve` result."""
+        q_T, p_T, lam = out[0], out[1], out[2]
+        return _flatten_blocks_host(
+            q_T, p_T, lam, self._asm.network.edge_color,
+            edge_order=self._plan.edge_order,
+            bif_order=self._plan.bif_order,
+        )
+
+
+def build_blocked_factorization(
+    asm: _assembly.HydraulicNetworkAssembler,
+    opts: "SolverOptions | None" = None,
+) -> BlockedFactorization:
+    """Factor/solve pair for fixed-resistance serving (see
+    :class:`BlockedFactorization`)."""
+    return BlockedFactorization(asm, opts)
 
 
 def _tree_schur_solve(

@@ -324,3 +324,46 @@ def test_solve_sweep_high_degree():
     s2.assemble()
     ref = np.concatenate([np.asarray(fn.values).ravel() for fn in s2.solve()])
     np.testing.assert_allclose(x[3], ref, atol=1e-10)
+
+
+def test_blocked_factorization_reuse():
+    """Factor-reuse serving: one resistance-side factorization, many rhs
+    solves — each matches the full fused solver exactly (the KSP/MUMPS
+    factor-reuse analog, reference solver.py:58-65)."""
+    from networks_fenicsx_tpu.solver import build_blocked_factorization
+
+    rng = np.random.default_rng(4)
+    for gens, N, k, fkind in [(5, 3, 1, "edge"), (4, 2, 2, "cell")]:
+        G = network_generation.make_tree(gens, 1.0, 2.0, arrays=True)
+        mesh = NetworkMesh(G, N=N, color_strategy="fast")
+        E, C = mesh.num_edges, mesh.num_edges * N
+        R = rng.uniform(0.5, 2.0, E)
+        f0 = rng.uniform(-1.0, 1.0, E if fkind == "edge" else C)
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=k)
+        asm.compute_forms(p_bc_ex=lambda x: x[1], f=f0, R=R)
+        fac = build_blocked_factorization(asm)
+        state = fac.factor(R)
+        for _ in range(2):
+            fv = rng.uniform(-1.0, 1.0, E if fkind == "edge" else C)
+            asm2 = HydraulicNetworkAssembler(mesh, flux_degree=k)
+            asm2.compute_forms(p_bc_ex=lambda x: x[1], f=fv, R=R)
+            s = Solver(asm2)
+            s.solve()
+            ref = np.asarray(s.solution_vector())
+            args = asm2.schur_arguments(device=False)
+            out = fac.solve(state, args[1], args[2], args[3])
+            x = fac.solution_vector(out)
+            scale = max(1.0, np.abs(ref).max())
+            np.testing.assert_allclose(x, ref, atol=1e-12 * scale)
+            assert bool(out[4])
+
+
+def test_blocked_factorization_rejects_outside_envelope():
+    from networks_fenicsx_tpu.solver import build_blocked_factorization
+
+    G = network_generation.make_grid(4, 3)  # cyclic: not blocked-eligible
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0])
+    with pytest.raises(ValueError, match="blocked-eligible"):
+        build_blocked_factorization(asm)
