@@ -823,6 +823,34 @@ def _dct_lattice_solve(plan: _DctPlan, ed: _EdgeData, rhs: jnp.ndarray, matvec):
     return _dct_capacitance_solve(plan, wx, wy, w_r, rhs, matvec)
 
 
+def _dct_capacitance_factor(plan: _DctPlan, wx, wy, w_r: jnp.ndarray, dt):
+    """Conductance-side state of the capacitance solve: the scaled
+    separable eigenvalue inverse, the runtime-scaled L⁺ stub columns, and
+    the polished inverse of the bordered system.  Reusable across right-
+    hand sides (the factor half of :func:`_dct_capacitance_solve`)."""
+    sym = wx * jnp.asarray(plan.lamx, dt)[None, :] + wy * jnp.asarray(
+        plan.lamy, dt
+    )[:, None]
+    pos = sym > 0
+    inv = jnp.where(pos, 1.0 / jnp.where(pos, sym, 1.0), 0.0)
+    kappa = 1.0 / (wx * plan.len_x)
+    g = kappa * jnp.asarray(plan.g_geo, dt)  # (r, B)
+    r = int(plan.stub_rows.size)
+    # bordered capacitance system: stub charges q_r = w_r·λ[row_r] plus the
+    # additive constant γ of the pseudo-inverse (range condition 1ᵀ(b−Uq)=0)
+    M = jnp.zeros((r + 1, r + 1), dt)
+    M = M.at[:r, :r].set(g[:, plan.stub_rows].T + jnp.diag(1.0 / w_r))
+    M = M.at[:r, r].set(-1.0)
+    M = M.at[r, :r].set(1.0)
+    # TPU LU supports f32 only: invert the tiny bordered matrix in f32 and
+    # polish to f64 with two Newton steps X ← X(2I − MX) (pure matmuls)
+    Minv = jnp.linalg.inv(M.astype(jnp.float32)).astype(dt)
+    eye2 = 2.0 * jnp.eye(r + 1, dtype=dt)
+    for _ in range(2):
+        Minv = Minv @ (eye2 - M @ Minv)
+    return {"inv": inv, "g": g, "Minv": Minv}
+
+
 def _dct_capacitance_solve(
     plan: _DctPlan, wx, wy, w_r: jnp.ndarray, rhs: jnp.ndarray, matvec
 ):
@@ -832,16 +860,25 @@ def _dct_capacitance_solve(
     κ = 1/(w_x·len_x) (scalar resistance makes the whole separable part
     a uniform multiple of the geometric operator).  Refinement passes
     with the exact matvec absorb any reduced-precision FFT lowering
-    (TPU FFTs run f32 internally), landing at f64 direct-solve accuracy."""
+    (TPU FFTs run f32 internally), landing at f64 direct-solve accuracy.
+    Split into :func:`_dct_capacitance_factor` (conductance side) and
+    :func:`_dct_capacitance_apply` (per-rhs) for factor-reuse serving."""
+    state = _dct_capacitance_factor(plan, wx, wy, w_r, rhs.dtype)
+    return _dct_capacitance_apply(plan, state, rhs, matvec)
+
+
+def _dct_capacitance_apply(
+    plan: _DctPlan, state: dict, rhs: jnp.ndarray, matvec
+):
+    """Per-rhs half of the capacitance solve (see _dct_capacitance_solve)."""
     from jax.scipy import fft as _jfft
 
     dt = rhs.dtype
     s, ny = plan.s, plan.ny
-    sym = wx * jnp.asarray(plan.lamx, dt)[None, :] + wy * jnp.asarray(
-        plan.lamy, dt
-    )[:, None]
-    pos = sym > 0
-    inv = jnp.where(pos, 1.0 / jnp.where(pos, sym, 1.0), 0.0)
+    inv = state["inv"]
+    g = state["g"]
+    Minv = state["Minv"]
+    r = int(plan.stub_rows.size)
     # TPU FFTs are f32-only (f64 lowers to an unsupported c128 FFT), so
     # there the transform pair runs in f32 and the OUTER refinement below
     # restores f64: each direct() pass contracts the error by ~κ·ε_f32,
@@ -909,22 +946,7 @@ def _dct_capacitance_solve(
 
         Lplus_fast = Lplus_exact
 
-    kappa = 1.0 / (wx * plan.len_x)
-    g = kappa * jnp.asarray(plan.g_geo, dt)  # (r, B)
-    r = int(plan.stub_rows.size)
     rows = jnp.asarray(plan.stub_rows)
-    # bordered capacitance system: stub charges q_r = w_r·λ[row_r] plus the
-    # additive constant γ of the pseudo-inverse (range condition 1ᵀ(b−Uq)=0)
-    M = jnp.zeros((r + 1, r + 1), dt)
-    M = M.at[:r, :r].set(g[:, plan.stub_rows].T + jnp.diag(1.0 / w_r))
-    M = M.at[:r, r].set(-1.0)
-    M = M.at[r, :r].set(1.0)
-    # TPU LU supports f32 only: invert the tiny bordered matrix in f32 and
-    # polish to f64 with two Newton steps X ← X(2I − MX) (pure matmuls)
-    Minv = jnp.linalg.inv(M.astype(jnp.float32)).astype(dt)
-    eye2 = 2.0 * jnp.eye(r + 1, dtype=dt)
-    for _ in range(2):
-        Minv = Minv @ (eye2 - M @ Minv)
 
     def _direct(Lplus):
         def direct(b):
@@ -2649,6 +2671,189 @@ def build_blocked_factorization(
     """Factor/solve pair for fixed-resistance serving (see
     :class:`BlockedFactorization`)."""
     return BlockedFactorization(asm, opts)
+
+
+class GridFactorization:
+    """Factor-reuse serving pair for the lattice (DCT) executor.
+
+    The lattice analog of :class:`BlockedFactorization`: :meth:`factor`
+    runs the conductance-side work once (condensed weights, the Schur
+    diagonal grid, the separable eigenvalue inverse and the polished
+    bordered-capacitance inverse — :func:`_dct_capacitance_factor`), and
+    :meth:`solve` runs only the rhs work (source condensation, 2-D slice
+    rhs assembly, the DCT direct+refine passes, expansion and
+    back-substitution).  Requires the ``make_grid`` lattice envelope
+    (scalar resistance; see :func:`_plan_grid_layout`)."""
+
+    def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
+                 opts: "SolverOptions | None" = None):
+        R_mode, f_mode, _ = asm.coefficient_modes()
+        if R_mode != "scalar":
+            raise ValueError(
+                "GridFactorization requires scalar resistance (the "
+                "separable-DCT envelope)"
+            )
+        if f_mode not in ("scalar", "edge", "cell"):
+            raise ValueError(
+                "GridFactorization requires scalar/per-edge/per-cell f"
+            )
+        shift_plan = _plan_shift_matvec(asm)
+        dct = _plan_dct_lattice(asm, shift_plan) if shift_plan else None
+        plan = _plan_grid_layout(asm, dct) if dct is not None else None
+        if plan is None:
+            raise ValueError(
+                "GridFactorization requires a uniform rectangular-lattice "
+                "multiplier graph (make_grid family)"
+            )
+        opts = opts or SolverOptions()
+        self._asm = asm
+        self._plan = plan
+        self._R_mode, self._f_mode = R_mode, f_mode
+        mesh = asm.network
+        self._N, self._E, self._k = mesh.N, mesh.num_edges, asm.flux_degree
+        comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
+        N, E, k = self._N, self._E, self._k
+        nx, ny, Ex, Ey = plan.nx, plan.ny, plan.Ex, plan.Ey
+        h_e = jnp.asarray(plan.h_e, dtype=comp_dt)
+        s_b = jnp.asarray(plan.s_is_bif)
+        t_b = jnp.asarray(plan.t_is_bif)
+        n_stub = int(plan.stub_rows_e.size)
+        stub_rows = jnp.asarray(plan.stub_rows_e)
+        stub_s = jnp.asarray(plan.stub_s_bif)
+        r_dct = int(plan.dct.stub_rows.size)
+
+        def x2d(v):
+            return v[:Ex].reshape(ny, nx - 1)
+
+        def y2d(v):
+            return v[Ex : Ex + Ey].reshape(ny - 1, nx)
+
+        def factor_fn(R_rows):
+            R_rows = jnp.asarray(R_rows, dtype=comp_dt)
+            W, a1, a2 = _blocked_condense_R(N, E, h_e, R_rows, R_mode, k)
+            w = 1.0 / W
+            wx2, wy2 = x2d(w), y2d(w)
+            diag2 = jnp.zeros((ny, nx), comp_dt)
+            diag2 = diag2.at[:, : nx - 1].add(wx2)
+            diag2 = diag2.at[:, 1:].add(wx2)
+            diag2 = diag2.at[: ny - 1, :].add(wy2)
+            diag2 = diag2.at[1:, :].add(wy2)
+            w_r = jnp.zeros(r_dct, comp_dt)
+            if n_stub:
+                diag2 = (
+                    diag2.reshape(-1)
+                    .at[stub_rows]
+                    .add(w[Ex + Ey :])
+                    .reshape(ny, nx)
+                )
+                w_r = w_r.at[jnp.asarray(plan.stub_group)].add(w[Ex + Ey :])
+            cap = _dct_capacitance_factor(plan.dct, w[0], w[Ex], w_r, comp_dt)
+            return {
+                "W": W, "w": w, "a1": a1, "a2": a2, "diag2": diag2,
+                "wx2": wx2, "wy2": wy2, "cap": cap,
+            }
+
+        def solve_fn(state, f_rows, spbc, epbc):
+            f_rows = jnp.asarray(f_rows, dtype=comp_dt)
+            spbc = jnp.asarray(spbc, dtype=comp_dt)
+            epbc = jnp.asarray(epbc, dtype=comp_dt)
+            g, Ftot, back = _blocked_condense_f(
+                N, E, h_e, f_rows, f_mode, state["a1"], state["a2"], k
+            )
+            w = state["w"]
+            const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
+            cF = const + Ftot
+            rhs2 = jnp.zeros((ny, nx), comp_dt)
+            rhs2 = rhs2.at[:, 1:].add(x2d(cF))
+            rhs2 = rhs2.at[:, : nx - 1].add(-x2d(const))
+            rhs2 = rhs2.at[1:, :].add(y2d(cF))
+            rhs2 = rhs2.at[: ny - 1, :].add(-y2d(const))
+            if n_stub:
+                rhs_st = jnp.where(stub_s, -const[Ex + Ey :], cF[Ex + Ey :])
+                rhs2 = (
+                    rhs2.reshape(-1).at[stub_rows].add(rhs_st).reshape(ny, nx)
+                )
+            rhs = rhs2.reshape(-1)
+            diag2, wx2, wy2 = state["diag2"], state["wx2"], state["wy2"]
+
+            def matvec(lam):
+                l2 = lam.reshape(ny, nx)
+                out = diag2 * l2
+                out = out.at[:, : nx - 1].add(-wx2 * l2[:, 1:])
+                out = out.at[:, 1:].add(-wx2 * l2[:, : nx - 1])
+                out = out.at[: ny - 1, :].add(-wy2 * l2[1:, :])
+                out = out.at[1:, :].add(-wy2 * l2[: ny - 1, :])
+                return out.reshape(-1)
+
+            lam = _dct_capacitance_apply(plan.dct, state["cap"], rhs, matvec)
+            l2 = lam.reshape(ny, nx)
+            parts_s = [l2[:, : nx - 1].reshape(-1), l2[: ny - 1, :].reshape(-1)]
+            parts_t = [l2[:, 1:].reshape(-1), l2[1:, :].reshape(-1)]
+            if n_stub:
+                lam_st = lam[stub_rows]
+                parts_s.append(jnp.where(stub_s, lam_st, 0.0))
+                parts_t.append(jnp.where(stub_s, 0.0, lam_st))
+            lam_s = jnp.concatenate(parts_s)
+            lam_t = jnp.concatenate(parts_t)
+            r0 = jnp.where(s_b, lam_s, -spbc)
+            rN = jnp.where(t_b, -lam_t, epbc)
+            q0 = (r0 + rN - g) * w
+            q_T, p_T = back(q0, r0)
+            residual = jnp.linalg.norm(matvec(lam) - rhs)
+            rhs_norm = jnp.linalg.norm(rhs)
+            finite = (
+                jnp.all(jnp.isfinite(q0))
+                & jnp.all(jnp.isfinite(r0))
+                & jnp.all(jnp.isfinite(lam))
+                & jnp.all(jnp.isfinite(state["W"]))
+                & jnp.all(jnp.isfinite(g))
+                & jnp.all(jnp.isfinite(Ftot))
+            )
+            return q_T, p_T, lam, residual, rhs_norm, finite
+
+        self._factor_fn = jax.jit(factor_fn)
+        self._solve_fn = jax.jit(solve_fn)
+
+    def _permute(self, arr, mode):
+        a = np.asarray(arr)
+        eo = self._plan.edge_order
+        if mode == "scalar":
+            return a
+        if mode == "cell":
+            return np.ascontiguousarray(a.reshape(self._E, self._N)[eo].T)
+        return a[eo]
+
+    def factor(self, R_data):
+        """Conductance-side factorization (device pytree, reusable)."""
+        return self._factor_fn(self._permute(R_data, self._R_mode))
+
+    def solve(self, state, f_data, start_pbc, end_pbc):
+        """Solve against a cached factor for one rhs (f, boundary p)."""
+        eo = self._plan.edge_order
+        return self._solve_fn(
+            state,
+            self._permute(f_data, self._f_mode),
+            np.asarray(start_pbc)[eo],
+            np.asarray(end_pbc)[eo],
+        )
+
+    def solution_vector(self, out) -> np.ndarray:
+        """Global flat block vector from a :meth:`solve` result."""
+        q_T, p_T, lam = out[0], out[1], out[2]
+        return _flatten_blocks_host(
+            q_T, p_T, lam, self._asm.network.edge_color,
+            edge_order=self._plan.edge_order,
+            bif_order=self._plan.bif_order,
+        )
+
+
+def build_grid_factorization(
+    asm: _assembly.HydraulicNetworkAssembler,
+    opts: "SolverOptions | None" = None,
+) -> GridFactorization:
+    """Factor/solve pair for fixed-conductance lattice serving (see
+    :class:`GridFactorization`)."""
+    return GridFactorization(asm, opts)
 
 
 def _tree_schur_solve(

@@ -171,3 +171,44 @@ def test_lattice_solve_applicable_probe():
     asm3 = HydraulicNetworkAssembler(mt)
     asm3.compute_forms(p_bc_ex=lambda x: x[0])
     assert not lattice_solve_applicable(asm3)
+
+
+def test_grid_factorization_reuse():
+    """Lattice factor-reuse serving: one conductance-side factorization,
+    many rhs solves — each matches host LU (the lattice analog of
+    BlockedFactorization; reference KSP factor reuse, solver.py:58-65)."""
+    from networks_fenicsx_tpu.solver import build_grid_factorization
+
+    rng = np.random.default_rng(8)
+    for nx_, ny_, N, k, fkind in [(6, 5, 2, 1, "edge"), (5, 7, 3, 2, "cell")]:
+        G = network_generation.make_grid(nx_, ny_, arrays=True)
+        mesh = NetworkMesh(G, N=N)
+        E, C = mesh.num_edges, mesh.num_edges * N
+        f0 = rng.uniform(-1.0, 1.0, E if fkind == "edge" else C)
+        asm = HydraulicNetworkAssembler(mesh, flux_degree=k)
+        asm.compute_forms(p_bc_ex=lambda x: x[0], f=f0, R=1.8)
+        fac = build_grid_factorization(asm)
+        state = fac.factor(asm.schur_arguments(device=False)[0])
+        for _ in range(2):
+            fv = rng.uniform(-1.0, 1.0, E if fkind == "edge" else C)
+            asm2 = HydraulicNetworkAssembler(mesh, flux_degree=k)
+            asm2.compute_forms(p_bc_ex=lambda x: x[0], f=fv, R=1.8)
+            s = Solver(asm2, options=SolverOptions(method="host_lu"))
+            s.solve()
+            ref = np.asarray(s.solution_vector())
+            args = asm2.schur_arguments(device=False)
+            out = fac.solve(state, args[1], args[2], args[3])
+            x = fac.solution_vector(out)
+            scale = max(1.0, np.abs(ref).max())
+            np.testing.assert_allclose(x, ref, atol=1e-10 * scale)
+            assert bool(out[5])
+
+    # envelope: per-edge R rejected
+    import pytest as _pytest
+
+    asm3 = HydraulicNetworkAssembler(mesh)
+    asm3.compute_forms(
+        p_bc_ex=lambda x: x[0], R=rng.uniform(0.5, 2.0, mesh.num_edges)
+    )
+    with _pytest.raises(ValueError, match="scalar resistance"):
+        build_grid_factorization(asm3)
