@@ -2629,6 +2629,9 @@ class BlockedFactorization:
 
         self._factor_fn = jax.jit(factor_fn)
         self._solve_fn = jax.jit(solve_fn)
+        self._solve_batch_fn = jax.jit(
+            jax.vmap(solve_fn, in_axes=(None, 0, 0, 0))
+        )
 
     # -- host-side permutation (mirrors _BlockedExecutor._permute)
     def _permute(self, arr, mode):
@@ -2652,6 +2655,21 @@ class BlockedFactorization:
             self._permute(f_data, self._f_mode),
             np.asarray(start_pbc)[eo],
             np.asarray(end_pbc)[eo],
+        )
+
+    def solve_batch(self, state, f_batch, start_pbc_batch, end_pbc_batch):
+        """Vmapped rhs sweep against one cached factor: args carry a
+        leading scenario axis over the same per-rhs layouts as
+        :meth:`solve`; returns batched blocks."""
+        eo = self._plan.edge_order
+        f_rows = np.stack(
+            [self._permute(fb, self._f_mode) for fb in np.asarray(f_batch)]
+        )
+        return self._solve_batch_fn(
+            state,
+            f_rows,
+            np.asarray(start_pbc_batch)[:, eo],
+            np.asarray(end_pbc_batch)[:, eo],
         )
 
     def solution_vector(self, out) -> np.ndarray:
@@ -2813,6 +2831,9 @@ class GridFactorization:
 
         self._factor_fn = jax.jit(factor_fn)
         self._solve_fn = jax.jit(solve_fn)
+        self._solve_batch_fn = jax.jit(
+            jax.vmap(solve_fn, in_axes=(None, 0, 0, 0))
+        )
 
     def _permute(self, arr, mode):
         a = np.asarray(arr)
@@ -2835,6 +2856,21 @@ class GridFactorization:
             self._permute(f_data, self._f_mode),
             np.asarray(start_pbc)[eo],
             np.asarray(end_pbc)[eo],
+        )
+
+    def solve_batch(self, state, f_batch, start_pbc_batch, end_pbc_batch):
+        """Vmapped rhs sweep against one cached factor: args carry a
+        leading scenario axis over the same per-rhs layouts as
+        :meth:`solve`; returns batched blocks."""
+        eo = self._plan.edge_order
+        f_rows = np.stack(
+            [self._permute(fb, self._f_mode) for fb in np.asarray(f_batch)]
+        )
+        return self._solve_batch_fn(
+            state,
+            f_rows,
+            np.asarray(start_pbc_batch)[:, eo],
+            np.asarray(end_pbc_batch)[:, eo],
         )
 
     def solution_vector(self, out) -> np.ndarray:

@@ -367,3 +367,30 @@ def test_blocked_factorization_rejects_outside_envelope():
     asm.compute_forms(p_bc_ex=lambda x: x[0])
     with pytest.raises(ValueError, match="blocked-eligible"):
         build_blocked_factorization(asm)
+
+
+def test_blocked_factorization_solve_batch():
+    """Vmapped rhs sweeps against one cached factor match per-rhs solves."""
+    from networks_fenicsx_tpu.solver import build_blocked_factorization
+
+    rng = np.random.default_rng(12)
+    G = network_generation.make_tree(5, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 2.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
+    fac = build_blocked_factorization(asm)
+    state = fac.factor(R)
+    S = 3
+    fb = rng.uniform(-1.0, 1.0, (S, E))
+    _, _, spbc, epbc = asm.schur_arguments(device=False)
+    sp_b = np.broadcast_to(np.asarray(spbc), (S, E))
+    ep_b = np.broadcast_to(np.asarray(epbc), (S, E))
+    outs = fac.solve_batch(state, fb, sp_b, ep_b)
+    for i in range(S):
+        single = fac.solve(state, fb[i], spbc, epbc)
+        for a, b in zip(outs, single):
+            np.testing.assert_allclose(
+                np.asarray(a[i]), np.asarray(b), atol=1e-14
+            )
