@@ -263,6 +263,41 @@ def main() -> None:
             log(f"mixed serving stage skipped: {e!r}")
             t_pipe_mixed = None
 
+    # --- factor-reuse serving: the KSP/MUMPS factor-reuse analog.  One
+    # resistance-side factorization, rhs-only solves pipelined — measures
+    # the device-program delta of skipping condensation + d-elimination.
+    # Failure-isolated; NXFX_BENCH_FACTOR=0 skips.
+    t_pipe_factor = None
+    if os.environ.get("NXFX_BENCH_FACTOR", "1") != "0" and prepare is not None:
+        try:
+            from networks_fenicsx_tpu.solver import build_blocked_factorization
+
+            fac = build_blocked_factorization(asm, opts)
+            R_arg, f_arg, sp_arg, ep_arg = asm.schur_arguments(device=False)
+            state = jax.block_until_ready(fac.factor(R_arg))
+            eo = fac._plan.edge_order
+            f_rows = jax.device_put(jnp.asarray(fac._permute(f_arg, fac._f_mode)))
+            sp_rows = jax.device_put(jnp.asarray(np.asarray(sp_arg)[eo]))
+            ep_rows = jax.device_put(jnp.asarray(np.asarray(ep_arg)[eo]))
+            outf = fac._solve_fn(state, f_rows, sp_rows, ep_rows)
+            np.asarray(outf[0][:1, :1])  # warm + sync
+            bestf = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outsf = [
+                    fac._solve_fn(state, f_rows, sp_rows, ep_rows)
+                    for _ in range(K_deep)
+                ]
+                np.asarray(outsf[-1][0][:1, :1])
+                bestf = min(bestf, (time.perf_counter() - t0) / K_deep)
+            t_pipe_factor = bestf
+            log(f"pipelined x{K_deep} factor-reuse (rhs-only solve): "
+                f"{t_pipe_factor * 1e3:.2f} ms/solve "
+                f"-> {n_dofs / t_pipe_factor:.3e} dofs/s")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"factor-reuse stage skipped: {e!r}")
+            t_pipe_factor = None
+
     # --- XL scale point: one larger arterial tree (default 18 gen,
     # 262,143 vessels, 21.4M dofs) showing throughput past the dispatch
     # floor.  No host-LU baseline here — SuperLU MemoryErrors at this
@@ -476,6 +511,9 @@ def main() -> None:
             ),
             "pipelined_mixed_out_f32_ms_per_solve": (
                 round(t_pipe_mixed * 1e3, 3) if t_pipe_mixed else None
+            ),
+            "pipelined_factor_reuse_ms_per_solve": (
+                round(t_pipe_factor * 1e3, 3) if t_pipe_factor else None
             ),
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",
