@@ -55,3 +55,24 @@ print(
     f"transient: wrote {writer.num_frames} frames to {outdir.name}/ "
     f"(pressure.pvd spans t={frames[0][0]:.2f}..{frames[-1][0]:.2f})"
 )
+
+# Factor-reuse variant of the same loop: R is fixed across frames, so the
+# resistance-side elimination factors once and each step runs only the
+# rhs half (the KSP/MUMPS factor-reuse pattern, reference solver.py:58-65).
+from networks_fenicsx_tpu.solver import build_blocked_factorization  # noqa: E402
+
+fac = build_blocked_factorization(assembler)
+state = fac.factor(R)
+for step in range(n_steps):
+    t = step / (n_steps - 1)
+    amplitude = 1.0 + 0.5 * np.sin(2.0 * np.pi * t)
+    assembler.compute_forms(p_bc_ex=lambda x, a=amplitude: a * x[1], R=R)
+    _, f_arg, sp_arg, ep_arg = assembler.schur_arguments(device=False)
+    out = fac.solve(state, f_arg, sp_arg, ep_arg)
+    x = fac.solution_vector(out)
+    # cross-check one frame against the fused solver
+    if step == n_steps // 2:
+        solver.solve()
+        ref = np.asarray(solver.solution_vector())
+        assert np.abs(x - ref).max() <= 1e-11 * max(1.0, np.abs(ref).max())
+print(f"factor-reuse: {n_steps} rhs-only solves against one factorization")
