@@ -253,6 +253,32 @@ err = max(float(np.max(np.abs(a.values - b.values))) for a, b in zip(sog, sor2))
 check("sharded-grid-1chip", ssg.info.method == "schur_sharded_grid" and err < 1e-10,
       f"method={ssg.info.method} err={err:.1e}")
 
+# 19. factor-reuse pairs vs the fused solvers (forest + lattice)
+from networks_fenicsx_tpu.solver import (
+    build_blocked_factorization, build_grid_factorization,
+)
+aff = HydraulicNetworkAssembler(m5)
+Rff = np.linspace(0.5, 2.0, m5.num_edges)
+aff.compute_forms(p_bc_ex=lambda x: x[1], f=0.7, R=Rff)
+facf = build_blocked_factorization(aff)
+stf = facf.factor(Rff)
+argsf = aff.schur_arguments(device=False)
+xf = facf.solution_vector(facf.solve(stf, argsf[1], argsf[2], argsf[3]))
+sff = Solver(aff); sff.assemble(); sff.solve()
+reff = np.asarray(sff.solution_vector())
+errf = float(np.max(np.abs(xf - reff)) / max(1.0, np.abs(reff).max()))
+agg = HydraulicNetworkAssembler(msg)
+agg.compute_forms(p_bc_ex=lambda x: x[0], f=0.4, R=1.5)
+facg = build_grid_factorization(agg)
+stg = facg.factor(agg.schur_arguments(device=False)[0])
+argsg = agg.schur_arguments(device=False)
+xg = facg.solution_vector(facg.solve(stg, argsg[1], argsg[2], argsg[3]))
+sgg = Solver(agg, options=SolverOptions(method="host_lu")); sgg.assemble(); sgg.solve()
+refg = np.asarray(sgg.solution_vector())
+errg = float(np.max(np.abs(xg - refg)) / max(1.0, np.abs(refg).max()))
+check("factor-reuse-pairs", errf < 1e-11 and errg < 1e-10,
+      f"forest={errf:.1e} lattice={errg:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 sys.exit(1 if n_fail else 0)
