@@ -125,6 +125,7 @@ class Solver:
         self._info: SolveInfo | None = None
         self._executor = None  # cached jitted schur pipeline
         self._executor_key = None
+        self._factorization = None  # (fac, state, R_digest) from factorize()
 
     # ------------------------------------------------------------ properties
     @property
@@ -151,6 +152,40 @@ class Solver:
         the assembler's current coefficient kinds."""
         self._executor = executor
         self._executor_key = self._assembler.coefficient_modes()
+
+    def factorize(self) -> None:
+        """Cache a coefficient-side factorization for rhs-only re-solves.
+
+        The reference's KSP retains the MUMPS factorization across solves
+        (reference ``solver.py:58-65``); after this call, subsequent
+        :meth:`solve` calls whose resistance data is unchanged (only
+        ``f``/``p_bc`` differ between ``compute_forms`` calls) run the
+        rhs-only half of the elimination against the cached factor.  A
+        changed R (or a topology outside the blocked/lattice envelopes)
+        silently falls back to the fused path.
+        """
+        import hashlib
+
+        if self._method() != "schur":
+            raise ValueError("factorize() applies to the schur method only")
+        asm = self._assembler
+        R_data = asm.schur_arguments(device=False)[0]
+        digest = hashlib.sha1(np.ascontiguousarray(R_data).tobytes()).digest()
+        fac = None
+        try:
+            fac = BlockedFactorization(asm, self._options)
+        except ValueError:
+            try:
+                fac = GridFactorization(asm, self._options)
+            except ValueError:
+                pass
+        if fac is None:
+            raise ValueError(
+                "factorize() requires a blocked-eligible forest or a "
+                "uniform-lattice topology (the fused path keeps serving "
+                "everything else)"
+            )
+        self._factorization = (fac, fac.factor(R_data), digest)
 
     def _method(self) -> str:
         m = self._options.method
@@ -189,6 +224,36 @@ class Solver:
         where ``global_flux`` holds the multiplier values.
         """
         method = self._method()
+        if method == "schur" and self._factorization is not None:
+            # factor-reuse fast path (see factorize()): engage only while
+            # the resistance data is byte-identical to the captured factor
+            import hashlib
+
+            fac, state, digest = self._factorization
+            args = self._assembler.schur_arguments(device=False)
+            now = hashlib.sha1(
+                np.ascontiguousarray(args[0]).tobytes()
+            ).digest()
+            if now == digest:
+                out = fac.solve(state, args[1], args[2], args[3])
+                x = fac.solution_vector(out)
+                finite = bool(np.asarray(out[-1]))
+                residual = float(out[-3]) if len(out) == 6 else 0.0
+                info = SolveInfo("schur_factorized", 0, residual, finite)
+                self._x, self._info = jnp.asarray(x), info
+                if self._options.monitor:
+                    print(
+                        f"[nxfx] method={info.method} iters=0 "
+                        f"residual={residual:.3e} converged={finite}"
+                    )
+                if self._options.error_if_not_converged and not finite:
+                    raise RuntimeError(
+                        "Solver did not converge: factorized solve produced "
+                        "non-finite values"
+                    )
+                return self._scatter_functions(functions, np.asarray(x))
+            # stale factor (R changed): drop it and fall through
+            self._factorization = None
         if method == "schur":
             # Executor argument shapes depend on the coefficient kinds; a
             # compute_forms() call with different kinds invalidates the cache.
@@ -227,6 +292,11 @@ class Solver:
             )
 
         # Scatter into block functions (reference fem.petsc.assign, solver.py:134).
+        return self._scatter_functions(functions, np.asarray(x))
+
+    def _scatter_functions(
+        self, functions: list[NetworkFunction] | None, x_np: np.ndarray
+    ) -> list[NetworkFunction]:
         asm = self._assembler
         if functions is None:
             functions = [
@@ -236,7 +306,6 @@ class Solver:
             functions.append(NetworkFunction(asm.pressure_space, name="pressure"))
             functions.append(NetworkFunction(asm.lm_space, name="global_flux"))
         offs = asm.block_offsets
-        x_np = np.asarray(x)
         for i, fn in enumerate(functions):
             fn.values[...] = x_np[offs[i] : offs[i + 1]]
         return functions

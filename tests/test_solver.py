@@ -503,3 +503,50 @@ def test_blocks_executor_matches_flat(uniform: bool):
         atol=1e-14,
     )
     assert bool(finite_f) and bool(finite_b)
+
+
+def test_solver_factorize_reuse_and_fallback():
+    """Solver.factorize(): rhs-only re-solves while R is unchanged
+    (method == 'schur_factorized', matches host LU), silent fused-path
+    fallback the moment R changes, ValueError outside the fast-path
+    envelopes.  Reference analog: KSP retains the MUMPS factorization
+    across solves (solver.py:58-65)."""
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(21)
+    G = network_generation.make_tree(5, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 2.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
+    solver = Solver(asm)
+    solver.factorize()
+    for _ in range(2):
+        asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
+        solver.solve()
+        assert solver.info.method == "schur_factorized"
+        ref_solver = Solver(asm, options=SolverOptions(method="host_lu"))
+        ref_solver.solve()
+        ref = np.asarray(ref_solver.solution_vector())
+        got = np.asarray(solver.solution_vector())
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(got, ref, atol=1e-11 * scale)
+    # R change: drops the stale factor, fused path takes over, still right
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R * 1.5)
+    solver.solve()
+    assert solver.info.method != "schur_factorized"
+    ref_solver = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref_solver.solve()
+    ref = np.asarray(ref_solver.solution_vector())
+    got = np.asarray(solver.solution_vector())
+    np.testing.assert_allclose(got, ref, atol=1e-11 * max(1.0, np.abs(ref).max()))
+    # outside the envelopes: clear error
+    Gc = network_generation.make_grid(4, 3)
+    mc = NetworkMesh(Gc, N=1)
+    ac = HydraulicNetworkAssembler(mc)
+    ac.compute_forms(
+        p_bc_ex=lambda x: x[0], R=rng.uniform(0.5, 2.0, mc.num_edges)
+    )
+    with pytest.raises(ValueError, match="blocked-eligible"):
+        Solver(ac).factorize()
