@@ -185,7 +185,9 @@ class Solver:
                 "uniform-lattice topology (the fused path keeps serving "
                 "everything else)"
             )
-        self._factorization = (fac, fac.factor(R_data), digest)
+        self._factorization = (
+            fac, fac.factor(R_data), digest, asm.coefficient_modes()
+        )
 
     def _method(self) -> str:
         m = self._options.method
@@ -229,12 +231,15 @@ class Solver:
             # the resistance data is byte-identical to the captured factor
             import hashlib
 
-            fac, state, digest = self._factorization
+            fac, state, digest, modes = self._factorization
             args = self._assembler.schur_arguments(device=False)
             now = hashlib.sha1(
                 np.ascontiguousarray(args[0]).tobytes()
             ).digest()
-            if now == digest:
+            # the captured factor is valid only while BOTH the resistance
+            # bytes and the coefficient kinds match (a kind change would
+            # feed the wrong layout into the cached solve program)
+            if now == digest and modes == self._assembler.coefficient_modes():
                 out = fac.solve(state, args[1], args[2], args[3])
                 x = fac.solution_vector(out)
                 finite = bool(np.asarray(out[-1]))

@@ -550,3 +550,28 @@ def test_solver_factorize_reuse_and_fallback():
     )
     with pytest.raises(ValueError, match="blocked-eligible"):
         Solver(ac).factorize()
+
+
+def test_solver_factorize_kind_change_falls_back():
+    """A compute_forms() that changes the coefficient KIND after
+    factorize() invalidates the factor (a kind change would feed the
+    wrong layout into the cached solve program)."""
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(6)
+    G = network_generation.make_tree(4, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 2.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=0.4, R=R)  # scalar f
+    solver = Solver(asm)
+    solver.factorize()
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
+    solver.solve()
+    assert solver.info.method != "schur_factorized"
+    ref_solver = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref_solver.solve()
+    ref = np.asarray(ref_solver.solution_vector())
+    got = np.asarray(solver.solution_vector())
+    np.testing.assert_allclose(got, ref, atol=1e-11 * max(1.0, np.abs(ref).max()))
