@@ -167,8 +167,15 @@ def solve_sweep(
         # Uniform lattices take the exact DCT solve: it vmaps without a
         # per-scenario B×B Cholesky (and the grid-layout executor keeps
         # the per-scenario work gather-free).  Everything else falls back
-        # to the batched dense-Cholesky Schur solve.
-        if lattice_solve_applicable(asm):
+        # to the batched dense-Cholesky Schur solve.  The probe is host
+        # planning (O(E)) — cache it per coefficient-kind signature so
+        # repeated sweeps skip it.
+        probe_key = asm.coefficient_modes()
+        cached = getattr(asm, "_lattice_probe", None)
+        if cached is None or cached[0] != probe_key:
+            cached = (probe_key, lattice_solve_applicable(asm))
+            asm._lattice_probe = cached
+        if cached[1]:
             opts = dataclasses.replace(opts, schur_method="dct")
         else:
             opts = dataclasses.replace(opts, schur_method="dense")
