@@ -275,18 +275,14 @@ def main() -> None:
             fac = build_blocked_factorization(asm, opts)
             R_arg, f_arg, sp_arg, ep_arg = asm.schur_arguments(device=False)
             state = jax.block_until_ready(fac.factor(R_arg))
-            eo = fac._plan.edge_order
-            f_rows = jax.device_put(jnp.asarray(fac._permute(f_arg, fac._f_mode)))
-            sp_rows = jax.device_put(jnp.asarray(np.asarray(sp_arg)[eo]))
-            ep_rows = jax.device_put(jnp.asarray(np.asarray(ep_arg)[eo]))
-            outf = fac._solve_fn(state, f_rows, sp_rows, ep_rows)
+            rhs = jax.device_put(fac.prepare_rhs(f_arg, sp_arg, ep_arg))
+            outf = fac.solve_prepared(state, rhs)
             np.asarray(outf[0][:1, :1])  # warm + sync
             bestf = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 outsf = [
-                    fac._solve_fn(state, f_rows, sp_rows, ep_rows)
-                    for _ in range(K_deep)
+                    fac.solve_prepared(state, rhs) for _ in range(K_deep)
                 ]
                 np.asarray(outsf[-1][0][:1, :1])
                 bestf = min(bestf, (time.perf_counter() - t0) / K_deep)

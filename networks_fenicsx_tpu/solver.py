@@ -2746,6 +2746,21 @@ class BlockedFactorization:
             np.asarray(end_pbc_batch)[:, eo],
         )
 
+    def prepare_rhs(self, f_data, start_pbc, end_pbc):
+        """Device-resident internally-ordered rhs args for
+        :meth:`solve_prepared` — permute once, dispatch many (a serving
+        loop that re-permuted per solve would pay a host round trip)."""
+        eo = self._plan.edge_order
+        return (
+            jnp.asarray(self._permute(f_data, self._f_mode)),
+            jnp.asarray(np.asarray(start_pbc)[eo]),
+            jnp.asarray(np.asarray(end_pbc)[eo]),
+        )
+
+    def solve_prepared(self, state, rhs_args):
+        """Solve against a cached factor with :meth:`prepare_rhs` args."""
+        return self._solve_fn(state, *rhs_args)
+
     def solution_vector(self, out) -> np.ndarray:
         """Global flat block vector from a :meth:`solve` result."""
         q_T, p_T, lam = out[0], out[1], out[2]
@@ -2946,6 +2961,21 @@ class GridFactorization:
             np.asarray(start_pbc_batch)[:, eo],
             np.asarray(end_pbc_batch)[:, eo],
         )
+
+    def prepare_rhs(self, f_data, start_pbc, end_pbc):
+        """Device-resident internally-ordered rhs args for
+        :meth:`solve_prepared` — permute once, dispatch many (a serving
+        loop that re-permuted per solve would pay a host round trip)."""
+        eo = self._plan.edge_order
+        return (
+            jnp.asarray(self._permute(f_data, self._f_mode)),
+            jnp.asarray(np.asarray(start_pbc)[eo]),
+            jnp.asarray(np.asarray(end_pbc)[eo]),
+        )
+
+    def solve_prepared(self, state, rhs_args):
+        """Solve against a cached factor with :meth:`prepare_rhs` args."""
+        return self._solve_fn(state, *rhs_args)
 
     def solution_vector(self, out) -> np.ndarray:
         """Global flat block vector from a :meth:`solve` result."""
