@@ -31,6 +31,93 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _emit_failure(cause: str) -> None:
+    """Emit ONE parseable JSON line naming the failure cause.
+
+    The round-3 record was lost because a wedged TPU tunnel produced an
+    unparseable traceback-only exit (``BENCH_r03.json -> parsed: null``);
+    the bench must always leave a machine-readable artifact.
+    """
+    print(
+        json.dumps(
+            {
+                "metric": "arterial_tree_assemble_solve_dofs_per_sec",
+                "value": None,
+                "unit": "dofs/s",
+                "vs_baseline": None,
+                "error": cause,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _read_validate_artifact() -> dict | None:
+    """Embed the latest on-chip validation record (``TPU_VALIDATE.json``,
+    written by ``scripts/tpu_validate.py``) so the bench JSON carries the
+    check count + git rev it was captured at."""
+    p = Path(__file__).resolve().parent / "TPU_VALIDATE.json"
+    try:
+        return json.loads(p.read_text())
+    except Exception:
+        return None
+
+
+def _await_backend(max_wait_s: float) -> tuple[bool, str]:
+    """Poll JAX backend availability in short-lived subprocesses.
+
+    On this rig the tunneled TPU backend can (a) raise UNAVAILABLE during
+    registration or (b) wedge outright — a process then *hangs* at its
+    first device op.  Probing in a subprocess with a hard timeout covers
+    both; probes run strictly before this process touches the device (two
+    concurrent TPU processes can dead-claim the tunnel).  Returns
+    ``(ok, backend_or_cause)``.
+    """
+    import subprocess
+
+    probe = (
+        "import numpy as np, jax, jax.numpy as jnp;"
+        "np.asarray(jnp.zeros((8, 8)) @ jnp.ones((8, 8)));"
+        "print('PROBE_BACKEND=' + jax.default_backend())"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    last = "never attempted"
+    while True:
+        attempt += 1
+        budget = deadline - time.monotonic()
+        if budget <= 0:
+            return False, last
+        # Generous per-probe bound: a healthy tunnel's first d2h pull has
+        # been observed at 80-300 s.  Bounded regardless so a wedge cannot
+        # hang the bench itself.
+        per_probe = min(max(60.0, budget), 290.0)
+        t0 = time.monotonic()
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                text=True,
+                timeout=per_probe,
+            )
+            out = (p.stdout or "") + (p.stderr or "")
+            if p.returncode == 0 and "PROBE_BACKEND=" in out:
+                backend = out.rsplit("PROBE_BACKEND=", 1)[1].strip().split()[0]
+                log(
+                    f"backend probe OK (attempt {attempt}, "
+                    f"{time.monotonic() - t0:.1f}s): {backend}"
+                )
+                return True, backend
+            tail = out.strip().splitlines()[-1][:300] if out.strip() else ""
+            last = tail or f"probe exited rc={p.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{per_probe:.0f}s (tunnel wedged?)"
+        log(f"backend probe attempt {attempt} failed: {last}")
+        if time.monotonic() + 20.0 >= deadline:
+            return False, last
+        time.sleep(20.0)
+
+
 def main() -> None:
     import jax
 
@@ -530,6 +617,7 @@ def main() -> None:
             "max_rel_err_vs_direct": err,
             "xl": xl,
             "lattice": lattice,
+            "tpu_validate": _read_validate_artifact(),
             "backend": jax.default_backend(),
         },
     }
@@ -537,4 +625,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        wait_s = float(os.environ.get("NXFX_BENCH_TUNNEL_WAIT", "600"))
+        ok, info = _await_backend(wait_s)
+        if not ok:
+            _emit_failure(
+                f"JAX backend unavailable after {wait_s:.0f}s of bounded "
+                f"probing; last probe: {info}"
+            )
+            sys.exit(1)
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — always leave a parseable record
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_failure(f"{type(e).__name__}: {e}")
+        sys.exit(1)
