@@ -45,6 +45,10 @@ from .mesh import NetworkMesh
 from .ops import elements
 from .utils.timing import timed
 
+# Sentinel distinguishing "no previous R input" from R=None (which means
+# the default R=1 and must compare equal to a later R=None).
+_UNSET = object()
+
 __all__ = ["HydraulicNetworkAssembler", "PressureFunction", "compute_integration_data"]
 
 
@@ -341,6 +345,22 @@ class HydraulicNetworkAssembler:
 
         self._R_mode, self._R_data = _classify(R, 1.0)
         self._f_mode, self._f_data = _classify(f, 0.0)
+        # Cheap R-staleness signal for the factor-reuse serving path: bump
+        # a generation counter only when the resistance input may differ
+        # from the previous compute_forms() call.  Object identity (the
+        # serving pattern passes the same buffer per solve) and scalar
+        # equality are O(1); anything else bumps conservatively and
+        # Solver.solve() falls back to a one-time byte comparison.
+        prev = getattr(self, "_R_src", _UNSET)
+        if R is prev or (
+            isinstance(R, (int, float))
+            and isinstance(prev, (int, float))
+            and float(R) == float(prev)
+        ):
+            pass
+        else:
+            self._R_generation = getattr(self, "_R_generation", 0) + 1
+        self._R_src = R
         self._quad_weights = w
         self._quad_phi = phi
 

@@ -51,7 +51,9 @@ def _fmt_binary(a: np.ndarray) -> str:
 
 
 def _data_array(name: str | None, a: np.ndarray, vtk_type: str, ncomp: int, binary: bool) -> str:
-    name_attr = f' Name="{name}"' if name else ""
+    from xml.sax.saxutils import quoteattr
+
+    name_attr = f" Name={quoteattr(name)}" if name else ""
     if binary:
         return (
             f'<DataArray type="{vtk_type}"{name_attr} '
@@ -157,8 +159,11 @@ def write_pvd(path: str | Path, entries: list[tuple[float, str]]) -> Path:
     """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    from xml.sax.saxutils import quoteattr
+
     rows = "\n".join(
-        f'<DataSet timestep="{float(t):.17g}" group="" part="0" file="{f}"/>'
+        f'<DataSet timestep="{float(t):.17g}" group="" part="0" '
+        f"file={quoteattr(str(f))}/>"
         for t, f in entries
     )
     path.write_text(

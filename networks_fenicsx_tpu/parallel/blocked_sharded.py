@@ -421,9 +421,15 @@ def build_sharded_blocked_executor(
     mesh,
     axis: str,
     dtype=jnp.float64,
+    modes: tuple | None = None,
 ) -> ShardedBlockedExecutor:
-    """Trace + jit the shard_map pipeline for a prepared plan."""
-    R_mode, f_mode, _ = asm.coefficient_modes()
+    """Trace + jit the shard_map pipeline for a prepared plan.
+
+    ``modes`` overrides the live ``asm.coefficient_modes()`` — the caller
+    may be serving an assemble-time coefficient snapshot whose kinds no
+    longer match the assembler's current forms.
+    """
+    R_mode, f_mode, _ = modes if modes is not None else asm.coefficient_modes()
     if R_mode not in ("scalar", "edge", "cell") or f_mode not in (
         "scalar", "edge", "cell"
     ):

@@ -85,14 +85,15 @@ class ShardedGridPlan(typing.NamedTuple):
     lam_src: np.ndarray       # (B,) identity (λ comes back in node order)
 
 
-def plan_sharded_grid(asm, D: int) -> ShardedGridPlan | None:
+def plan_sharded_grid(asm, D: int, modes: tuple | None = None) -> ShardedGridPlan | None:
     """Strip partition of a uniform lattice, or None outside the envelope.
 
     Envelope: scalar resistance + the :func:`_plan_dct_lattice` /
     :func:`_plan_grid_layout` structure checks (uniform rectangular
-    multiplier grid, ≤ 16 stub rows).
+    multiplier grid, ≤ 16 stub rows).  ``modes`` overrides the live
+    ``asm.coefficient_modes()`` when serving an assemble-time snapshot.
     """
-    R_mode, _f_mode, _ = asm.coefficient_modes()
+    R_mode, _f_mode, _ = modes if modes is not None else asm.coefficient_modes()
     if R_mode != "scalar":
         return None
     shift_plan = _plan_shift_matvec(asm)
@@ -181,7 +182,7 @@ class ShardedGridExecutor:
     """Callable wrapper mirroring :class:`ShardedBlockedExecutor`.
 
     Returns ``(q_T (m, D·E_loc), p_T (N, D·E_loc), lam (B,),
-    lam_T (0,), rhs_norm, finite)``.
+    lam_T (0,), residual, rhs_norm, finite)``.
     """
 
     method_name = "schur_sharded_grid"
@@ -239,10 +240,15 @@ class ShardedGridExecutor:
 
 
 def build_sharded_grid_executor(
-    asm, plan: ShardedGridPlan, mesh, axis: str, dtype=jnp.float64
+    asm, plan: ShardedGridPlan, mesh, axis: str, dtype=jnp.float64,
+    modes: tuple | None = None,
 ) -> ShardedGridExecutor:
-    """Trace + jit the strip-sharded lattice shard_map pipeline."""
-    R_mode, f_mode, _ = asm.coefficient_modes()
+    """Trace + jit the strip-sharded lattice shard_map pipeline.
+
+    ``modes`` overrides the live ``asm.coefficient_modes()`` when serving
+    an assemble-time coefficient snapshot.
+    """
+    R_mode, f_mode, _ = modes if modes is not None else asm.coefficient_modes()
     if f_mode not in ("scalar", "edge", "cell"):
         raise ValueError(
             "sharded grid executor requires scalar/per-edge/per-cell f"
@@ -370,14 +376,15 @@ def build_sharded_grid_executor(
         finite = jax.lax.psum(fin_loc.astype(jnp.int32), axis) == jnp.asarray(
             D, jnp.int32
         )
-        # relative-residual convergence guard (the FFT fallback above
-        # 4096-wide grids is reduced-precision; surface it as non-finite
-        # is too blunt — the caller reads rhs_norm/res from SolveInfo)
+        # Surface the λ-system residual (the FFT fallback above 4096-wide
+        # grids is reduced-precision — the caller reads res/rhs_norm out
+        # of SolveInfo.residual, matching the serial grid core's contract).
         return (
             q_T.astype(dtype),
             p_T.astype(dtype),
             lam.astype(dtype),
             jnp.zeros(0, dtype),
+            res,
             rhs_norm,
             finite,
         )
@@ -394,7 +401,7 @@ def build_sharded_grid_executor(
     # identical replicated solve); vma checking can't see through the
     # DCT/capacitance chain — replication is pinned numerically by
     # tests/test_grid_sharded.py instead.
-    out_specs = (P(None, axis), P(None, axis), P(), P(), P(), P())
+    out_specs = (P(None, axis), P(None, axis), P(), P(), P(), P(), P())
     fn = shard_map(
         local_solve, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

@@ -323,6 +323,7 @@ class ShardedNetworkSolver:
         self._dist_plan = None
         self._blocked_exec = None
         self._blocked_checked: tuple | None = None
+        self._asm_modes_key: tuple | None = None
         self._info: SolveInfo | None = None
 
     @property
@@ -345,6 +346,12 @@ class ShardedNetworkSolver:
             np.array(a, copy=True)
             for a in self._assembler.schur_arguments(device=False)
         )
+        # The coefficient KINDS at snapshot time — executor selection must
+        # be keyed on these, not on solve-time coefficient_modes(): a
+        # compute_forms() call between assemble() and solve() that changes
+        # a kind (e.g. per-edge R -> scalar) must not pair a new-mode
+        # executor with the old-kind snapshot buffers.
+        self._asm_modes_key = self._assembler.coefficient_modes()
 
     @timed("nxfx:ShardedSolver:solve", block=True)
     def solve(self, functions: list[NetworkFunction] | None = None) -> list[NetworkFunction]:
@@ -363,10 +370,13 @@ class ShardedNetworkSolver:
         # --- blocked-sibling sharded fast path: identically-shaped
         # per-device subforests run the serial blocked slice/concat
         # program; cross-device coupling is one psum of the tiny top tree.
-        # Keyed on coefficient_modes(): a compute_forms() call that changes
-        # the coefficient KINDS (e.g. per-edge -> scalar R) invalidates the
-        # executor's host-side arg permutation, like the serial Solver.
-        modes_key = asm.coefficient_modes()
+        # Keyed on the ASSEMBLE-time coefficient modes (snapshotted with
+        # the coefficient buffers): a compute_forms() call that changes the
+        # coefficient KINDS (e.g. per-edge -> scalar R) takes effect at the
+        # next assemble(), like the reference's KSP semantics — solving
+        # with a new-mode executor against old-kind snapshot buffers would
+        # silently broadcast the wrong coefficients.
+        modes_key = self._asm_modes_key
         if getattr(self, "_modes_key", None) != modes_key:
             # coefficient kinds changed: the edge-data layout (and hence
             # the traced shard_map signature) may differ — drop the traced
@@ -390,7 +400,7 @@ class ShardedNetworkSolver:
                 plan = plan_sharded_blocked(asm, D)
                 if plan is not None:
                     self._blocked_exec = build_sharded_blocked_executor(
-                        asm, plan, self._mesh, self._axis
+                        asm, plan, self._mesh, self._axis, modes=modes_key
                     )
                 elif self._schur_method == "auto":
                     # uniform lattice: strip-sharded assembly + replicated
@@ -400,10 +410,11 @@ class ShardedNetworkSolver:
                         plan_sharded_grid,
                     )
 
-                    gplan = plan_sharded_grid(asm, D)
+                    gplan = plan_sharded_grid(asm, D, modes=modes_key)
                     if gplan is not None:
                         self._blocked_exec = build_sharded_grid_executor(
-                            asm, gplan, self._mesh, self._axis
+                            asm, gplan, self._mesh, self._axis,
+                            modes=modes_key,
                         )
         if self._blocked_exec is None and self._schur_method == "blocked":
             # re-raise on EVERY solve — a forced 'blocked' must never
@@ -483,7 +494,16 @@ class ShardedNetworkSolver:
         if coeff is None:
             coeff = asm.schur_arguments(device=False)
         args = ex.prepare_args(*coeff)
-        q_T, p_T, lam_loc, lam_T, _rhs, finite = ex(*args)
+        out = ex(*args)
+        if len(out) == 7:
+            # grid executor: surfaces the λ-system residual (observably
+            # reduced precision on the >4096-wide FFT fallback)
+            q_T, p_T, lam_loc, lam_T, res, rhs_n, finite = out
+            residual = float(res) / max(float(rhs_n), 1e-300)
+        else:
+            # blocked forest executor: exact elimination, no residual
+            q_T, p_T, lam_loc, lam_T, _rhs, finite = out
+            residual = 0.0
         q = np.asarray(q_T).T  # (D*E_loc, k*N+1)
         p = np.asarray(p_T).T  # (D*E_loc, N)
         q_edge = q[plan.edge_flat]  # public edge order
@@ -492,7 +512,7 @@ class ShardedNetworkSolver:
         lam = lam_flat[plan.lam_src]
         ok = bool(np.asarray(finite))
         method = getattr(ex, "method_name", "schur_sharded_blocked")
-        self._info = SolveInfo(method, 0, 0.0, ok)
+        self._info = SolveInfo(method, 0, residual, ok)
         if not ok:
             raise RuntimeError(
                 "Solver did not converge: sharded blocked solve produced "

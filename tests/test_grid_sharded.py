@@ -102,3 +102,19 @@ def test_sharded_grid_fallback_outside_envelope():
     ref = _ref(asm)
     got = np.concatenate([fn.values for fn in sol])
     np.testing.assert_allclose(got, ref, atol=1e-8 * max(1.0, np.abs(ref).max()))
+
+
+def test_sharded_grid_surfaces_lambda_residual():
+    """The sharded grid executor surfaces the λ-system residual through
+    SolveInfo (observability of the reduced-precision FFT fallback on
+    very wide grids) instead of hardcoding 0.0."""
+    G = network_generation.make_grid(6, 5, arrays=True)
+    mesh = NetworkMesh(G, N=1)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0] + 0.3 * x[1], f=0.2, R=1.5)
+    ss = ShardedNetworkSolver(asm, devices=jax.devices()[:4])
+    ss.assemble()
+    ss.solve()
+    assert ss.info.method == "schur_sharded_grid"
+    # exact direct solve: tiny but real floating-point residual
+    assert 0.0 < ss.info.residual < 1e-10

@@ -251,3 +251,17 @@ def test_export_functions_time_stamp(tmp_path):
     export_functions(sol, tmp_path, time=0.25)
     frames = read_pvd(tmp_path / "pressure.pvd")
     assert frames == [(0.25, "pressure.vtu")]
+
+
+def test_write_pvd_escapes_attribute_values(tmp_path):
+    """File names with XML-special characters must produce a well-formed
+    .pvd (attribute values are escaped, not interpolated raw)."""
+    import xml.etree.ElementTree as ET
+
+    from networks_fenicsx_tpu.io.vtk import write_pvd
+
+    weird = 'frame &1<2 "q".vtu'
+    p = write_pvd(tmp_path / "series.pvd", [(0.0, weird), (1.0, "plain.vtu")])
+    root = ET.parse(p).getroot()
+    files = [ds.get("file") for ds in root.iter("DataSet")]
+    assert files == [weird, "plain.vtu"]

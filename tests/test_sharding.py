@@ -726,3 +726,38 @@ def test_sharded_blocked_per_cell_coefficients(flux_degree):
     for fs, fd in zip(serial, sharded):
         scale = max(1.0, float(np.max(np.abs(fs.values))))
         np.testing.assert_allclose(fs.values, fd.values, atol=1e-11 * scale)
+
+
+def test_sharded_assemble_time_coefficient_kinds():
+    """A compute_forms() that changes a coefficient KIND between
+    assemble() and solve() must not take effect until the next
+    assemble(): solve() consumes the assemble-time snapshot, so the
+    executor must be selected for the snapshot's modes (a solve-time
+    modes key would pair a scalar-R executor with per-edge buffers and
+    silently broadcast element [0])."""
+    G = network_generation.make_tree(4, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2, color_strategy="largest_first")
+    E = mesh.num_edges
+    R_edge = np.linspace(1.0, 2.5, E)
+
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc_y, R=R_edge)
+    sh = ShardedNetworkSolver(asm, devices=jax.devices()[:2])
+    sh.assemble()
+    # kind change AFTER assemble: per-edge -> scalar
+    asm.compute_forms(p_bc_ex=p_bc_y, R=2.0)
+    sol = sh.solve()
+    got = np.concatenate([fn.values for fn in sol])
+
+    # must equal the serial solve with the ASSEMBLE-time per-edge R
+    _, ref_sol = _serial_solution(mesh, R=R_edge)
+    ref = np.concatenate([fn.values for fn in ref_sol])
+    np.testing.assert_allclose(got, ref, atol=1e-11 * max(1.0, np.abs(ref).max()))
+
+    # after re-assemble the new scalar R takes effect
+    sh.assemble()
+    sol2 = sh.solve()
+    got2 = np.concatenate([fn.values for fn in sol2])
+    _, ref2_sol = _serial_solution(mesh, R=2.0)
+    ref2 = np.concatenate([fn.values for fn in ref2_sol])
+    np.testing.assert_allclose(got2, ref2, atol=1e-11 * max(1.0, np.abs(ref2).max()))

@@ -575,3 +575,57 @@ def test_solver_factorize_kind_change_falls_back():
     ref = np.asarray(ref_solver.solution_vector())
     got = np.asarray(solver.solution_vector())
     np.testing.assert_allclose(got, ref, atol=1e-11 * max(1.0, np.abs(ref).max()))
+
+
+def test_solver_factorize_staleness_check_is_o1(monkeypatch):
+    """The factor-reuse staleness check must not hash the full R buffer on
+    every rhs-only solve: the O(E) byte hash runs only when the R input
+    OBJECT changed (and re-arms on a byte match), never in the steady
+    serving loop."""
+    import hashlib
+
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(33)
+    G = network_generation.make_tree(4, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 2.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
+    solver = Solver(asm)
+    solver.factorize()
+
+    calls = {"n": 0}
+    real_sha1 = hashlib.sha1
+
+    def counting_sha1(*args, **kwargs):
+        calls["n"] += 1
+        return real_sha1(*args, **kwargs)
+
+    monkeypatch.setattr(hashlib, "sha1", counting_sha1)
+
+    # steady serving loop: SAME R object per compute_forms — zero hashing
+    for _ in range(3):
+        asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
+        solver.solve()
+        assert solver.info.method == "schur_factorized"
+    assert calls["n"] == 0
+
+    # fresh-but-byte-equal array: exactly one hash, factor re-armed
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R.copy())
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+    assert calls["n"] == 1
+
+    # and the re-armed generation makes the next same-object solve free
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=asm._R_src)
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+    assert calls["n"] == 1
+
+    # a genuinely different R falls back to the fused path (one hash)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R * 1.5)
+    solver.solve()
+    assert solver.info.method != "schur_factorized"
+    assert calls["n"] == 2
