@@ -57,6 +57,24 @@ def make_device_mesh(devices=None, axis_name: str = "edges") -> Mesh:
     return Mesh(devices.reshape(-1), axis_names=(axis_name,))
 
 
+def _to_host(x) -> np.ndarray:
+    """Device→host pull that also works under multi-controller execution.
+
+    Single-process (including the virtual CPU mesh): a plain
+    ``np.asarray``.  Multi-process (``jax.distributed`` over DCN — the
+    reference's ``mpiexec`` analog): an array sharded across processes is
+    not fully addressable and must be gathered first (the reference's
+    forward-INSERT ghost update on the solution, ``solver.py:128-132``).
+    """
+    if isinstance(x, jax.Array) and not (
+        x.is_fully_addressable or x.is_fully_replicated
+    ):
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def _edge_specs(ed: _EdgeData, spec_e, spec_rep):
     """Per-leaf shard_map specs/shardings for an edge-data pytree.
 
@@ -475,9 +493,9 @@ class ShardedNetworkSolver:
             jnp.asarray(edge_pair), NamedSharding(self._mesh, P(self._axis))
         )
         q_edge, p_cells, lam = self._pipeline(ed, edge_pair_dev)
-        q_edge = np.asarray(q_edge)[:E]
-        p_cells = np.asarray(p_cells)[:E]
-        lam = np.asarray(lam)
+        q_edge = _to_host(q_edge)[:E]
+        p_cells = _to_host(p_cells)[:E]
+        lam = _to_host(lam)
         self._info = SolveInfo("schur_sharded", 0, 0.0, True)
         return self._scatter_solution(q_edge, p_cells, lam, functions)
 
@@ -504,11 +522,11 @@ class ShardedNetworkSolver:
             # blocked forest executor: exact elimination, no residual
             q_T, p_T, lam_loc, lam_T, _rhs, finite = out
             residual = 0.0
-        q = np.asarray(q_T).T  # (D*E_loc, k*N+1)
-        p = np.asarray(p_T).T  # (D*E_loc, N)
+        q = _to_host(q_T).T  # (D*E_loc, k*N+1)
+        p = _to_host(p_T).T  # (D*E_loc, N)
         q_edge = q[plan.edge_flat]  # public edge order
         p_cells = p[plan.edge_flat]
-        lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)])
+        lam_flat = np.concatenate([_to_host(lam_loc), _to_host(lam_T)])
         lam = lam_flat[plan.lam_src]
         ok = bool(np.asarray(finite))
         method = getattr(ex, "method_name", "schur_sharded_blocked")
@@ -571,9 +589,9 @@ class ShardedNetworkSolver:
             )
         q_edge, p_cells, lam_loc, lam_T = self._pipeline(ed, rows)
         inv = plan.edge_inv
-        q_edge = np.asarray(q_edge)[inv]
-        p_cells = np.asarray(p_cells)[inv]
-        lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)])
+        q_edge = _to_host(q_edge)[inv]
+        p_cells = _to_host(p_cells)[inv]
+        lam_flat = np.concatenate([_to_host(lam_loc), _to_host(lam_T)])
         lam = lam_flat[plan.lam_src]
         self._info = SolveInfo("schur_sharded_dist", 0, 0.0, True)
         return self._scatter_solution(q_edge, p_cells, lam, functions)
