@@ -505,6 +505,111 @@ def main() -> None:
             log(f"lattice stage skipped: {e!r}")
             lattice = None
 
+    # --- unstructured scale point: ~10k-junction random cyclic capillary
+    # web (Delaunay family, make_random_network) through the sparse
+    # min-degree core elimination — the MUMPS-generality path.  SuperLU
+    # factor+solve of the identical system is the baseline here too.
+    # Failure-isolated; NXFX_BENCH_UNSTRUCTURED=0 skips.
+    unstructured = None
+    if os.environ.get("NXFX_BENCH_UNSTRUCTURED", "1") != "0":
+        try:
+            from networks_fenicsx_tpu.network_generation import make_random_network
+            from networks_fenicsx_tpu.solver import (
+                _plan_tree_elimination,
+                attach_core_plan,
+            )
+
+            n_un = int(os.environ.get("NXFX_BENCH_UNSTRUCTURED_N", "10000"))
+            t0 = time.perf_counter()
+            G_u = make_random_network(n_un, keep=0.7, seed=42, arrays=True)
+            mesh_u = NetworkMesh(G_u, N=2, color_strategy="fast")
+            asm_u = HydraulicNetworkAssembler(mesh_u)
+            rng_u = np.random.default_rng(1)
+            R_u = rng_u.uniform(0.5, 3.0, mesh_u.num_edges)
+            asm_u.compute_forms(p_bc_ex=p_bc, R=R_u)
+            plan_u = attach_core_plan(_plan_tree_elimination(asm_u))
+            stats_u = plan_u.core_plan.stats if plan_u.core_plan else None
+            ex_u = build_schur_executor(
+                asm_u, opts, outputs="blocks", internal_layout=True
+            )
+            prep_u = getattr(ex_u, "prepare_args", None)
+            log(f"unstructured: {n_un} junctions, {mesh_u.num_edges} vessels, "
+                f"{asm_u.num_dofs} dofs, core plan {stats_u} "
+                f"({time.perf_counter() - t0:.1f}s build)")
+            a_u = asm_u.schur_arguments(device=prep_u is None)
+            if prep_u is not None:
+                a_u = prep_u(*a_u)
+            args_u = jax.device_put(a_u)
+            jax.block_until_ready(args_u)
+            out_u = ex_u(*args_u)
+            np.asarray(out_u[0][:1, :1])  # warm (compile) + sync
+            # synchronized assemble+solve
+            un_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                asm_u.compute_forms(p_bc_ex=p_bc, R=R_u)
+                aa = asm_u.schur_arguments(device=prep_u is None)
+                if prep_u is not None:
+                    aa = prep_u(*aa)
+                o_u = ex_u(*aa)
+                np.asarray(o_u[0][:1, :1])
+                un_times.append(time.perf_counter() - t0)
+            t_un = min(un_times)
+            depth_u = 16
+            best_u = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_u = [ex_u(*args_u) for _ in range(depth_u)]
+                np.asarray(outs_u[-1][0][:1, :1])
+                best_u = min(best_u, (time.perf_counter() - t0) / depth_u)
+            # SuperLU baseline + accuracy on the identical system
+            import scipy.sparse as _sp
+            import scipy.sparse.linalg as _spla
+
+            vals_u = np.concatenate(
+                [np.asarray(asm_u._cell_mass).ravel(), asm_u._static_vals]
+            )
+            A_u = _sp.csc_matrix(
+                (vals_u, (asm_u._all_rows, asm_u._all_cols)),
+                shape=(asm_u.num_dofs,) * 2,
+            )
+            b_u = np.asarray(asm_u._b_host)
+            lu_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x_lu_u = _spla.splu(A_u).solve(b_u)
+                lu_times.append(time.perf_counter() - t0)
+            t_lu_u = float(np.median(lu_times))
+            from networks_fenicsx_tpu.solver import _flatten_blocks_host
+
+            x_u = _flatten_blocks_host(
+                out_u[0], out_u[1], out_u[2], mesh_u.edge_color,
+                edge_order=getattr(ex_u, "edge_order", None),
+                bif_order=getattr(ex_u, "bif_order", None),
+            )
+            err_u = float(
+                np.max(np.abs(x_u - x_lu_u)) / max(1.0, np.abs(x_lu_u).max())
+            )
+            unstructured = {
+                "junctions": n_un,
+                "vessels": int(mesh_u.num_edges),
+                "num_dofs": int(asm_u.num_dofs),
+                "core_plan": stats_u,
+                "assemble_solve_ms": round(t_un * 1e3, 3),
+                "pipelined_ms_per_solve": round(best_u * 1e3, 3),
+                "superlu_ms_median": round(t_lu_u * 1e3, 3),
+                "vs_superlu": round(t_lu_u / t_un, 2),
+                "max_rel_err_vs_superlu": err_u,
+            }
+            log(f"unstructured assemble+solve: best {t_un * 1e3:.2f} ms, "
+                f"pipelined x{depth_u} {best_u * 1e3:.2f} ms/solve; SuperLU "
+                f"{t_lu_u * 1e3:.1f} ms ({t_lu_u / t_un:.1f}x); err {err_u:.1e}")
+            assert err_u < 1e-8, f"unstructured mismatch vs SuperLU: {err_u}"
+            del out_u, outs_u, o_u, args_u, ex_u, asm_u, mesh_u, G_u
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"unstructured stage skipped: {e!r}")
+            unstructured = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -617,6 +722,7 @@ def main() -> None:
             "max_rel_err_vs_direct": err,
             "xl": xl,
             "lattice": lattice,
+            "unstructured": unstructured,
             "tpu_validate": _read_validate_artifact(),
             "backend": jax.default_backend(),
         },

@@ -26,7 +26,13 @@ import numpy.typing as npt
 from .mesh import ArrayNetwork
 from .utils.timing import timed
 
-__all__ = ["ArrayNetwork", "make_tree", "make_arterial_tree", "make_grid"]
+__all__ = [
+    "ArrayNetwork",
+    "make_tree",
+    "make_arterial_tree",
+    "make_grid",
+    "make_random_network",
+]
 
 
 def _binary_tree_edges(num_nodes: int) -> np.ndarray:
@@ -400,4 +406,102 @@ def make_arterial_tree(
                 new_frontier.append((v, next_node))
                 next_node += 1
         frontier = new_frontier
+    return G
+
+
+def make_random_network(
+    num_nodes: int,
+    keep: float = 0.7,
+    W: float = 1.0,
+    H: float = 1.0,
+    num_boundary: int = 2,
+    seed: int | None = None,
+    arrays: bool = False,
+) -> "nx.DiGraph | ArrayNetwork":
+    """Random unstructured capillary web (Delaunay mesh of random points).
+
+    An irregular fully-cyclic topology class the reference's generators
+    cannot produce (its trees are the only family,
+    ``/root/reference/src/networks_fenicsx/network_generation.py:42,158``):
+    random sites are triangulated, a random fraction of edges beyond a
+    connectivity-preserving spanning tree is kept, and ``num_boundary``
+    stubs are attached to the hull so the system is well-posed.  This is
+    the adversarial test family for the sparse cycle-core elimination
+    (``ops/core_elim.py``) — junction degrees are irregular, cycles are
+    everywhere, and no lattice/forest structure exists.
+
+    Args:
+        num_nodes: Number of interior junction sites.
+        keep: Fraction of non-spanning-tree edges to keep (1.0 = full
+            triangulation; lower values thin the web while staying
+            connected).
+        W, H: Physical extent of the site rectangle.
+        num_boundary: Number of boundary stubs attached to hull nodes
+            (alternating inlet/outlet pressure roles is up to ``p_bc``).
+        seed: RNG seed.
+        arrays: Return an :class:`ArrayNetwork` instead of a DiGraph.
+    """
+    if num_nodes < 4:
+        raise ValueError("random network needs at least 4 sites")
+    if not 0.0 <= keep <= 1.0:
+        raise ValueError("keep must be in [0, 1]")
+    import scipy.sparse as _sp
+    from scipy.sparse.csgraph import minimum_spanning_tree as _mst
+    from scipy.spatial import Delaunay as _Delaunay
+
+    rng = np.random.default_rng(seed)
+    pts = np.column_stack(
+        [rng.uniform(0.0, W, num_nodes), rng.uniform(0.0, H, num_nodes)]
+    )
+    tri = _Delaunay(pts)
+    s = tri.simplices
+    cand = np.concatenate([s[:, [0, 1]], s[:, [1, 2]], s[:, [0, 2]]])
+    cand = np.unique(np.sort(cand, axis=1), axis=0)
+
+    # spanning tree keeps the web connected; a random subset of the rest
+    wts = rng.uniform(0.1, 1.0, cand.shape[0])
+    mst = _mst(
+        _sp.coo_matrix(
+            (wts, (cand[:, 0], cand[:, 1])), shape=(num_nodes, num_nodes)
+        )
+    ).tocoo()
+    in_tree = set(zip(mst.row.tolist(), mst.col.tolist()))
+    in_tree |= {(b, a) for a, b in in_tree}
+    sel = np.array(
+        [
+            (int(u), int(v)) in in_tree or rng.random() < keep
+            for u, v in cand
+        ]
+    )
+    edges = cand[sel]
+
+    # boundary stubs on hull nodes, spread around the hull
+    hull = np.unique(tri.convex_hull.reshape(-1))
+    nb = max(1, min(num_boundary, hull.size))
+    picks = hull[np.linspace(0, hull.size - 1, nb).astype(np.int64)]
+    centre = pts.mean(axis=0)
+    stub_pos = []
+    stub_edges = []
+    for t, hn in enumerate(picks):
+        out = pts[hn] - centre
+        nrm = np.linalg.norm(out)
+        out = out / nrm if nrm > 0 else np.array([1.0, 0.0])
+        stub_id = num_nodes + t
+        stub_pos.append(pts[hn] + out * 0.1 * max(W, H))
+        # alternate orientation so both inlet- and outlet-style stubs exist
+        stub_edges.append(
+            (stub_id, int(hn)) if t % 2 == 0 else (int(hn), stub_id)
+        )
+    all_pos = np.concatenate([pts, np.asarray(stub_pos)], axis=0)
+    all_edges = np.concatenate(
+        [edges, np.asarray(stub_edges, dtype=np.int64)], axis=0
+    )
+
+    if arrays:
+        return ArrayNetwork(pos=all_pos, edges=all_edges.astype(np.int64))
+    G = nx.DiGraph()
+    for i in range(all_pos.shape[0]):
+        G.add_node(i, pos=all_pos[i])
+    for u, v in all_edges:
+        G.add_edge(int(u), int(v))
     return G

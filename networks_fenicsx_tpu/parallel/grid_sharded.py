@@ -376,9 +376,9 @@ def build_sharded_grid_executor(
         finite = jax.lax.psum(fin_loc.astype(jnp.int32), axis) == jnp.asarray(
             D, jnp.int32
         )
-        # Surface the λ-system residual (the FFT fallback above 4096-wide
-        # grids is reduced-precision — the caller reads res/rhs_norm out
-        # of SolveInfo.residual, matching the serial grid core's contract).
+        # Surface the λ-system residual through SolveInfo.residual,
+        # matching the serial grid core's contract (the transform is
+        # f64-exact at every width; the residual proves it per solve).
         return (
             q_T.astype(dtype),
             p_T.astype(dtype),

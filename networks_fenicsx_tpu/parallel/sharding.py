@@ -212,7 +212,9 @@ def _sharded_schur_pipeline(
     structure defines the shard_map in_specs — layouts vary (general /
     scalar / uniform), so the specs cannot be hardcoded."""
     if schur_method == "auto":
-        if tree_plan is not None and tree_plan.core_size <= 4096:
+        if tree_plan is not None and (
+            tree_plan.core_size <= 4096 or tree_plan.core_plan is not None
+        ):
             schur_method = "tree"
         else:
             schur_method = "dense" if B <= 4096 else "cg"
@@ -473,6 +475,13 @@ class ShardedNetworkSolver:
             level_plan = None
             if self._schur_method in ("auto", "tree") and net.num_multipliers > 0:
                 tree_plan = _plan_tree_elimination(asm)
+                if tree_plan is not None and tree_plan.core_size > 512:
+                    # large unstructured cycle core: sparse elimination
+                    # (replicated after the one w_pairs psum) instead of
+                    # the O(core³) dense factor
+                    from ..solver import attach_core_plan
+
+                    tree_plan = attach_core_plan(tree_plan)
                 level_plan = _plan_level_elimination(asm, tree_plan)
             self._tree_plan = tree_plan
             self._pipeline = _sharded_schur_pipeline(

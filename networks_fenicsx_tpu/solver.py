@@ -960,24 +960,21 @@ def _dct_capacitance_apply(
     plan: _DctPlan, state: dict, rhs: jnp.ndarray, matvec
 ):
     """Per-rhs half of the capacitance solve (see _dct_capacitance_solve)."""
-    from jax.scipy import fft as _jfft
-
     dt = rhs.dtype
     s, ny = plan.s, plan.ny
     inv = state["inv"]
     g = state["g"]
     Minv = state["Minv"]
     r = int(plan.stub_rows.size)
-    # TPU FFTs are f32-only (f64 lowers to an unsupported c128 FFT), so
-    # there the transform pair runs in f32 and the OUTER refinement below
-    # restores f64: each direct() pass contracts the error by ~κ·ε_f32,
-    # so a few passes reach direct-solve accuracy.  CPU keeps f64.
+    # The FIRST direct pass always transforms in the compute dtype
+    # (exact); on TPU the f64 refinement passes may run their transforms
+    # in f32 MXU dots — they act on residuals already ~ε_f64·κ of the
+    # answer, so the cheap transform is invisible in the result.
     fft_dt = (
         jnp.float32
         if dt == jnp.float64 and jax.default_backend() == "tpu"
         else dt
     )
-    inv32 = inv.astype(fft_dt)
 
     if max(s, ny) <= 4096:
         # Matmul DCT: TPU FFTs lower poorly (the 512² dctn+idctn pair
@@ -991,7 +988,6 @@ def _dct_capacitance_apply(
         # dots — a κ·ε_f32-relative error of a tiny correction, invisible
         # in the result.  (All-f32 transforms are NOT enough: measured
         # stalls at 5.3e-6 / 6.5e-3 relative λ residual on 128²/512².)
-        transform_exact = True
 
         def _dct2_matrix(n: int) -> np.ndarray:
             j = np.arange(n)
@@ -1021,19 +1017,38 @@ def _dct_capacitance_apply(
         )
 
     else:
-        transform_exact = fft_dt == dt
+        # Wide lattices (> 4096 per side): the TPU FFT lowering is
+        # f32-only and its κ·ε_f32 error STALLS far above f64 (measured:
+        # 6.5e-3 rel λ residual at 512² — the old silent fallback).  The
+        # exact contract holds instead: the same orthonormal matmul-DCT,
+        # but with the transform matrices GENERATED ON DEVICE from iota —
+        # an (n, n) f64 host constant at this size would bake hundreds of
+        # MB into the executable.  First pass f64-exact, refinement
+        # passes in f32 MXU dots, exactly like the ≤4096 path.
 
-        def Lplus_exact(b):
-            c = _jfft.dctn(
-                b.reshape(ny, s).astype(fft_dt), type=2, norm="ortho"
-            )
-            return (
-                _jfft.idctn(c * inv32, type=2, norm="ortho")
-                .reshape(-1)
-                .astype(dt)
-            )
+        def _dct2_matrix_dev(n: int, tdt):
+            j = jnp.arange(n, dtype=tdt)
+            D = jnp.cos(jnp.pi * (j[None, :] + 0.5) * j[:, None] / n)
+            D = D * np.sqrt(2.0 / n)
+            D = D.at[0].multiply(np.sqrt(0.5))
+            return D  # orthonormal DCT-II: c = D @ b, b = D.T @ c
 
-        Lplus_fast = Lplus_exact
+        def _make_matmul_lplus(tdt):
+            inv_t = inv.astype(tdt)
+
+            def Lplus(b):
+                Dx = _dct2_matrix_dev(s, tdt)
+                Dy = _dct2_matrix_dev(ny, tdt)
+                B2 = b.reshape(ny, s).astype(tdt)
+                c = Dy @ B2 @ Dx.T
+                return (Dy.T @ (c * inv_t) @ Dx).reshape(-1).astype(dt)
+
+            return Lplus
+
+        Lplus_exact = _make_matmul_lplus(dt)
+        Lplus_fast = (
+            _make_matmul_lplus(fft_dt) if fft_dt != dt else Lplus_exact
+        )
 
     rows = jnp.asarray(plan.stub_rows)
 
@@ -1050,11 +1065,11 @@ def _dct_capacitance_apply(
         return direct
 
     # refinement passes: contraction ≈ κ·ε_trans per pass (κ ~ O(n²) for
-    # an n-wide lattice).  An exact first pass needs 2 passes for f64
-    # roundoff; the reduced-precision FFT fallback (> 4096-wide only)
-    # gets more, with the residual surfaced in SolveInfo for the caller
-    # to check.
-    n_refine = 6 if not transform_exact else 2
+    # an n-wide lattice).  The first pass is exact in the compute dtype
+    # at every size now (the old > 4096 f32-FFT fallback is gone), so two
+    # passes grind out f64 roundoff; the residual stays surfaced in
+    # SolveInfo regardless.
+    n_refine = 2
     lam = _direct(Lplus_exact)(rhs)
     refine = _direct(Lplus_fast)
     for _ in range(n_refine):
@@ -1589,6 +1604,10 @@ class _TreePlan(typing.NamedTuple):
     rounds: tuple  # tuple of (elim_nodes, parents, pair_ids) int32 arrays
     core_nodes: np.ndarray = np.empty(0, np.int32)  # un-peeled (cycle) nodes
     core_pairs: np.ndarray = np.empty((0, 3), np.int32)  # (ci, cj, pair_id)
+    # Optional sparse (min-degree independent-set) elimination of the cycle
+    # core — MUMPS-generality for large unstructured cores; attached lazily
+    # via attach_core_plan() because the symbolic phase costs host time.
+    core_plan: "object | None" = None
 
     @property
     def core_size(self) -> int:
@@ -1678,6 +1697,31 @@ def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePla
             [core_rank[pairs[sel, 0]], core_rank[pairs[sel, 1]], pid], axis=1
         ).astype(np.int32)
     return _TreePlan(pairs, edge_pair, tuple(rounds), core_nodes, core_pairs)
+
+
+def attach_core_plan(
+    tree_plan: _TreePlan, dense_cutoff: int = 384, max_core: int = 150_000
+) -> _TreePlan:
+    """Attach a sparse core-elimination plan when the cycle core admits one.
+
+    The symbolic minimum-degree phase (``ops/core_elim.py``) costs host
+    time proportional to core size + fill, so it is opt-in per call site
+    rather than part of :func:`_plan_tree_elimination`.  Returns the plan
+    unchanged when the core is empty, too large for the symbolic budget,
+    or the fill budget is exceeded (callers then keep dense/CG behaviour).
+    """
+    if tree_plan.core_plan is not None or tree_plan.core_size == 0:
+        return tree_plan
+    if tree_plan.core_size > max_core:
+        return tree_plan
+    from .ops.core_elim import plan_core_elimination
+
+    cp = plan_core_elimination(
+        tree_plan.core_pairs, tree_plan.core_size, dense_cutoff=dense_cutoff
+    )
+    if cp is None:
+        return tree_plan
+    return tree_plan._replace(core_plan=cp)
 
 
 class _LevelPlan(typing.NamedTuple):
@@ -3076,7 +3120,16 @@ def _tree_eliminate(
         saved.append((e, par_safe, has_par, w, db, rb))
 
     lam = jnp.zeros_like(rhs)
-    if plan.core_size > 0:
+    if plan.core_size > 0 and plan.core_plan is not None:
+        # Sparse elimination of the cycle core (ops/core_elim.py): exact
+        # host-planned min-degree rounds — the MUMPS-generality path for
+        # large unstructured cores (reference solver.py:62).
+        from .ops.core_elim import core_eliminate
+
+        cn = jnp.asarray(plan.core_nodes)
+        lam_core = core_eliminate(plan.core_plan, d[cn], r[cn], w_pairs)
+        lam = lam.at[cn].set(lam_core)
+    elif plan.core_size > 0:
         # Dense solve on the residual cycle core: peeled diagonals/rhs are
         # already folded into d, r; off-diagonals are the original core
         # pair conductances (mixed-precision Cholesky like the dense path).
@@ -3224,15 +3277,29 @@ def build_schur_executor(
     schur_method = opts.schur_method
     tree_plan = None
     lam_plan = None
+    R_mode, f_mode, f_zero = (
+        asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
+    )
     if schur_method in ("auto", "tree") and B > 0:
         tree_plan = _plan_tree_elimination(asm)
     if schur_method == "auto":
-        # Peel-then-core elimination is exact for any graph; fall back to
-        # dense/CG only when the cycle core itself is large.
-        if tree_plan is not None and tree_plan.core_size <= 4096:
+        # Peel-then-core elimination is exact for any graph; small cycle
+        # cores stay dense.  Large cores first try the exact separable-DCT
+        # lattice solve (checked below via the dense/cg resolution), then
+        # the sparse min-degree core elimination (attach_core_plan), and
+        # only fall to dense/CG when neither structure exists.
+        if tree_plan is not None and tree_plan.core_size <= 512:
             schur_method = "tree"
         else:
-            schur_method = "dense" if B <= 4096 else "cg"
+            is_lattice = R_mode == "scalar" and lattice_solve_applicable(asm)
+            if not is_lattice and tree_plan is not None:
+                tree_plan = attach_core_plan(tree_plan)
+            if tree_plan is not None and (
+                tree_plan.core_plan is not None or tree_plan.core_size <= 4096
+            ):
+                schur_method = "tree"
+            else:
+                schur_method = "dense" if B <= 4096 else "cg"
     level_plan = None
     matvec_plan = None
     shift_plan = None
@@ -3246,10 +3313,6 @@ def build_schur_executor(
         lam_plan = _build_lambda_plan(asm)
         matvec_plan = _build_matvec_plan(asm)
         shift_plan = _plan_shift_matvec(asm)
-
-    R_mode, f_mode, f_zero = (
-        asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
-    )
     # Uniform-lattice direct solve (exact, O(B log B)): auto-engaged when
     # "auto" resolved to the CG *or dense* path and the structure admits
     # it (a lattice's cycle core is the whole grid, so small lattices
@@ -3312,13 +3375,19 @@ def build_schur_executor(
             core_grid = _grid_blocked_core(
                 asm, grid_plan, R_mode, f_mode, comp_dt, out_dt
             )
-            return _BlockedExecutor(
+            ex_grid = _BlockedExecutor(
                 jax.jit(core_grid) if jit else core_grid,
                 grid_plan,
                 R_mode,
                 f_mode,
                 N=mesh.N,
             )
+            # conditioning hint for the λ-residual convergence gate: an
+            # n-wide lattice Laplacian has κ ≈ n², and NO backward-stable
+            # f64 direct method (host LU included) lands its residual
+            # below ~κ·ε·‖rhs‖ — see _schur_solve.
+            ex_grid.kappa_hint = float(max(dct_plan.s, dct_plan.ny)) ** 2
+            return ex_grid
 
     # Blocked-sibling fast path (see _BlockedPlan): interleave-free device
     # program for uniformly-binary forests.  Requires internally-ordered
@@ -3603,7 +3672,14 @@ def build_schur_executor(
             ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
         return _finish(ed)
 
-    return jax.jit(core) if jit else core
+    fn = jax.jit(core) if jit else core
+    if dct_plan is not None:
+        try:
+            # conditioning hint for the λ-residual gate (see _schur_solve)
+            fn.kappa_hint = float(max(dct_plan.s, dct_plan.ny)) ** 2
+        except AttributeError:  # pragma: no cover - jit wrapper may refuse
+            pass
+    return fn
 
 
 def _schur_solve(
@@ -3643,8 +3719,14 @@ def _schur_solve(
     else:
         x, iters, residual, rhs_norm, finite = out
     residual = float(residual)
+    # Direct-solve convergence floor: a κ-conditioned system's f64
+    # residual cannot land below ~κ·ε·‖rhs‖ for ANY backward-stable
+    # direct method (host LU hits the same floor) — wide lattices reach
+    # it with κ ≈ n_long².  The DCT executors carry the static hint.
+    kappa = float(getattr(executor, "kappa_hint", 0.0))
+    floor = 64.0 * float(np.finfo(np.float64).eps) * kappa * float(rhs_norm)
     converged = (
-        residual <= max(opts.rtol * float(rhs_norm) * 10, opts.atol, 1e-9)
+        residual <= max(opts.rtol * float(rhs_norm) * 10, opts.atol, 1e-9, floor)
         and bool(finite)
     )
     return x, SolveInfo("schur", int(iters), residual, converged)

@@ -279,6 +279,26 @@ errg = float(np.max(np.abs(xg - refg)) / max(1.0, np.abs(refg).max()))
 check("factor-reuse-pairs", errf < 1e-11 and errg < 1e-10,
       f"forest={errf:.1e} lattice={errg:.1e}")
 
+# 20. unstructured sparse cycle-core elimination (MUMPS-generality path)
+from networks_fenicsx_tpu.network_generation import make_random_network
+from networks_fenicsx_tpu.solver import _plan_tree_elimination, attach_core_plan
+Gu = make_random_network(800, keep=0.6, seed=17)
+mu = NetworkMesh(Gu, N=2, color_strategy="fast")
+rng_u = np.random.default_rng(2)
+Ru = rng_u.uniform(0.5, 3.0, mu.num_edges)
+au = HydraulicNetworkAssembler(mu)
+au.compute_forms(p_bc_ex=lambda x: x[0], f=0.3, R=Ru)
+plan_u = attach_core_plan(_plan_tree_elimination(au))
+su = Solver(au); su.assemble(); su.solve()
+xu = np.asarray(su.solution_vector())
+au2 = HydraulicNetworkAssembler(mu)
+au2.compute_forms(p_bc_ex=lambda x: x[0], f=0.3, R=Ru)
+su2 = Solver(au2, options=SolverOptions(method="host_lu")); su2.assemble(); su2.solve()
+xu2 = np.asarray(su2.solution_vector())
+err_u = float(np.max(np.abs(xu - xu2)) / max(1.0, np.abs(xu2).max()))
+check("unstructured-sparse-core", plan_u.core_plan is not None and err_u < 1e-10,
+      f"err={err_u:.1e} stats={plan_u.core_plan.stats if plan_u.core_plan else None}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 # Machine-readable artifact: bench.py embeds this in its detail block so

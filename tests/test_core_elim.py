@@ -1,0 +1,205 @@
+"""Sparse cycle-core elimination (ops/core_elim.py) — MUMPS generality.
+
+The reference's default solver is a sparse direct factorization (MUMPS,
+reference ``solver.py:62``) that handles any topology with bounded fill.
+These tests pin the TPU-native equivalent: host-planned minimum-degree
+independent-set elimination of unstructured cyclic cores, exact at f64,
+on rings, random Delaunay capillary webs (a family the reference's
+generators cannot produce), fuzzed coefficients, sweeps and the sharded
+path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from networks_fenicsx_tpu import (
+    HydraulicNetworkAssembler,
+    NetworkMesh,
+    Solver,
+    SolverOptions,
+    network_generation,
+)
+from networks_fenicsx_tpu.solver import _plan_tree_elimination, attach_core_plan
+
+
+def _two_solutions(mesh, R, f=0.1, p_bc=lambda x: x[0]):
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=p_bc, f=f, R=R)
+    s = Solver(asm, options=SolverOptions(method="schur"))
+    s.assemble()
+    s.solve()
+    x1 = np.asarray(s.solution_vector())
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=p_bc, f=f, R=R)
+    s2 = Solver(asm2, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    s2.solve()
+    x2 = np.asarray(s2.solution_vector())
+    return x1, x2, s
+
+
+def _ring(n):
+    import networkx as nx
+
+    G = nx.DiGraph()
+    for i in range(n):
+        G.add_node(
+            i,
+            pos=np.array(
+                [np.cos(2 * np.pi * i / n), np.sin(2 * np.pi * i / n), 0.0]
+            ),
+        )
+    for i in range(n):
+        G.add_edge(i, (i + 1) % n)
+    G.add_node(n, pos=np.array([2.0, 0.0, 0.0]))
+    G.add_edge(0, n)
+    G.add_node(n + 1, pos=np.array([-2.0, 0.0, 0.0]))
+    G.add_edge(n // 2, n + 1)
+    return G
+
+
+def test_sparse_core_ring():
+    """A pure cycle has no peelable leaves: the whole ring is the core.
+    Above the dense threshold the sparse plan must engage and match LU."""
+    n = 700
+    mesh = NetworkMesh(_ring(n), N=2)
+    rng = np.random.default_rng(5)
+    R = rng.uniform(0.5, 3.0, mesh.num_edges)
+
+    # the plan engages (independent-set rounds halve a ring: O(log n))
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    tp = attach_core_plan(_plan_tree_elimination(asm))
+    assert tp.core_plan is not None
+    stats = tp.core_plan.stats
+    assert stats["core"] >= n
+    assert stats["rounds"] < 40  # geometric shrink, not O(n) rounds
+
+    x1, x2, _ = _two_solutions(mesh, R)
+    err = np.max(np.abs(x1 - x2)) / max(1.0, np.abs(x2).max())
+    assert err < 1e-10, err
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sparse_core_random_network_fuzz(seed):
+    """Fuzzed unstructured capillary webs: irregular junction degrees,
+    cycles everywhere, random coefficients — schur == host LU at 1e-10."""
+    rng = np.random.default_rng(100 + seed)
+    G = network_generation.make_random_network(
+        600, keep=float(rng.uniform(0.3, 0.9)), num_boundary=3, seed=seed
+    )
+    mesh = NetworkMesh(G, N=int(rng.integers(1, 4)), color_strategy="fast")
+    R = rng.uniform(0.2, 5.0, mesh.num_edges)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+    x1, x2, s = _two_solutions(mesh, R, f=f)
+    err = np.max(np.abs(x1 - x2)) / max(1.0, np.abs(x2).max())
+    assert err < 1e-10, f"seed {seed}: {err}"
+
+
+def test_sparse_core_forced_small():
+    """Direct unit check: core_eliminate == dense core on a small web
+    (dense_cutoff forced tiny so the sparse rounds dominate)."""
+    G = network_generation.make_random_network(150, keep=0.6, seed=9)
+    mesh = NetworkMesh(G, N=1)
+    rng = np.random.default_rng(2)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=0.4, R=R)
+    tp = _plan_tree_elimination(asm)
+    assert tp.core_size > 0
+    tp_sparse = attach_core_plan(tp, dense_cutoff=8)
+    assert tp_sparse.core_plan is not None
+    assert tp_sparse.core_plan.stats["rounds"] > 0
+
+    x1, x2, _ = _two_solutions(mesh, R, f=0.4, p_bc=lambda x: x[1])
+    err = np.max(np.abs(x1 - x2)) / max(1.0, np.abs(x2).max())
+    assert err < 1e-10, err
+
+
+def test_sparse_core_sweep_vmaps():
+    """Batched scenario sweeps vmap through the sparse core elimination."""
+    from networks_fenicsx_tpu import solve_sweep
+
+    G = network_generation.make_random_network(700, keep=0.55, seed=4)
+    mesh = NetworkMesh(G, N=1)
+    rng = np.random.default_rng(8)
+    R0 = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R0)
+    tp = attach_core_plan(_plan_tree_elimination(asm))
+    if tp.core_plan is None:
+        pytest.skip("core below sparse threshold for this seed")
+
+    scales = np.array([1.0, 1.7, 0.6, 3.2])
+    res = solve_sweep(asm, R=R0[None, :] * scales[:, None])
+    X = np.asarray(res.x)
+    for i, c in enumerate(scales):
+        asm_i = HydraulicNetworkAssembler(mesh)
+        asm_i.compute_forms(p_bc_ex=lambda x: x[0], R=R0 * c)
+        s_i = Solver(asm_i, options=SolverOptions(method="host_lu"))
+        s_i.solve()
+        ref = np.asarray(s_i.solution_vector())
+        err = np.max(np.abs(X[i] - ref)) / max(1.0, np.abs(ref).max())
+        assert err < 1e-9, f"scenario {i}: {err}"
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sparse_core_sharded_matches_serial(n_devices):
+    """The sharded general pipeline runs the same sparse core elimination
+    (replicated after the one w_pairs psum) — sharded == serial."""
+    from networks_fenicsx_tpu.parallel import ShardedNetworkSolver
+
+    G = network_generation.make_random_network(650, keep=0.5, seed=11)
+    mesh = NetworkMesh(G, N=2)
+    rng = np.random.default_rng(3)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=0.2, R=R)
+    sh = ShardedNetworkSolver(asm, devices=jax.devices()[:n_devices])
+    sh.assemble()
+    sol = sh.solve()
+    got = np.concatenate([fn.values for fn in sol])
+
+    x1, x2, _ = _two_solutions(mesh, R, f=0.2)
+    err = np.max(np.abs(got - x2)) / max(1.0, np.abs(x2).max())
+    assert err < 1e-10, err
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NXFX_SLOW_TESTS"), reason="set NXFX_SLOW_TESTS=1"
+)
+def test_sparse_core_10k_junctions_beats_dense():
+    """The VERDICT-scale case: ~10k-junction random cyclic web, exact vs
+    SuperLU (the MUMPS stand-in)."""
+    import time
+
+    G = network_generation.make_random_network(10_000, keep=0.7, seed=42, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    rng = np.random.default_rng(1)
+    R = rng.uniform(0.5, 3.0, mesh.num_edges)
+    x1, x2, s = _two_solutions(mesh, R)
+    err = np.max(np.abs(x1 - x2)) / max(1.0, np.abs(x2).max())
+    assert err < 1e-10, err
+    # steady-state re-solve must beat a SuperLU factor+solve
+    t0 = time.time()
+    s.solve()
+    t_schur = time.time() - t0
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    asm = s._assembler
+    vals = np.concatenate(
+        [np.asarray(asm._cell_mass).ravel(), asm._static_vals]
+    )
+    A = sp.csc_matrix(
+        (vals, (asm._all_rows, asm._all_cols)), shape=(asm.num_dofs,) * 2
+    )
+    t0 = time.time()
+    spla.splu(A).solve(np.asarray(asm._b_host))
+    t_lu = time.time() - t0
+    assert t_schur < t_lu, (t_schur, t_lu)

@@ -75,3 +75,52 @@ def test_grid_conservation_and_flow_direction():
     np.testing.assert_allclose(
         flux_start[inlet_edge], flux_end[outlet_edge], atol=1e-10
     )
+
+
+@pytest.mark.parametrize("dims", [(5000, 3), (3, 4200)])
+def test_wide_grid_exact_transform(dims):
+    """Lattices wider than 4096 per side must stay f64-direct-exact: the
+    old silent f32-FFT fallback is gone — the transform matrices generate
+    on device (iota) and the first direct pass runs in the compute dtype.
+
+    Accuracy bars are CONDITIONING-AWARE: an n-wide lattice Laplacian has
+    κ ≈ n² and no f64 direct method (host LU included) beats the ~κ·ε
+    forward-error floor; the f32 fallback this replaces sat ORDERS above
+    it (6.5e-3 relative at 512²).  Thin-wide grids keep the host LU
+    cross-check cheap while exercising the > 4096 transform axis."""
+    nx_c, ny_c = dims
+    n_long = max(nx_c, ny_c)
+    eps = np.finfo(np.float64).eps
+    G = network_generation.make_grid(nx_c, ny_c, arrays=True)
+    mesh = NetworkMesh(G, N=1)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0] + 0.2 * x[1], f=0.3, R=1.7)
+    s = Solver(asm, options=SolverOptions(method="schur", schur_method="dct"))
+    s.assemble()
+    s.solve()  # must converge (error_if_not_converged default) at any width
+    x1 = np.asarray(s.solution_vector())
+
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=lambda x: x[0] + 0.2 * x[1], f=0.3, R=1.7)
+    s2 = Solver(asm2, options=SolverOptions(method="host_lu"))
+    s2.assemble()
+    s2.solve()
+    x2 = np.asarray(s2.solution_vector())
+
+    # solution agreement at the f64 conditioning floor
+    err = np.max(np.abs(x1 - x2)) / max(1.0, np.abs(x2).max())
+    assert err < max(1e-10, 256 * n_long**2 * eps), err
+
+    # backward error (condition-independent certificate): the full-system
+    # relative residual must be f64-direct-solve sized
+    import scipy.sparse as sp
+
+    vals = np.concatenate(
+        [np.asarray(asm._cell_mass).ravel(), asm._static_vals]
+    )
+    A = sp.csc_matrix(
+        (vals, (asm._all_rows, asm._all_cols)), shape=(asm.num_dofs,) * 2
+    )
+    b = np.asarray(asm._b_host)
+    rel_res = np.linalg.norm(A @ x1 - b) / np.linalg.norm(b)
+    assert rel_res < 1e-8, rel_res
