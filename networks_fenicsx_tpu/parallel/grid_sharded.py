@@ -46,7 +46,12 @@ try:  # jax >= 0.7 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-__all__ = ["ShardedGridPlan", "plan_sharded_grid", "build_sharded_grid_executor"]
+__all__ = [
+    "ShardedGridPlan",
+    "plan_sharded_grid",
+    "build_sharded_grid_executor",
+    "sharded_grid_sweep",
+]
 
 # row-table fields shipped sharded into the shard_map body
 ROW_FIELDS = (
@@ -239,20 +244,12 @@ class ShardedGridExecutor:
         return self._fn(R_rows, f_rows, spbc_rows, epbc_rows, self._rows())
 
 
-def build_sharded_grid_executor(
-    asm, plan: ShardedGridPlan, mesh, axis: str, dtype=jnp.float64,
-    modes: tuple | None = None,
-) -> ShardedGridExecutor:
-    """Trace + jit the strip-sharded lattice shard_map pipeline.
+def _make_grid_local_body(asm, plan, axis: str, dtype):
+    """Per-device strip-solve body (closure over the static plan).
 
-    ``modes`` overrides the live ``asm.coefficient_modes()`` when serving
-    an assemble-time coefficient snapshot.
-    """
-    R_mode, f_mode, _ = modes if modes is not None else asm.coefficient_modes()
-    if f_mode not in ("scalar", "edge", "cell"):
-        raise ValueError(
-            "sharded grid executor requires scalar/per-edge/per-cell f"
-        )
+    Shared by :func:`build_sharded_grid_executor` (1-D edge mesh) and
+    :func:`sharded_grid_sweep` (2-D scenarios x edges mesh, vmapped
+    over the local scenario chunk)."""
     N, k = asm.network.N, asm.flux_degree
     nx, ny, h, D = plan.nx, plan.ny, plan.h, plan.D
     Ex_loc, Ey_loc, st_cap, E_loc = (
@@ -389,6 +386,24 @@ def build_sharded_grid_executor(
             finite,
         )
 
+    return local_solve
+
+
+def build_sharded_grid_executor(
+    asm, plan: ShardedGridPlan, mesh, axis: str, dtype=jnp.float64,
+    modes: tuple | None = None,
+) -> ShardedGridExecutor:
+    """Trace + jit the strip-sharded lattice shard_map pipeline.
+
+    ``modes`` overrides the live ``asm.coefficient_modes()`` when serving
+    an assemble-time coefficient snapshot.
+    """
+    R_mode, f_mode, _ = modes if modes is not None else asm.coefficient_modes()
+    if f_mode not in ("scalar", "edge", "cell"):
+        raise ValueError(
+            "sharded grid executor requires scalar/per-edge/per-cell f"
+        )
+    local_solve = _make_grid_local_body(asm, plan, axis, dtype)
     spec_e = P(axis)
     spec_c = P(None, axis)
     in_specs = (
@@ -407,5 +422,123 @@ def build_sharded_grid_executor(
         check_vma=False,
     )
     return ShardedGridExecutor(
-        jax.jit(fn), plan, mesh, axis, R_mode, f_mode, N=N
+        jax.jit(fn), plan, mesh, axis, R_mode, f_mode, N=asm.network.N
     )
+
+
+def sharded_grid_sweep(
+    asm,
+    plan: ShardedGridPlan,
+    R_scalars: "np.ndarray",
+    mesh2d,
+    batch_axis: str = "batch",
+    edge_axis: str = "edges",
+    dtype=jnp.float64,
+):
+    """2-D (scenarios × strips) lattice sweep through the exact DCT solve.
+
+    The scenario axis is data-parallel over ``batch_axis`` devices; within
+    each batch group the strip-sharded grid body runs over ``edge_axis``
+    devices, ``vmap``-ped over the local scenario chunk (its psums batch
+    over the edge axis).  Scenarios vary the SCALAR resistance — the DCT
+    envelope (per-edge R disqualifies the separable transform, exactly as
+    in the serial executor); f and the boundary pressures are those of the
+    assembler's computed forms.
+
+    Returns ``x (S, num_dofs)`` host array in the public layout.
+    """
+    R_mode, f_mode, _ = asm.coefficient_modes()
+    if R_mode != "scalar":
+        raise ValueError(
+            "sharded_grid_sweep requires scalar resistance scenarios "
+            "(the separable-DCT envelope)"
+        )
+    Db = mesh2d.shape[batch_axis]
+    De = mesh2d.shape[edge_axis]
+    if De != plan.D:
+        raise ValueError(f"plan was built for {plan.D} strip devices, mesh has {De}")
+
+    R_scalars = np.asarray(R_scalars, dtype=np.float64).reshape(-1)
+    S = R_scalars.size
+    S_pad = (-S) % Db
+    R_all = np.concatenate([R_scalars, np.ones(S_pad)])
+
+    # fixed per-row args: unit-R rows scale linearly per scenario (pad
+    # slots are masked / sliced off inside the body, so the pad value is
+    # inert under scaling)
+    meta = ShardedGridExecutor(
+        None, plan, mesh2d, edge_axis, R_mode, f_mode, N=asm.network.N
+    )
+    base = asm.schur_arguments(device=False)
+    R_unit, f_rows, sp_rows, ep_rows = meta.prepare_args(
+        np.ones(1), base[1], base[2], base[3]
+    )
+    rows_dev = {f: jnp.asarray(getattr(plan, f)) for f in ROW_FIELDS}
+
+    body = _make_grid_local_body(asm, plan, edge_axis, dtype)
+
+    def local(R_chunk, Ru, f_e, spbc, epbc, rows):
+        return jax.vmap(
+            lambda rs: body(rs * Ru, f_e, spbc, epbc, rows)
+        )(R_chunk)
+
+    spec_b = P(batch_axis)
+    spec_e = P(edge_axis)
+    spec_c = P(None, edge_axis)
+    in_specs = (
+        spec_b,
+        spec_e,  # unit R rows are per-edge by construction
+        spec_c if f_mode == "cell" else spec_e,
+        spec_e,
+        spec_e,
+        {f: spec_e for f in ROW_FIELDS},
+    )
+    out_specs = (
+        P(batch_axis, None, edge_axis),  # q_T (S, m, D_e*E_loc)
+        P(batch_axis, None, edge_axis),  # p_T
+        P(batch_axis),  # lam (S, B) — replicated over strips
+        P(batch_axis),  # lam_T (S, 0)
+        P(batch_axis),  # residual
+        P(batch_axis),  # rhs_norm
+        P(batch_axis),  # finite
+    )
+    fn = jax.jit(
+        shard_map(
+            local, mesh=mesh2d, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    sh_b = NamedSharding(mesh2d, spec_b)
+    sh_e = NamedSharding(mesh2d, spec_e)
+    sh_f = NamedSharding(mesh2d, spec_c if f_mode == "cell" else spec_e)
+    q_T, p_T, lam, _lam_T, _res, _rhs_n, finite = fn(
+        jax.device_put(jnp.asarray(R_all), sh_b),
+        jax.device_put(jnp.asarray(R_unit), sh_e),
+        jax.device_put(jnp.asarray(f_rows), sh_f),
+        jax.device_put(jnp.asarray(sp_rows), sh_e),
+        jax.device_put(jnp.asarray(ep_rows), sh_e),
+        jax.device_put(rows_dev, {f: sh_e for f in rows_dev}),
+    )
+    from .sharding import _to_host
+
+    if not bool(np.all(_to_host(finite)[:S])):
+        raise RuntimeError(
+            "Solver did not converge: sharded grid sweep produced "
+            "non-finite values"
+        )
+
+    q = np.swapaxes(_to_host(q_T), 1, 2)[:S]  # (S, D_e*E_loc, m)
+    p = np.swapaxes(_to_host(p_T), 1, 2)[:S]
+    q_edge = q[:, plan.edge_flat]
+    p_cells = p[:, plan.edge_flat]
+    lam_h = _to_host(lam)[:S][:, plan.lam_src]
+
+    net = asm.network
+    x = np.zeros((S, asm.num_dofs))
+    dofs_per_edge = asm.flux_degree * net.N + 1
+    idx = asm._edge_flux_base[:, None] + np.arange(dofs_per_edge)[None, :]
+    x[:, idx.reshape(-1)] = q_edge.reshape(S, -1)
+    p_off = int(asm.block_offsets[net.num_edge_colors])
+    x[:, p_off : p_off + net.num_cells] = p_cells.reshape(S, -1)
+    x[:, asm._lm_offset :] = lam_h
+    return x

@@ -53,8 +53,11 @@ def sharded_sweep(
     if asm.pressure_degree != 0:
         raise ValueError("sharded_sweep requires DG0 pressure")
     modes = asm.coefficient_modes()
-    if modes[0] != "edge":
-        raise ValueError("compute_forms must have been called with per-edge R")
+    if modes[0] not in ("edge", "scalar"):
+        raise ValueError(
+            "compute_forms must have been called with per-edge R (or "
+            "scalar R on a uniform lattice)"
+        )
     if net.has_floating_component():
         raise RuntimeError("network has a component with no boundary node")
 
@@ -63,6 +66,23 @@ def sharded_sweep(
         mesh_shape = (devs.size, 1)
     Db, De = mesh_shape
     mesh2d = Mesh(devs.reshape(Db, De), axis_names=("batch", "edges"))
+
+    if modes[0] == "scalar":
+        # Scalar-R scenarios: the uniform-lattice (separable-DCT) envelope
+        # — scenario axis data-parallel, strips local (the executor's
+        # psums batch over the edge axis).  Per-edge R would disqualify
+        # the DCT exactly as in the serial executor.
+        from .grid_sharded import plan_sharded_grid, sharded_grid_sweep
+
+        gplan = plan_sharded_grid(asm, De, modes=modes)
+        if gplan is None:
+            raise ValueError(
+                "scalar-R sharded sweeps require a uniform rectangular "
+                "lattice (make_grid family); other topologies take "
+                "per-edge R through the forest/general paths"
+            )
+        x = sharded_grid_sweep(asm, gplan, np.asarray(R), mesh2d)
+        return SweepResult(asm, jnp.asarray(x))
 
     # Blocked fast path (round 3): K-ary forests run the blocked
     # elimination vmapped over the scenario chunk — no dense per-scenario
