@@ -64,12 +64,15 @@ try:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots()
-    ax.plot(lcars, mean_q, "-ro", label="mean flux")
-    ax.plot(lcars, max_q, "-gs", label="max flux")
-    ax.plot(lcars, min_q, "-bx", label="min flux")
-    ax.legend()
-    ax.grid()
-    plt.savefig(outdir / "convergence_flux_tree.png")
+    fig, ax = plt.subplots(figsize=(6.0, 4.0))
+    for series, label in ((mean_q, "mean"), (max_q, "max"), (min_q, "min")):
+        ax.semilogx(lcars, series, marker=".", linewidth=1.2, label=f"{label} global flux")
+    ax.set_xlabel("characteristic element length")
+    ax.set_ylabel("global flux")
+    ax.set_title("flux statistics under mesh refinement (2-gen tree)")
+    ax.legend(frameon=False)
+    ax.grid(alpha=0.4)
+    fig.tight_layout()
+    fig.savefig(outdir / "convergence_flux_tree.png", dpi=150)
 except ImportError:
     pass
