@@ -350,6 +350,34 @@ def main() -> None:
             log(f"mixed serving stage skipped: {e!r}")
             t_pipe_mixed = None
 
+    # --- level-scan serving variant: the shallow λ-elimination levels as
+    # lax.scan loops instead of unrolled per-level kernels (the
+    # launch-bound tail experiment — SolverOptions.level_scan).  Measured
+    # side by side with the default program; NXFX_BENCH_LEVEL_SCAN=0 skips.
+    t_pipe_scan = None
+    if os.environ.get("NXFX_BENCH_LEVEL_SCAN", "1") != "0" and prepare is not None:
+        try:
+            exs = build_schur_executor(
+                asm, SolverOptions(level_scan="on"), outputs="blocks",
+                internal_layout=True,
+            )
+            argss = jax.device_put(exs.prepare_args(*asm.schur_arguments(device=False)))
+            outs0 = exs(*argss)
+            np.asarray(outs0[0][:1, :1])  # warm + sync
+            bests = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outss = [exs(*argss) for _ in range(K_deep)]
+                np.asarray(outss[-1][0][:1, :1])
+                bests = min(bests, (time.perf_counter() - t0) / K_deep)
+            t_pipe_scan = bests
+            log(f"pipelined x{K_deep} level-scan variant: "
+                f"{t_pipe_scan * 1e3:.2f} ms/solve "
+                f"-> {n_dofs / t_pipe_scan:.3e} dofs/s")
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"level-scan stage skipped: {e!r}")
+            t_pipe_scan = None
+
     # --- factor-reuse serving: the KSP/MUMPS factor-reuse analog.  One
     # resistance-side factorization, rhs-only solves pipelined — measures
     # the device-program delta of skipping condensation + d-elimination.
@@ -702,6 +730,9 @@ def main() -> None:
             ),
             "pipelined_factor_reuse_ms_per_solve": (
                 round(t_pipe_factor * 1e3, 3) if t_pipe_factor else None
+            ),
+            "pipelined_level_scan_ms_per_solve": (
+                round(t_pipe_scan * 1e3, 3) if t_pipe_scan else None
             ),
             "baseline": "scipy SuperLU factor+solve of the identical system "
             "(MUMPS stand-in; host-load dependent)",

@@ -2443,6 +2443,215 @@ def _blocked_eliminate(
     return lam_lev, lam, jnp.sqrt(rhs_sq)
 
 
+def _blocked_eliminate_scan(
+    plan: _BlockedPlan,
+    w: jnp.ndarray,
+    const: jnp.ndarray,
+    Ftot: jnp.ndarray,
+    m_cut: int = 1024,
+):
+    """λ elimination with the SHALLOW levels under ``lax.scan``.
+
+    The unrolled elimination emits a few tiny kernels per level; at 16
+    generations the ≤1024-wide levels carry only ~2k elements through
+    ~dozens of launch-bound kernels (the measured serving tail — STATUS
+    round-3 roofline: the device program is dispatch-, not
+    bandwidth-bound).  Here those levels run as two scans (forward, and a
+    reverse scan for back-substitution) over a padded uniform width M =
+    the widest shallow level: every step reads fixed-size dynamic slices
+    of the flat edge arrays directly, so no stacked relayout pass is
+    needed, and the whole shallow tail becomes a handful of fused loop
+    kernels.  Deep levels keep the unrolled full-width program (they are
+    bandwidth-bound and already efficient).
+
+    Numerically equivalent to :func:`_blocked_eliminate` (same folds in
+    the same order, padded lanes carry zeros); pinned by
+    ``tests/test_blocked.py::test_blocked_level_scan_matches_unrolled``.
+    Opt-in via ``SolverOptions(level_scan="on")`` until profiled faster
+    on the target chip.
+    """
+    L = len(plan.levels)
+    levels = plan.levels
+    # shallow prefix: levels with m <= m_cut whose in_parts are uniform
+    # sibling blocks of the parent's width (true for every blocked-
+    # eligible forest); anything else keeps the unrolled path.
+    t = 0
+    while t < L and levels[t].m <= m_cut:
+        if t > 0:
+            mp = levels[t - 1].m
+            parts = levels[t].in_parts
+            if any(wd != mp for _, wd in parts) or len(parts) * mp != levels[t].m:
+                break
+        t += 1
+    if t < 3:
+        return _blocked_eliminate(plan, w, const, Ftot)
+
+    dt = w.dtype
+    M = int(levels[t - 1].m)
+    KI = max(len(lv.in_parts) for lv in levels[1:t])
+    KO = max((len(lv.outs) for lv in levels[1:t]), default=1) or 1
+    cF = const + Ftot
+    zpad = jnp.zeros(M, dt)
+    w_ext = jnp.concatenate([w, zpad])
+    cF_ext = jnp.concatenate([cF, zpad])
+    c_ext = jnp.concatenate([const, zpad])
+    iota = jnp.arange(M)
+
+    # ---------- deep levels: unrolled assembly + recursion down to t
+    d_lev: list = [None] * L
+    wn_lev: list = [None] * L
+    r_lev: list = [None] * L
+    for l in range(t, L):
+        lv = levels[l]
+        d = _parts_concat(w, lv.in_parts)
+        wn_lev[l] = d
+        r = _parts_concat(cF, lv.in_parts)
+        for o, _tb in lv.outs:
+            d = d + jax.lax.slice_in_dim(w, o, o + lv.m)
+            r = r - jax.lax.slice_in_dim(const, o, o + lv.m)
+        d_lev[l], r_lev[l] = d, r
+    rhs_sq = sum(
+        (jnp.sum(r * r) for r in r_lev[t:]), jnp.zeros((), dt)
+    )
+    saved_deep: list = [None] * L
+    upd_d = upd_r = None
+    for l in range(L - 1, t - 1, -1):
+        lv_par = levels[l - 1]
+        m_par = lv_par.m
+        wn = wn_lev[l]
+        factor = wn / d_lev[l]
+        cd = -wn * factor
+        cr = factor * r_lev[l]
+        ud = cd[:m_par]
+        ur = cr[:m_par]
+        for j in range(1, lv_par.n_bif_outs):
+            ud = ud + cd[j * m_par : (j + 1) * m_par]
+            ur = ur + cr[j * m_par : (j + 1) * m_par]
+        saved_deep[l] = (d_lev[l], r_lev[l], wn)
+        if l - 1 >= t:
+            d_lev[l - 1] = d_lev[l - 1] + ud
+            r_lev[l - 1] = r_lev[l - 1] + ur
+        else:
+            upd_d = jnp.zeros(M, dt).at[:m_par].set(ud)
+            upd_r = jnp.zeros(M, dt).at[:m_par].set(ur)
+    if upd_d is None:  # t == L: every level is shallow
+        upd_d = upd_r = jnp.zeros(M, dt)
+
+    # ---------- scan inputs: shallow levels t-1 .. 1 (deepest first)
+    lls = list(range(t - 1, 0, -1))
+    n_s = len(lls)
+    m_arr = np.asarray([levels[l].m for l in lls], np.int32)
+    mp_arr = np.asarray([levels[l - 1].m for l in lls], np.int32)
+    in_off = np.zeros((n_s, KI), np.int32)
+    in_ok = np.zeros((n_s, KI), bool)
+    out_off = np.zeros((n_s, KO), np.int32)
+    out_ok = np.zeros((n_s, KO), bool)
+    for i, l in enumerate(lls):
+        for j, (s, _wd) in enumerate(levels[l].in_parts):
+            in_off[i, j] = s
+            in_ok[i, j] = True
+        for j, (s, _tb) in enumerate(levels[l].outs):
+            out_off[i, j] = s
+            out_ok[i, j] = True
+    xs = (
+        jnp.asarray(m_arr),
+        jnp.asarray(mp_arr),
+        jnp.asarray(in_off),
+        jnp.asarray(in_ok),
+        jnp.asarray(out_off),
+        jnp.asarray(out_ok),
+    )
+
+    def place_parts(vec_ext, offs, oks, mp):
+        """Sibling blocks (width mp each) → one (M,) row.
+
+        Writes run ascending j, so a later window's zero tail never
+        clobbers an earlier part's valid span; invalid slots land at or
+        beyond the level's width (zeros there are inert)."""
+        buf = jnp.zeros(2 * M, dt)
+        pm = (iota < mp).astype(dt)
+        for j in range(KI):
+            part = jax.lax.dynamic_slice(vec_ext, (offs[j],), (M,))
+            part = part * pm * oks[j].astype(dt)
+            buf = jax.lax.dynamic_update_slice(buf, part, (j * mp,))
+        return buf[:M]
+
+    def fwd_body(carry, x):
+        up_d, up_r, acc = carry
+        m, mp, ioff, iok, ooff, ook = x
+        mask = (iota < m).astype(dt)
+        w_in = place_parts(w_ext, ioff, iok, mp)
+        r = place_parts(cF_ext, ioff, iok, mp)
+        d = w_in
+        for j in range(KO):
+            okj = ook[j].astype(dt) * mask
+            d = d + jax.lax.dynamic_slice(w_ext, (ooff[j],), (M,)) * okj
+            r = r - jax.lax.dynamic_slice(c_ext, (ooff[j],), (M,)) * okj
+        acc = acc + jnp.sum(r * r)  # pre-recursion rhs, like the unrolled path
+        d = d + up_d
+        r = r + up_r
+        d = jnp.where(iota < m, d, 1.0)  # padded lanes stay division-safe
+        factor = w_in / d
+        cd_ext = jnp.concatenate([-w_in * factor, zpad])
+        cr_ext = jnp.concatenate([factor * r, zpad])
+        pm = (iota < mp).astype(dt)
+        nd = jnp.zeros(M, dt)
+        nr = jnp.zeros(M, dt)
+        # fold sibling blocks into the parent (the parent's bif-targeting
+        # out slots are exactly this level's in_parts, in order)
+        for j in range(KI):
+            okj = iok[j].astype(dt)
+            nd = nd + jax.lax.dynamic_slice(cd_ext, (j * mp,), (M,)) * pm * okj
+            nr = nr + jax.lax.dynamic_slice(cr_ext, (j * mp,), (M,)) * pm * okj
+        return (nd, nr, acc), (d, r, w_in)
+
+    (fin_d, fin_r, rhs_sq), ys = jax.lax.scan(
+        fwd_body, (upd_d, upd_r, rhs_sq), xs
+    )
+
+    # ---------- level 0 (roots): assembled unrolled, closed by the carry
+    lv0 = levels[0]
+    m0 = lv0.m
+    w0 = _parts_concat(w, lv0.in_parts)
+    r0 = _parts_concat(cF, lv0.in_parts)
+    d0 = w0
+    for o, _tb in lv0.outs:
+        d0 = d0 + jax.lax.slice_in_dim(w, o, o + m0)
+        r0 = r0 - jax.lax.slice_in_dim(const, o, o + m0)
+    rhs_sq = rhs_sq + jnp.sum(r0 * r0)
+    d0 = d0 + fin_d[:m0]
+    r0 = r0 + fin_r[:m0]
+    lam0 = r0 / d0
+
+    # ---------- back-substitution: reverse scan (shallowest level first)
+    def bwd_body(lam_par, x_ys):
+        (m, mp, ioff, iok, ooff, ook), (d, r, w_in) = x_ys
+        del ioff, ooff, ook
+        lp = lam_par * (iota < mp).astype(dt)
+        buf = jnp.zeros(2 * M, dt)
+        for j in range(KI):
+            buf = jax.lax.dynamic_update_slice(buf, lp, (j * mp,))
+        lam_l = (r + w_in * buf[:M]) / d  # padded lanes: 0/1 == 0
+        return lam_l, lam_l
+
+    lam_init = jnp.zeros(M, dt).at[:m0].set(lam0)
+    _last, lam_rows = jax.lax.scan(bwd_body, lam_init, (xs, ys), reverse=True)
+
+    lam_lev: list = [None] * L
+    lam_lev[0] = lam0
+    for i, l in enumerate(lls):
+        lam_lev[l] = lam_rows[i][: levels[l].m]
+    for l in range(t, L):
+        lv_par = levels[l - 1]
+        nb = lv_par.n_bif_outs
+        lp_ = lam_lev[l - 1]
+        lam_par = lp_ if nb == 1 else jnp.concatenate([lp_] * nb)
+        db, rb, wn = saved_deep[l]
+        lam_lev[l] = (rb + wn * lam_par) / db
+    lam = lam_lev[0] if L == 1 else jnp.concatenate(lam_lev)
+    return lam_lev, lam, jnp.sqrt(rhs_sq)
+
+
 def _blocked_lambda_to_edges(
     plan: _BlockedPlan, lam_lev: list, dt, lam_root_src: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -2623,6 +2832,7 @@ def _blocked_uniform_solve(
     end_pbc: jnp.ndarray,
     R_mode: str,
     f_mode: str,
+    level_scan: bool = False,
 ):
     """Fused condense→eliminate→back-substitute in the blocked layout.
 
@@ -2651,7 +2861,8 @@ def _blocked_uniform_solve(
     t_b = jnp.asarray(plan.t_is_bif)
     const = (-start_pbc * (~s_b) + end_pbc * (~t_b) - g) * w
 
-    lam_lev, lam, rhs_norm = _blocked_eliminate(plan, w, const, Ftot)
+    eliminate = _blocked_eliminate_scan if level_scan else _blocked_eliminate
+    lam_lev, lam, rhs_norm = eliminate(plan, w, const, Ftot)
     lam_s, lam_t = _blocked_lambda_to_edges(plan, lam_lev, dt)
 
     r0 = jnp.where(s_b, lam_s, -start_pbc)
@@ -3414,7 +3625,8 @@ def build_schur_executor(
             start_pbc = jnp.asarray(start_pbc, dtype=comp_dt)
             end_pbc = jnp.asarray(end_pbc, dtype=comp_dt)
             q_T, p_T, lam, rhs_norm, finite = _blocked_uniform_solve(
-                asm, plan, arg0, arg1, start_pbc, end_pbc, R_mode, f_mode
+                asm, plan, arg0, arg1, start_pbc, end_pbc, R_mode, f_mode,
+                level_scan=(opts.level_scan == "on"),
             )
             iters = jnp.zeros((), dtype=jnp.int32)
             residual = jnp.zeros((), dtype=comp_dt)

@@ -77,6 +77,15 @@ class SolverOptions:
             tuned on capillary-mesh lattices (grid-independent ~13–16 PCG
             iterations at 128²–512²; see ``tests/test_krylov.py``) and
             keeps the preconditioner symmetric.  1.0 disables it.
+        level_scan: ``"on"`` runs the blocked forest λ elimination's
+            SHALLOW levels (the launch-bound tail: levels 0..t with ≤ 1024
+            multipliers each, ~1–2k elements total) as three ``lax.scan``
+            loops over a padded uniform layout instead of per-level
+            unrolled kernels — fewer, fatter device launches at the cost
+            of touching the pad width every step.  Numerically identical
+            (pinned by tests); ``"off"`` (default) keeps the unrolled
+            program.  A perf experiment toggle: flip after profiling on
+            the target chip.
     """
 
     method: str = "auto"
@@ -91,6 +100,7 @@ class SolverOptions:
     monitor: bool = False
     dtype: str = "float64"
     output_dtype: str = "same"
+    level_scan: str = "off"
 
     def __post_init__(self) -> None:
         # Validate eagerly: several of these only steer rarely-traced
@@ -105,6 +115,7 @@ class SolverOptions:
         _check(self.cg_precond, "cg_precond", ("auto", "mg", "chebyshev", "jacobi"))
         _check(self.dtype, "dtype", ("float64", "float32"))
         _check(self.output_dtype, "output_dtype", ("same", "float64", "float32"))
+        _check(self.level_scan, "level_scan", ("off", "on"))
         if self.cheb_degree < 1:
             raise ValueError(f"cheb_degree must be >= 1, got {self.cheb_degree}")
         if self.mg_overcorrect <= 0:

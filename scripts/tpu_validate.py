@@ -279,6 +279,20 @@ errg = float(np.max(np.abs(xg - refg)) / max(1.0, np.abs(refg).max()))
 check("factor-reuse-pairs", errf < 1e-11 and errg < 1e-10,
       f"forest={errf:.1e} lattice={errg:.1e}")
 
+# 20b. level-scan elimination variant == unrolled, on the chip
+a_sc = HydraulicNetworkAssembler(m5)
+R_sc = np.linspace(0.5, 2.0, m5.num_edges)
+a_sc.compute_forms(p_bc_ex=lambda x: x[1], f=0.4, R=R_sc)
+s_sc = Solver(a_sc, options=SolverOptions(level_scan="on"))
+s_sc.assemble(); s_sc.solve()
+x_sc = np.asarray(s_sc.solution_vector())
+a_un = HydraulicNetworkAssembler(m5)
+a_un.compute_forms(p_bc_ex=lambda x: x[1], f=0.4, R=R_sc)
+s_un = Solver(a_un); s_un.assemble(); s_un.solve()
+x_un = np.asarray(s_un.solution_vector())
+err_sc = float(np.max(np.abs(x_sc - x_un)) / max(1.0, np.abs(x_un).max()))
+check("level-scan-vs-unrolled", err_sc < 1e-12, f"err={err_sc:.1e}")
+
 # 20. unstructured sparse cycle-core elimination (MUMPS-generality path)
 from networks_fenicsx_tpu.network_generation import make_random_network
 from networks_fenicsx_tpu.solver import _plan_tree_elimination, attach_core_plan

@@ -394,3 +394,80 @@ def test_blocked_factorization_solve_batch():
             np.testing.assert_allclose(
                 np.asarray(a[i]), np.asarray(b), atol=1e-14
             )
+
+
+@pytest.mark.parametrize("gens,N,K", [(6, 3, 2), (8, 1, 2), (4, 2, 3)])
+def test_blocked_level_scan_matches_unrolled(gens, N, K):
+    """SolverOptions(level_scan='on') runs the shallow elimination levels
+    under lax.scan over a padded uniform layout — numerically equivalent
+    to the unrolled per-level program (the launch-bound serving tail
+    experiment; see _blocked_eliminate_scan)."""
+    if K == 2:
+        G = network_generation.make_tree(gens, 1.0, 2.0)
+    else:
+        G = _kary_tree(K, gens)
+    mesh = NetworkMesh(G, N=N, color_strategy="fast")
+    rng = np.random.default_rng(7)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    f = rng.uniform(-1.0, 1.0, mesh.num_edges)
+
+    xs = []
+    for mode in ("off", "on"):
+        asm = HydraulicNetworkAssembler(mesh)
+        asm.compute_forms(p_bc_ex=lambda x: x[1], f=f, R=R)
+        s = Solver(asm, options=SolverOptions(level_scan=mode))
+        s.assemble()
+        s.solve()
+        assert s.info.converged
+        xs.append(np.asarray(s.solution_vector()))
+    scale = max(1.0, np.abs(xs[0]).max())
+    np.testing.assert_allclose(xs[1], xs[0], atol=1e-12 * scale)
+
+
+def test_blocked_level_scan_small_m_cut():
+    """Force a tiny m_cut so several levels go through the scan even on a
+    small tree, and compare the eliminate variants directly."""
+    from networks_fenicsx_tpu.solver import (
+        _blocked_condense,
+        _blocked_eliminate,
+        _blocked_eliminate_scan,
+        _plan_blocked,
+    )
+    import jax.numpy as jnp
+
+    G = network_generation.make_tree(7, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(3)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=0.3, R=R)
+    plan = _plan_blocked(asm)
+    assert plan is not None
+    E = mesh.num_edges
+    h_e = np.asarray(mesh.edge_length)[plan.edge_order] / mesh.N
+    W, g, Ftot, _back = _blocked_condense(
+        mesh.N, E, jnp.asarray(h_e),
+        jnp.asarray(R[plan.edge_order]),
+        jnp.asarray(np.full(E, 0.3)[plan.edge_order]),
+        "edge", "edge", k=1,
+    )
+    w = 1.0 / W
+    s_b = jnp.asarray(plan.s_is_bif)
+    t_b = jnp.asarray(plan.t_is_bif)
+    sp = jnp.asarray(np.asarray(asm._edge_start_pbc)[plan.edge_order])
+    ep = jnp.asarray(np.asarray(asm._edge_end_pbc)[plan.edge_order])
+    const = (-sp * (~s_b) + ep * (~t_b) - g) * w
+
+    lam_lev_a, lam_a, rn_a = _blocked_eliminate(plan, w, const, Ftot)
+    for m_cut in (4, 16, 1 << 30):
+        lam_lev_b, lam_b, rn_b = _blocked_eliminate_scan(
+            plan, w, const, Ftot, m_cut=m_cut
+        )
+        np.testing.assert_allclose(
+            np.asarray(lam_b), np.asarray(lam_a), atol=1e-13
+        )
+        np.testing.assert_allclose(float(rn_b), float(rn_a), rtol=1e-12)
+        for la, lb in zip(lam_lev_a, lam_lev_b):
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(la), atol=1e-13
+            )
