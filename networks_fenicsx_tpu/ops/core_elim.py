@@ -40,7 +40,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CoreElimPlan", "plan_core_elimination", "core_eliminate"]
+__all__ = [
+    "CoreElimPlan",
+    "plan_core_elimination",
+    "core_eliminate",
+    "_core_factor",
+    "_core_apply",
+]
 
 
 class _Round(typing.NamedTuple):
@@ -228,19 +234,16 @@ def plan_core_elimination(
     )
 
 
-def core_eliminate(
-    plan: CoreElimPlan, dc: jnp.ndarray, rc: jnp.ndarray, w_pairs: jnp.ndarray
-) -> jnp.ndarray:
-    """Numeric phase: solve the core system ``(diag dc, offdiag −w) λ = rc``.
+def _core_factor(
+    plan: CoreElimPlan, dc: jnp.ndarray, w_pairs: jnp.ndarray
+) -> dict:
+    """Conductance-side half: value elimination + dense-tail Cholesky.
 
-    ``dc``/``rc`` are the core-rank diagonal/rhs with all peeled
-    contributions folded in; ``w_pairs`` the aggregated per-pair
-    conductances (callers may have psum-reduced them).  Returns ``λ_core``
-    (non-finite when the dense tail detects singularity, matching the
-    dense core path's convention).
+    Depends on the core diagonal ``dc`` and per-pair conductances only —
+    the reusable factorization (MUMPS-factor analog).  Returns a device
+    pytree consumed by :func:`_core_apply` per right-hand side.
     """
-    dtype = rc.dtype
-    Bc = plan.n_core
+    dtype = dc.dtype
     # value slots: matrix off-diagonals (initially −w of the core pairs);
     # one trailing ZERO cell backs padded gathers and is never written.
     vals = jnp.zeros(plan.n_slots + 1, dtype)
@@ -249,29 +252,18 @@ def core_eliminate(
             -w_pairs[jnp.asarray(plan.init_slot)]
         )
     d = dc
-    r = rc
-    saved = []
+    rounds: list = []
     for rd in plan.rounds:
         e = jnp.asarray(rd.elim)
         a = vals[jnp.asarray(rd.nbr_slot)]  # (S, K); pads read the zero cell
-        dv = d[e]
-        inv = 1.0 / dv
+        inv = 1.0 / d[e]
         ainv = a * inv[:, None]
-        rv = r[e]
-        # neighbour diagonal + rhs updates (host-pre-aggregated segments)
-        d_src = jnp.asarray(rd.d_src)
-        d_seg = jnp.asarray(rd.d_seg)
-        d_tgt = jnp.asarray(rd.d_tgt)
         if rd.d_src.size:
-            aa = (a * ainv).reshape(-1)[d_src]
-            rr = (ainv * rv[:, None]).reshape(-1)[d_src]
-            d = d.at[d_tgt].add(
-                -jax.ops.segment_sum(aa, d_seg, num_segments=rd.d_tgt.size),
-                indices_are_sorted=True,
-                unique_indices=True,
-            )
-            r = r.at[d_tgt].add(
-                -jax.ops.segment_sum(rr, d_seg, num_segments=rd.d_tgt.size),
+            aa = (a * ainv).reshape(-1)[jnp.asarray(rd.d_src)]
+            d = d.at[jnp.asarray(rd.d_tgt)].add(
+                -jax.ops.segment_sum(
+                    aa, jnp.asarray(rd.d_seg), num_segments=rd.d_tgt.size
+                ),
                 indices_are_sorted=True,
                 unique_indices=True,
             )
@@ -287,9 +279,9 @@ def core_eliminate(
                 indices_are_sorted=True,
                 unique_indices=True,
             )
-        saved.append((e, jnp.asarray(rd.nbr_node), a, inv, rv))
+        rounds.append((a, inv))
 
-    lam = jnp.zeros(Bc + 1, dtype)  # +1: padded neighbour reads
+    state: dict = {"rounds": tuple(rounds)}
     if plan.dense_nodes.size:
         dn = jnp.asarray(plan.dense_nodes)
         Bd = int(plan.dense_nodes.size)
@@ -305,6 +297,41 @@ def core_eliminate(
         dscale = jnp.sqrt(jnp.diagonal(Lc))
         Ls = (Lc / dscale[:, None]) / dscale[None, :]
         chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
+        piv = jnp.diagonal(chol).astype(dtype)
+        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
+        state.update(Lc=Lc, chol=chol, dscale=dscale, ok=ok)
+    return state
+
+
+def _core_apply(
+    plan: CoreElimPlan, state: dict, rc: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-rhs half: forward rhs sweeps, dense-tail solve, back-substitution."""
+    dtype = rc.dtype
+    Bc = plan.n_core
+    r = rc
+    saved: list = []
+    for rd, (a, inv) in zip(plan.rounds, state["rounds"]):
+        e = jnp.asarray(rd.elim)
+        rv = r[e]
+        if rd.d_src.size:
+            ainv = a * inv[:, None]
+            rr = (ainv * rv[:, None]).reshape(-1)[jnp.asarray(rd.d_src)]
+            r = r.at[jnp.asarray(rd.d_tgt)].add(
+                -jax.ops.segment_sum(
+                    rr, jnp.asarray(rd.d_seg), num_segments=rd.d_tgt.size
+                ),
+                indices_are_sorted=True,
+                unique_indices=True,
+            )
+        saved.append((e, jnp.asarray(rd.nbr_node), a, inv, rv))
+
+    lam = jnp.zeros(Bc + 1, dtype)  # +1: padded neighbour reads
+    if plan.dense_nodes.size:
+        dn = jnp.asarray(plan.dense_nodes)
+        Lc, chol, dscale, ok = (
+            state["Lc"], state["chol"], state["dscale"], state["ok"]
+        )
 
         def solve_scaled(rv_):
             y = jax.scipy.linalg.cho_solve(
@@ -316,8 +343,6 @@ def core_eliminate(
         lam_d = solve_scaled(rc_d)
         for _ in range(3):
             lam_d = lam_d + solve_scaled(rc_d - Lc @ lam_d)
-        piv = jnp.diagonal(chol).astype(dtype)
-        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
         lam_d = jnp.where(ok, lam_d, jnp.nan)
         lam = lam.at[dn].set(lam_d)
 
@@ -329,3 +354,19 @@ def core_eliminate(
             unique_indices=True,
         )
     return lam[:Bc]
+
+
+def core_eliminate(
+    plan: CoreElimPlan, dc: jnp.ndarray, rc: jnp.ndarray, w_pairs: jnp.ndarray
+) -> jnp.ndarray:
+    """Numeric phase: solve the core system ``(diag dc, offdiag −w) λ = rc``.
+
+    ``dc``/``rc`` are the core-rank diagonal/rhs with all peeled
+    contributions folded in; ``w_pairs`` the aggregated per-pair
+    conductances (callers may have psum-reduced them).  Returns ``λ_core``
+    (non-finite when the dense tail detects singularity, matching the
+    dense core path's convention).  Internally split into
+    :func:`_core_factor` (conductance side) and :func:`_core_apply`
+    (per rhs) so factor-reuse serving shares the exact same formulas.
+    """
+    return _core_apply(plan, _core_factor(plan, dc, w_pairs), rc)

@@ -172,18 +172,19 @@ class Solver:
         R_data = asm.schur_arguments(device=False)[0]
         digest = hashlib.sha1(np.ascontiguousarray(R_data).tobytes()).digest()
         fac = None
-        try:
-            fac = BlockedFactorization(asm, self._options)
-        except ValueError:
+        for cls in (BlockedFactorization, GridFactorization, TreeFactorization):
             try:
-                fac = GridFactorization(asm, self._options)
+                fac = cls(asm, self._options)
+                break
             except ValueError:
-                pass
+                continue
         if fac is None:
             raise ValueError(
-                "factorize() requires a blocked-eligible forest or a "
-                "uniform-lattice topology (the fused path keeps serving "
-                "everything else)"
+                "factorize() requires scalar/per-edge/per-cell coefficients "
+                "and a topology the direct paths serve (uniformly-K-ary "
+                "forest, uniform lattice, or the general peel-then-core "
+                "plan — quad-mode callables and fill-budget-breaching "
+                "cores stay on the fused path)"
             )
         self._factorization = (
             fac, fac.factor(R_data), digest, asm.coefficient_modes(),
@@ -3266,6 +3267,175 @@ def build_grid_factorization(
     return GridFactorization(asm, opts)
 
 
+class TreeFactorization:
+    """Factor-reuse serving pair for ANY topology (peel-then-core path).
+
+    The general-topology completion of :class:`BlockedFactorization` /
+    :class:`GridFactorization` — the full MUMPS factor-reuse contract
+    (the reference's KSP retains the factorization across solves,
+    reference ``solver.py:58-65``) on arbitrary networks: :meth:`factor`
+    runs the resistance-side work once (condensed conductances, per-pair
+    aggregation, the peeled diagonal eliminations, and the cycle-core
+    factorization — sparse minimum-degree value elimination or dense
+    Cholesky), :meth:`solve` only the rhs half.  Solution blocks come
+    back in PUBLIC edge order (no internal layout / permutation).
+    """
+
+    def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
+                 opts: "SolverOptions | None" = None):
+        R_mode, f_mode, _ = asm.coefficient_modes()
+        if R_mode not in ("scalar", "edge", "cell") or f_mode not in (
+            "scalar", "edge", "cell"
+        ):
+            raise ValueError(
+                "TreeFactorization requires scalar/per-edge/per-cell "
+                "coefficients (quad-mode callables stay on the fused path)"
+            )
+        plan = _plan_tree_elimination(asm)
+        if plan is None:
+            raise ValueError("TreeFactorization requires multipliers (B > 0)")
+        if plan.core_size > 512:
+            plan = attach_core_plan(plan)
+        if plan.core_size > 4096 and plan.core_plan is None:
+            raise ValueError(
+                "cycle core too large for the tree factorization (the "
+                "sparse-elimination fill budget was exceeded; the fused "
+                "dense/CG path keeps serving it)"
+            )
+        opts = opts or SolverOptions()
+        self._asm = asm
+        self._plan = plan
+        self._R_mode, self._f_mode = R_mode, f_mode
+        mesh = asm.network
+        self._N, self._E, self._k = mesh.N, mesh.num_edges, asm.flux_degree
+        N, E, k = self._N, self._E, self._k
+        comp_dt = jnp.float32 if opts.dtype == "float32" else jnp.float64
+        B = mesh.num_multipliers
+        h_e = jnp.asarray(np.asarray(mesh.edge_length), dtype=comp_dt) / N
+        s_bif = np.asarray(asm._edge_start_bif)
+        t_bif = np.asarray(asm._edge_end_bif)
+        s_b = jnp.asarray(s_bif >= 0)
+        t_b = jnp.asarray(t_bif >= 0)
+        s_idx = jnp.asarray(np.where(s_bif >= 0, s_bif, 0))
+        t_idx = jnp.asarray(np.where(t_bif >= 0, t_bif, 0))
+        s_pad = jnp.asarray(np.where(s_bif >= 0, s_bif, B))
+        t_pad = jnp.asarray(np.where(t_bif >= 0, t_bif, B))
+        P = plan.pair_nodes.shape[0]
+        ep_sel = np.flatnonzero(plan.edge_pair >= 0)
+        ep_ids = plan.edge_pair[ep_sel]
+
+        def factor_fn(R_data):
+            R_data = jnp.asarray(R_data, dtype=comp_dt)
+            W, a1, a2 = _blocked_condense_R(N, E, h_e, R_data, R_mode, k)
+            w = 1.0 / W
+            diag = jnp.zeros(B, comp_dt)
+            diag = diag.at[t_idx].add(jnp.where(t_b, w, 0.0))
+            diag = diag.at[s_idx].add(jnp.where(s_b, w, 0.0))
+            if P:
+                w_pairs = jnp.zeros(P, comp_dt).at[jnp.asarray(ep_ids)].add(
+                    w[jnp.asarray(ep_sel)]
+                )
+            else:
+                w_pairs = jnp.zeros(0, comp_dt)
+            tree_state = _tree_eliminate_factor(plan, diag, w_pairs)
+            return {"W": W, "w": w, "a1": a1, "a2": a2, "tree": tree_state}
+
+        def solve_fn(state, f_data, spbc, epbc):
+            f_data = jnp.asarray(f_data, dtype=comp_dt)
+            spbc = jnp.asarray(spbc, dtype=comp_dt)
+            epbc = jnp.asarray(epbc, dtype=comp_dt)
+            g, Ftot, back = _blocked_condense_f(
+                N, E, h_e, f_data, f_mode, state["a1"], state["a2"], k
+            )
+            w = state["w"]
+            const = (-spbc * (~s_b) + epbc * (~t_b) - g) * w
+            rhs = jnp.zeros(B, comp_dt)
+            rhs = rhs.at[t_idx].add(jnp.where(t_b, const + Ftot, 0.0))
+            rhs = rhs.at[s_idx].add(jnp.where(s_b, -const, 0.0))
+            lam = _tree_eliminate_apply(plan, state["tree"], rhs)
+            lam_pad = jnp.concatenate([lam, jnp.zeros(1, comp_dt)])
+            r0 = jnp.where(s_b, lam_pad[s_pad], -spbc)
+            rN = jnp.where(t_b, -lam_pad[t_pad], epbc)
+            q0 = (r0 + rN - g) * w
+            q_T, p_T = back(q0, r0)
+            finite = (
+                jnp.all(jnp.isfinite(q0))
+                & jnp.all(jnp.isfinite(r0))
+                & jnp.all(jnp.isfinite(lam))
+                & jnp.all(jnp.isfinite(state["W"]))
+                & jnp.all(jnp.isfinite(g))
+                & jnp.all(jnp.isfinite(Ftot))
+            )
+            return q_T, p_T, lam, jnp.linalg.norm(rhs), finite
+
+        self._factor_fn = jax.jit(factor_fn)
+        self._solve_fn = jax.jit(solve_fn)
+        self._solve_batch_fn = jax.jit(
+            jax.vmap(solve_fn, in_axes=(None, 0, 0, 0))
+        )
+
+    def _prep_coeff(self, arr, mode):
+        a = np.asarray(arr)
+        if mode == "cell":
+            # (C,) public cell order -> (N, E) j-major blocks
+            return np.ascontiguousarray(a.reshape(self._E, self._N).T)
+        return a
+
+    def factor(self, R_data):
+        """Resistance-side factorization (device pytree, reusable)."""
+        return self._factor_fn(self._prep_coeff(R_data, self._R_mode))
+
+    def solve(self, state, f_data, start_pbc, end_pbc):
+        """Solve against a cached factor for one rhs (f, boundary p)."""
+        return self._solve_fn(
+            state,
+            self._prep_coeff(f_data, self._f_mode),
+            np.asarray(start_pbc),
+            np.asarray(end_pbc),
+        )
+
+    def solve_batch(self, state, f_batch, start_pbc_batch, end_pbc_batch):
+        """Vmapped rhs sweep against one cached factor."""
+        f_rows = np.stack(
+            [self._prep_coeff(fb, self._f_mode) for fb in np.asarray(f_batch)]
+        )
+        return self._solve_batch_fn(
+            state,
+            f_rows,
+            np.asarray(start_pbc_batch),
+            np.asarray(end_pbc_batch),
+        )
+
+    def prepare_rhs(self, f_data, start_pbc, end_pbc):
+        """Device-resident rhs args for :meth:`solve_prepared`."""
+        return (
+            jnp.asarray(self._prep_coeff(f_data, self._f_mode)),
+            jnp.asarray(np.asarray(start_pbc)),
+            jnp.asarray(np.asarray(end_pbc)),
+        )
+
+    def solve_prepared(self, state, rhs_args):
+        """Solve against a cached factor with :meth:`prepare_rhs` args."""
+        return self._solve_fn(state, *rhs_args)
+
+    def solution_vector(self, out) -> np.ndarray:
+        """Global flat block vector from a :meth:`solve` result."""
+        q_T, p_T, lam = out[0], out[1], out[2]
+        return _flatten_blocks_host(
+            q_T, p_T, lam, self._asm.network.edge_color,
+            edge_order=None, bif_order=None,
+        )
+
+
+def build_tree_factorization(
+    asm: _assembly.HydraulicNetworkAssembler,
+    opts: "SolverOptions | None" = None,
+) -> TreeFactorization:
+    """Factor/solve pair for fixed-resistance serving on ANY topology
+    (see :class:`TreeFactorization`)."""
+    return TreeFactorization(asm, opts)
+
+
 def _tree_schur_solve(
     plan: _TreePlan,
     diag: jnp.ndarray,
@@ -3295,22 +3465,34 @@ def _tree_eliminate(
 ) -> jnp.ndarray:
     """Forward-eliminate and back-substitute along the static peel order,
     given aggregated per-pair conductances (callers may psum these across
-    devices)."""
+    devices).  Internally split into the conductance-side factor and the
+    per-rhs apply so factor-reuse serving (:class:`TreeFactorization`)
+    shares the exact same formulas."""
+    return _tree_eliminate_apply(
+        plan, _tree_eliminate_factor(plan, diag, w_pairs), rhs
+    )
+
+
+def _tree_eliminate_factor(
+    plan: _TreePlan, diag: jnp.ndarray, w_pairs: jnp.ndarray
+) -> dict:
+    """Conductance-side half of the peel-then-core elimination.
+
+    Eliminated diagonals + per-round factors, plus the core factorization
+    (sparse value elimination or dense Cholesky) — everything that depends
+    on the resistance data only (the MUMPS-factor analog)."""
     P = plan.pair_nodes.shape[0]
     d = diag
-    r = rhs
-    saved = []
+    rounds: list = []
     for elim, parents, pair_ids in plan.rounds:
         e = jnp.asarray(elim)  # host-sorted ascending, unique
         par = jnp.asarray(parents)
         has_par = par >= 0
-        par_safe = jnp.where(has_par, par, 0)
         if P > 0:
             w = jnp.where(has_par, w_pairs[jnp.where(pair_ids >= 0, pair_ids, 0)], 0.0)
         else:
             w = jnp.zeros(elim.shape[0], dtype=diag.dtype)
         db = d[e]
-        rb = r[e]
         factor = w / db
         # Scatter-add the parent updates.  Siblings duplicate parents, so
         # pre-aggregate onto the host-computed sorted-unique parent list —
@@ -3322,31 +3504,27 @@ def _tree_eliminate(
             d_contrib = jax.ops.segment_sum(
                 (-w * factor)[sel], inv_d, num_segments=upar.size
             )
-            r_contrib = jax.ops.segment_sum(
-                (factor * rb)[sel], inv_d, num_segments=upar.size
+            d = d.at[jnp.asarray(upar)].add(
+                d_contrib, indices_are_sorted=True, unique_indices=True
             )
-            up = jnp.asarray(upar)
-            d = d.at[up].add(d_contrib, indices_are_sorted=True, unique_indices=True)
-            r = r.at[up].add(r_contrib, indices_are_sorted=True, unique_indices=True)
-        saved.append((e, par_safe, has_par, w, db, rb))
+        rounds.append((w, db, factor))
 
-    lam = jnp.zeros_like(rhs)
+    state: dict = {"rounds": tuple(rounds)}
     if plan.core_size > 0 and plan.core_plan is not None:
         # Sparse elimination of the cycle core (ops/core_elim.py): exact
         # host-planned min-degree rounds — the MUMPS-generality path for
         # large unstructured cores (reference solver.py:62).
-        from .ops.core_elim import core_eliminate
+        from .ops.core_elim import _core_factor
 
         cn = jnp.asarray(plan.core_nodes)
-        lam_core = core_eliminate(plan.core_plan, d[cn], r[cn], w_pairs)
-        lam = lam.at[cn].set(lam_core)
+        state["core"] = _core_factor(plan.core_plan, d[cn], w_pairs)
     elif plan.core_size > 0:
-        # Dense solve on the residual cycle core: peeled diagonals/rhs are
-        # already folded into d, r; off-diagonals are the original core
-        # pair conductances (mixed-precision Cholesky like the dense path).
+        # Dense factor of the residual cycle core: peeled diagonals are
+        # already folded into d; off-diagonals are the original core pair
+        # conductances (mixed-precision Cholesky like the dense path).
         cn = jnp.asarray(plan.core_nodes)
         Bc = plan.core_size
-        Lc = jnp.zeros((Bc, Bc), dtype=rhs.dtype)
+        Lc = jnp.zeros((Bc, Bc), dtype=diag.dtype)
         Lc = Lc.at[jnp.arange(Bc), jnp.arange(Bc)].add(d[cn])
         if plan.core_pairs.shape[0] > 0:
             ci = jnp.asarray(plan.core_pairs[:, 0])
@@ -3357,6 +3535,48 @@ def _tree_eliminate(
         dscale = jnp.sqrt(jnp.diagonal(Lc))
         Ls = (Lc / dscale[:, None]) / dscale[None, :]
         chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
+        piv = jnp.diagonal(chol).astype(diag.dtype)
+        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
+        state["core_dense"] = {"Lc": Lc, "chol": chol, "dscale": dscale, "ok": ok}
+    return state
+
+
+def _tree_eliminate_apply(
+    plan: _TreePlan, state: dict, rhs: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-rhs half: forward rhs sweeps, core solve, back-substitution."""
+    r = rhs
+    saved = []
+    for (elim, parents, _pair_ids), (w, db, factor) in zip(
+        plan.rounds, state["rounds"]
+    ):
+        e = jnp.asarray(elim)
+        par = jnp.asarray(parents)
+        has_par = par >= 0
+        par_safe = jnp.where(has_par, par, 0)
+        rb = r[e]
+        upar, inv = np.unique(parents[parents >= 0], return_inverse=True)
+        if upar.size:
+            sel = jnp.asarray(np.flatnonzero(parents >= 0))
+            r_contrib = jax.ops.segment_sum(
+                (factor * rb)[sel], jnp.asarray(inv), num_segments=upar.size
+            )
+            r = r.at[jnp.asarray(upar)].add(
+                r_contrib, indices_are_sorted=True, unique_indices=True
+            )
+        saved.append((e, par_safe, has_par, w, db, rb))
+
+    lam = jnp.zeros_like(rhs)
+    if plan.core_size > 0 and plan.core_plan is not None:
+        from .ops.core_elim import _core_apply
+
+        cn = jnp.asarray(plan.core_nodes)
+        lam_core = _core_apply(plan.core_plan, state["core"], r[cn])
+        lam = lam.at[cn].set(lam_core)
+    elif plan.core_size > 0:
+        cn = jnp.asarray(plan.core_nodes)
+        cd = state["core_dense"]
+        Lc, chol, dscale, ok = cd["Lc"], cd["chol"], cd["dscale"], cd["ok"]
 
         def solve_scaled(rv):
             y = jax.scipy.linalg.cho_solve((chol, True), (rv / dscale).astype(jnp.float32))
@@ -3366,8 +3586,6 @@ def _tree_eliminate(
         lam_core = solve_scaled(rc)
         for _ in range(3):
             lam_core = lam_core + solve_scaled(rc - Lc @ lam_core)
-        piv = jnp.diagonal(chol).astype(rhs.dtype)
-        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
         lam_core = jnp.where(ok, lam_core, jnp.nan)
         lam = lam.at[cn].set(lam_core)
     for e, par_safe, has_par, w, db, rb in reversed(saved):

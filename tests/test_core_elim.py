@@ -203,3 +203,77 @@ def test_sparse_core_10k_junctions_beats_dense():
     spla.splu(A).solve(np.asarray(asm._b_host))
     t_lu = time.time() - t0
     assert t_schur < t_lu, (t_schur, t_lu)
+
+
+def test_tree_factorization_unstructured_web():
+    """Factor-reuse serving on an arbitrary topology: TreeFactorization
+    (peel rounds + sparse core, conductance side cached) re-solves
+    rhs-only and matches the fused solve and host LU; Solver.factorize
+    routes it when the blocked/DCT envelopes don't apply."""
+    from networks_fenicsx_tpu.solver import build_tree_factorization
+
+    G = network_generation.make_random_network(700, keep=0.55, seed=21)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    rng = np.random.default_rng(9)
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 3.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    f0 = rng.uniform(-1.0, 1.0, E)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=f0, R=R)
+
+    fac = build_tree_factorization(asm)
+    state = fac.factor(R)
+    args = asm.schur_arguments(device=False)
+    out = fac.solve(state, args[1], args[2], args[3])
+    x = fac.solution_vector(out)
+
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    scale = max(1.0, np.abs(refv).max())
+    np.testing.assert_allclose(x, refv, atol=1e-10 * scale)
+
+    # rhs-only re-solve against the same factor (new f and p_bc)
+    f1 = rng.uniform(-1.0, 1.0, E)
+    asm.compute_forms(p_bc_ex=lambda x: 3.0 * x[1], f=f1, R=R)
+    args1 = asm.schur_arguments(device=False)
+    out1 = fac.solve(state, args1[1], args1[2], args1[3])
+    x1 = fac.solution_vector(out1)
+    ref1 = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref1.solve()
+    ref1v = np.asarray(ref1.solution_vector())
+    np.testing.assert_allclose(
+        x1, ref1v, atol=1e-10 * max(1.0, np.abs(ref1v).max())
+    )
+
+    # batched rhs sweep against one factor
+    S = 3
+    fb = rng.uniform(-1.0, 1.0, (S, E))
+    spb = np.broadcast_to(args1[2], (S, E)).copy()
+    epb = np.broadcast_to(args1[3], (S, E)).copy()
+    outb = fac.solve_batch(state, fb, spb, epb)
+    for i in range(S):
+        asm.compute_forms(p_bc_ex=lambda x: 3.0 * x[1], f=fb[i], R=R)
+        ref_i = Solver(asm, options=SolverOptions(method="host_lu"))
+        ref_i.solve()
+        ref_iv = np.asarray(ref_i.solution_vector())
+        got_i = fac.solution_vector([o[i] for o in outb])
+        np.testing.assert_allclose(
+            got_i, ref_iv, atol=1e-10 * max(1.0, np.abs(ref_iv).max())
+        )
+
+    # Solver.factorize routes the tree factorization for this topology
+    asm2 = HydraulicNetworkAssembler(mesh)
+    asm2.compute_forms(p_bc_ex=lambda x: x[0], f=f0, R=R)
+    s2 = Solver(asm2)
+    s2.factorize()
+    asm2.compute_forms(p_bc_ex=lambda x: x[0] - x[1], f=f1, R=R)
+    s2.solve()
+    assert s2.info.method == "schur_factorized"
+    ref2 = Solver(asm2, options=SolverOptions(method="host_lu"))
+    ref2.solve()
+    ref2v = np.asarray(ref2.solution_vector())
+    got2 = np.asarray(s2.solution_vector())
+    np.testing.assert_allclose(
+        got2, ref2v, atol=1e-10 * max(1.0, np.abs(ref2v).max())
+    )

@@ -541,15 +541,28 @@ def test_solver_factorize_reuse_and_fallback():
     ref = np.asarray(ref_solver.solution_vector())
     got = np.asarray(solver.solution_vector())
     np.testing.assert_allclose(got, ref, atol=1e-11 * max(1.0, np.abs(ref).max()))
-    # outside the envelopes: clear error
+    # general topology (per-edge R lattice — outside the blocked/DCT
+    # envelopes): the TreeFactorization serves it
     Gc = network_generation.make_grid(4, 3)
     mc = NetworkMesh(Gc, N=1)
     ac = HydraulicNetworkAssembler(mc)
-    ac.compute_forms(
-        p_bc_ex=lambda x: x[0], R=rng.uniform(0.5, 2.0, mc.num_edges)
-    )
-    with pytest.raises(ValueError, match="blocked-eligible"):
-        Solver(ac).factorize()
+    Rc = rng.uniform(0.5, 2.0, mc.num_edges)
+    ac.compute_forms(p_bc_ex=lambda x: x[0], f=0.2, R=Rc)
+    sc = Solver(ac)
+    sc.factorize()
+    ac.compute_forms(p_bc_ex=lambda x: 2.0 * x[0] + x[1], f=0.5, R=Rc)
+    sc.solve()
+    assert sc.info.method == "schur_factorized"
+    ref_c = Solver(ac, options=SolverOptions(method="host_lu"))
+    ref_c.solve()
+    refv = np.asarray(ref_c.solution_vector())
+    gotv = np.asarray(sc.solution_vector())
+    np.testing.assert_allclose(gotv, refv, atol=1e-10 * max(1.0, np.abs(refv).max()))
+    # outside every factorization envelope (quad-mode callable R): clear error
+    aq = HydraulicNetworkAssembler(mc)
+    aq.compute_forms(p_bc_ex=lambda x: x[0], R=lambda x: 1.0 + 0.5 * x[0] ** 2)
+    with pytest.raises(ValueError, match=r"factorize\(\) requires"):
+        Solver(aq).factorize()
 
 
 def test_solver_factorize_kind_change_falls_back():
