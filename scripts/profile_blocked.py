@@ -36,7 +36,12 @@ def build(case: str):
     from networks_fenicsx_tpu.solver import build_schur_executor
 
     internal = True
-    if case == "16gen":
+    opts = SolverOptions()
+    if case.startswith("16gen"):
+        # "16gen_scan" profiles the lax.scan shallow-level variant
+        # (SolverOptions.level_scan) against the default unrolled program.
+        if case.endswith("_scan"):
+            opts = SolverOptions(level_scan="on")
         G = make_arterial_tree(N=16, direction=np.array([0.1, 1.0, 0.0]))
         mesh = NetworkMesh(G, N=40, color_strategy="fast")
         asm = HydraulicNetworkAssembler(mesh)
@@ -56,7 +61,7 @@ def build(case: str):
         asm = HydraulicNetworkAssembler(mesh)
         asm.compute_forms(p_bc_ex=lambda x: x[1])
     ex = build_schur_executor(
-        asm, SolverOptions(), outputs="blocks", internal_layout=internal
+        asm, opts, outputs="blocks", internal_layout=internal
     )
     if not hasattr(ex, "prepare_args"):
         class _Plain:
@@ -153,6 +158,9 @@ if __name__ == "__main__":
         profile("n20", outdir)
     if which == "batched16":
         profile("batched16", outdir)
+    if which in ("16gen_scan", "scan"):
+        profile("16gen", outdir)
+        profile("16gen_scan", outdir)
     if which in ("grid", "grid_general"):
         profile("grid_general", outdir)
     if which in ("grid", "grid_blocked"):
