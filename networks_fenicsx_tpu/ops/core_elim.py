@@ -142,6 +142,16 @@ def plan_core_elimination(
             blocked.update(adj[v])
         if not chosen:
             break  # every remaining node exceeds kcap: dense tail
+        # Diminishing-returns stop: once independent sets shrink to
+        # slivers (fill pushes every degree near the threshold) a long
+        # tail of tiny device rounds costs more fixed launches than one
+        # mixed-precision dense solve of the remainder.  Measured at 10k
+        # junctions: without the stop the last ~40 rounds eliminate 1-8
+        # nodes each (76 rounds, 16k HLO lines); stopping at a ≤2048-node
+        # remainder gives 25 rounds / ~4k lines with the dense tail still
+        # MXU-cheap.  Only when the remainder fits the dense envelope.
+        if n_alive <= 2048 and len(chosen) < max(16, n_alive // 32):
+            break
         chosen.sort()
         K = max((len(adj[v]) for v in chosen), default=1)
         K = max(K, 1)
