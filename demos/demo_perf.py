@@ -182,6 +182,17 @@ try:
     )
     ax.grid(True)
     ax.legend(fontsize=7)
-    fig.savefig(Path(__file__).parent / "demo_perf.png", bbox_inches="tight")
+    # The committed demos/demo_perf.png is a real-hardware artifact; CPU/CI
+    # runs (NXFX_PLATFORM=cpu in test_demos.py) write into the output dir so
+    # they never clobber it.  Override with NXFX_PERF_PLOT=path.
+    plot_path = os.environ.get("NXFX_PERF_PLOT")
+    if plot_path is None:
+        if jax.default_backend() == "cpu":
+            outdir = Path(__file__).parent / "demo_perf_output"
+            outdir.mkdir(exist_ok=True)
+            plot_path = str(outdir / "demo_perf.png")
+        else:
+            plot_path = str(Path(__file__).parent / "demo_perf.png")
+    fig.savefig(plot_path, bbox_inches="tight")
 except ImportError:
     pass
