@@ -118,7 +118,7 @@ def _await_backend(max_wait_s: float) -> tuple[bool, str]:
         time.sleep(20.0)
 
 
-def main() -> None:
+def main(degraded: str | None = None) -> None:
     import jax
 
     from networks_fenicsx_tpu import (
@@ -780,6 +780,10 @@ def main() -> None:
             "backend": jax.default_backend(),
         },
     }
+    if degraded is not None:
+        # CPU-fallback record: same pipeline, same-host SuperLU baseline —
+        # honest numbers, clearly not the TPU headline.
+        result["degraded"] = degraded
     print(json.dumps(result), flush=True)
 
 
@@ -787,6 +791,33 @@ if __name__ == "__main__":
     try:
         wait_s = float(os.environ.get("NXFX_BENCH_TUNNEL_WAIT", "600"))
         ok, info = _await_backend(wait_s)
+        if not ok and os.environ.get("NXFX_BENCH_CPU_FALLBACK", "1") != "0":
+            # The TPU tunnel is unavailable (it wedged for hours at a time
+            # in rounds 3-4).  Rather than leaving an empty round record,
+            # run the identical pipeline on the host CPU at a reduced size
+            # and label the JSON as degraded: the dofs/s value is then a
+            # same-host comparison against SuperLU, not the TPU headline.
+            cause = (
+                f"TPU backend unavailable after {wait_s:.0f}s of bounded "
+                f"probing (last probe: {info}); CPU fallback at reduced size"
+            )
+            log(f"DEGRADED MODE: {cause}")
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            for k, v in {
+                "NXFX_BENCH_GENS": "12",
+                "NXFX_BENCH_REPS": "3",
+                "NXFX_BENCH_PIPELINE": "8",
+                "NXFX_BENCH_PIPELINE_DEEP": "16",
+                "NXFX_BENCH_BATCH": "4",
+                "NXFX_BENCH_XL": "0",
+                "NXFX_BENCH_LATTICE_N": "128",
+                "NXFX_BENCH_UNSTRUCTURED_N": "2000",
+            }.items():
+                os.environ.setdefault(k, v)
+            main(degraded=cause)
+            sys.exit(0)
         if not ok:
             _emit_failure(
                 f"JAX backend unavailable after {wait_s:.0f}s of bounded "
