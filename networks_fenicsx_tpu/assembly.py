@@ -352,7 +352,20 @@ class HydraulicNetworkAssembler:
         # equality are O(1); anything else bumps conservatively and
         # Solver.solve() falls back to a one-time byte comparison.
         prev = getattr(self, "_R_src", _UNSET)
-        if R is prev or (
+
+        def _immutable(x) -> bool:
+            # Identity implies unchanged bytes only for immutable inputs:
+            # a WRITEABLE ndarray can be mutated in place between calls
+            # (``R *= 3; compute_forms(R=R)``), so identity alone must not
+            # suppress the bump there — Solver.solve() then runs its
+            # one-time byte comparison instead of serving a stale factor.
+            if x is None or isinstance(x, (int, float)):
+                return True
+            if isinstance(x, np.ndarray):
+                return not x.flags.writeable
+            return type(x).__module__.startswith("jax")  # jax.Array: immutable
+
+        if (R is prev and _immutable(R)) or (
             isinstance(R, (int, float))
             and isinstance(prev, (int, float))
             and float(R) == float(prev)

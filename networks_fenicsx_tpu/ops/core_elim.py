@@ -40,6 +40,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .mixed_precision import scaled_cholesky_factor, scaled_cholesky_solve
+
 __all__ = [
     "CoreElimPlan",
     "plan_core_elimination",
@@ -303,13 +305,8 @@ def _core_factor(
             ov = vals[jnp.asarray(plan.dense_pairs[:, 2])]
             Lc = Lc.at[di, dj].add(ov)
             Lc = Lc.at[dj, di].add(ov)
-        # mixed-precision Cholesky + refinement (the proven dense-core kernel)
-        dscale = jnp.sqrt(jnp.diagonal(Lc))
-        Ls = (Lc / dscale[:, None]) / dscale[None, :]
-        chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
-        piv = jnp.diagonal(chol).astype(dtype)
-        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
-        state.update(Lc=Lc, chol=chol, dscale=dscale, ok=ok)
+        # mixed-precision Cholesky + refinement (the shared dense-tail kernel)
+        state["dense"] = scaled_cholesky_factor(Lc)
     return state
 
 
@@ -339,21 +336,7 @@ def _core_apply(
     lam = jnp.zeros(Bc + 1, dtype)  # +1: padded neighbour reads
     if plan.dense_nodes.size:
         dn = jnp.asarray(plan.dense_nodes)
-        Lc, chol, dscale, ok = (
-            state["Lc"], state["chol"], state["dscale"], state["ok"]
-        )
-
-        def solve_scaled(rv_):
-            y = jax.scipy.linalg.cho_solve(
-                (chol, True), (rv_ / dscale).astype(jnp.float32)
-            )
-            return y.astype(dtype) / dscale
-
-        rc_d = r[dn]
-        lam_d = solve_scaled(rc_d)
-        for _ in range(3):
-            lam_d = lam_d + solve_scaled(rc_d - Lc @ lam_d)
-        lam_d = jnp.where(ok, lam_d, jnp.nan)
+        lam_d = scaled_cholesky_solve(state["dense"], r[dn])
         lam = lam.at[dn].set(lam_d)
 
     for e, nbr, a, inv, rv in reversed(saved):

@@ -575,12 +575,6 @@ def sharded_blocked_sweep(
     lam_flat = np.concatenate([np.asarray(lam_loc), np.asarray(lam_T)], axis=1)[:S]
     lam = lam_flat[:, plan.lam_src]
 
-    net = asm.network
-    x = np.zeros((S, asm.num_dofs))
-    dofs_per_edge = asm.flux_degree * net.N + 1
-    idx = asm._edge_flux_base[:, None] + np.arange(dofs_per_edge)[None, :]
-    x[:, idx.reshape(-1)] = q_edge.reshape(S, -1)
-    p_off = int(asm.block_offsets[net.num_edge_colors])
-    x[:, p_off : p_off + net.num_cells] = p_cells.reshape(S, -1)
-    x[:, asm._lm_offset :] = lam
-    return x
+    from .sharding import _scatter_blocks_to_x
+
+    return _scatter_blocks_to_x(asm, q_edge, p_cells, lam)

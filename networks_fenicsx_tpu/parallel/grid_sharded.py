@@ -458,7 +458,15 @@ def sharded_grid_sweep(
     if De != plan.D:
         raise ValueError(f"plan was built for {plan.D} strip devices, mesh has {De}")
 
-    R_scalars = np.asarray(R_scalars, dtype=np.float64).reshape(-1)
+    R_scalars = np.asarray(R_scalars, dtype=np.float64)
+    if R_scalars.ndim != 1:
+        # A (S, E) per-edge scenario matrix must not silently become
+        # S*E scalar scenarios — per-edge R disqualifies the DCT anyway.
+        raise ValueError(
+            "sharded_grid_sweep takes a 1-D array of SCALAR resistance "
+            f"scenarios, got shape {R_scalars.shape}; per-edge scenario "
+            "matrices are served by the general sharded sweep"
+        )
     S = R_scalars.size
     S_pad = (-S) % Db
     R_all = np.concatenate([R_scalars, np.ones(S_pad)])
@@ -533,12 +541,6 @@ def sharded_grid_sweep(
     p_cells = p[:, plan.edge_flat]
     lam_h = _to_host(lam)[:S][:, plan.lam_src]
 
-    net = asm.network
-    x = np.zeros((S, asm.num_dofs))
-    dofs_per_edge = asm.flux_degree * net.N + 1
-    idx = asm._edge_flux_base[:, None] + np.arange(dofs_per_edge)[None, :]
-    x[:, idx.reshape(-1)] = q_edge.reshape(S, -1)
-    p_off = int(asm.block_offsets[net.num_edge_colors])
-    x[:, p_off : p_off + net.num_cells] = p_cells.reshape(S, -1)
-    x[:, asm._lm_offset :] = lam_h
-    return x
+    from .sharding import _scatter_blocks_to_x
+
+    return _scatter_blocks_to_x(asm, q_edge, p_cells, lam_h)

@@ -75,6 +75,31 @@ def _to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _scatter_blocks_to_x(asm, q_edge, p_cells, lam) -> np.ndarray:
+    """Public-layout global vector(s) from per-edge solution rows.
+
+    ``q_edge (..., E, k*N+1)`` per-edge flux rows (public edge order),
+    ``p_cells (..., E, N)`` / ``(..., C)`` pressure cells (mesh cell
+    order), ``lam (..., B)`` multipliers → ``x (..., num_dofs)`` in the
+    reference's block layout ``[q_color_0.. | p | λ]`` (flux placement via
+    ``asm._edge_flux_base``, which already encodes the color sort).
+    Leading batch axes broadcast — the single shared implementation of
+    the scatter previously copy-pasted across the sharded executors."""
+    net = asm.network
+    q_edge = np.asarray(q_edge)
+    batch = q_edge.shape[:-2]
+    x = np.zeros(batch + (asm.num_dofs,))
+    dofs_per_edge = asm.flux_degree * net.N + 1
+    idx = asm._edge_flux_base[:, None] + np.arange(dofs_per_edge)[None, :]
+    x[..., idx.reshape(-1)] = q_edge.reshape(batch + (-1,))
+    p_off = int(asm.block_offsets[net.num_edge_colors])
+    x[..., p_off : p_off + net.num_cells] = np.asarray(p_cells).reshape(
+        batch + (-1,)
+    )
+    x[..., asm._lm_offset :] = np.asarray(lam)
+    return x
+
+
 def _edge_specs(ed: _EdgeData, spec_e, spec_rep):
     """Per-leaf shard_map specs/shardings for an edge-data pytree.
 
@@ -621,13 +646,7 @@ class ShardedNetworkSolver:
             ]
             functions.append(NetworkFunction(asm.pressure_space, name="pressure"))
             functions.append(NetworkFunction(asm.lm_space, name="global_flux"))
-        x = np.zeros(asm.num_dofs)
-        dofs_per_edge = asm.flux_degree * net.N + 1
-        idx = asm._edge_flux_base[:, None] + np.arange(dofs_per_edge)[None, :]
-        x[idx.reshape(-1)] = q_edge.reshape(-1)
-        p_off = int(asm.block_offsets[net.num_edge_colors])
-        x[p_off : p_off + net.num_cells] = p_cells.reshape(-1)
-        x[asm._lm_offset :] = lam
+        x = _scatter_blocks_to_x(asm, q_edge, p_cells, lam)
         offs = asm.block_offsets
         for i, fn in enumerate(functions):
             fn.values[...] = x[offs[i] : offs[i + 1]]

@@ -212,12 +212,9 @@ def sharded_sweep(
     p_cells = np.asarray(p_cells)[:S, :E]
     lam = np.asarray(lam)[:S]
 
-    # scatter into global layout
-    x = np.zeros((S, asm.num_dofs))
-    perm = np.lexsort((np.arange(E), np.asarray(net.edge_color)))
-    M = net.num_edge_colors
-    x[:, : asm.block_offsets[M]] = q_chain[:, perm].reshape(S, -1)
-    p_off = int(asm.block_offsets[M])
-    x[:, p_off : p_off + net.num_cells] = p_cells.reshape(S, -1)
-    x[:, asm._lm_offset :] = lam
+    # scatter into global layout (flux placement via _edge_flux_base —
+    # no explicit color sort needed)
+    from .sharding import _scatter_blocks_to_x
+
+    x = _scatter_blocks_to_x(asm, q_chain, p_cells, lam)
     return SweepResult(asm, jnp.asarray(x))

@@ -60,6 +60,7 @@ import jax.numpy as jnp
 from . import assembly as _assembly
 from .function import NetworkFunction
 from .ops import elements, krylov
+from .ops.mixed_precision import scaled_cholesky_factor, scaled_cholesky_solve
 from .utils.config import SolverOptions
 from .utils.timing import timed
 
@@ -232,8 +233,10 @@ class Solver:
             # factor-reuse fast path (see factorize()): engage only while
             # the resistance data is byte-identical to the captured factor.
             # The per-solve staleness check is O(1): the assembler bumps an
-            # R-generation counter only when compute_forms() receives a
-            # different R input object; the O(E) byte hash runs once per
+            # R-generation counter unless compute_forms() received the SAME
+            # IMMUTABLE R input (read-only ndarray / jax array / equal
+            # scalar — a writeable ndarray can be mutated in place, so its
+            # identity proves nothing); the O(E) byte hash runs once per
             # generation bump, not per solve (the rhs-only serving loop —
             # the path the factorization exists to make cheap — never pays it).
             fac, state, digest, modes, gen = self._factorization
@@ -957,6 +960,23 @@ def _dct_capacitance_solve(
     return _dct_capacitance_apply(plan, state, rhs, matvec)
 
 
+def _dct2_matrix_device(n: int, tdt) -> jnp.ndarray:
+    """Orthonormal DCT-II matrix generated ON DEVICE from iota.
+
+    Used for wide lattices (> 4096 per side) where an ``(n, n)`` f64 host
+    constant would bake hundreds of MB into the executable.  The cosine
+    ARGUMENT must form in f64 even when a f32 matrix is requested (the
+    refinement transform): ``pi*(j+0.5)*j`` reaches ~n²/2 ≈ 1e7+ here, so
+    an f32 product carries ~2e-3 rad of phase error — four orders worse
+    than rounding an f64-generated matrix to f32.
+    ``c = D @ b``, ``b = D.T @ c``."""
+    j = jnp.arange(n, dtype=jnp.float64)
+    D = jnp.cos(jnp.pi * ((j[None, :] + 0.5) * j[:, None] / n))
+    D = D * np.sqrt(2.0 / n)
+    D = D.at[0].multiply(np.sqrt(0.5))
+    return D.astype(tdt)
+
+
 def _dct_capacitance_apply(
     plan: _DctPlan, state: dict, rhs: jnp.ndarray, matvec
 ):
@@ -1025,21 +1045,15 @@ def _dct_capacitance_apply(
         # but with the transform matrices GENERATED ON DEVICE from iota —
         # an (n, n) f64 host constant at this size would bake hundreds of
         # MB into the executable.  First pass f64-exact, refinement
-        # passes in f32 MXU dots, exactly like the ≤4096 path.
-
-        def _dct2_matrix_dev(n: int, tdt):
-            j = jnp.arange(n, dtype=tdt)
-            D = jnp.cos(jnp.pi * (j[None, :] + 0.5) * j[:, None] / n)
-            D = D * np.sqrt(2.0 / n)
-            D = D.at[0].multiply(np.sqrt(0.5))
-            return D  # orthonormal DCT-II: c = D @ b, b = D.T @ c
+        # passes in f32 MXU dots, exactly like the ≤4096 path (see
+        # :func:`_dct2_matrix_device` for the argument-precision rule).
 
         def _make_matmul_lplus(tdt):
             inv_t = inv.astype(tdt)
 
             def Lplus(b):
-                Dx = _dct2_matrix_dev(s, tdt)
-                Dy = _dct2_matrix_dev(ny, tdt)
+                Dx = _dct2_matrix_device(s, tdt)
+                Dy = _dct2_matrix_device(ny, tdt)
                 B2 = b.reshape(ny, s).astype(tdt)
                 c = Dy @ B2 @ Dx.T
                 return (Dy.T @ (c * inv_t) @ Dx).reshape(-1).astype(dt)
@@ -1615,8 +1629,16 @@ class _TreePlan(typing.NamedTuple):
         return int(self.core_nodes.size)
 
 
-def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePlan | None:
-    """Build the peel order plus the residual cycle core (empty for forests)."""
+def _plan_tree_elimination(
+    asm: _assembly.HydraulicNetworkAssembler, force_rounds: bool = False
+) -> _TreePlan | None:
+    """Build the peel order plus the residual cycle core (empty for forests).
+
+    ``force_rounds=True`` computes the Python peel rounds even for forests
+    (the fast path below otherwise returns ``rounds=()`` because the level
+    plan supersedes them on the fused path).  Consumers that execute the
+    rounds directly — :class:`TreeFactorization` — must pass it, or a
+    forest would silently eliminate nothing and return λ = 0."""
     mesh = asm.network
     B = mesh.num_multipliers
     if B == 0:
@@ -1643,7 +1665,7 @@ def _plan_tree_elimination(asm: _assembly.HydraulicNetworkAssembler) -> _TreePla
         n_comp = _cc(adjm, directed=False)[0]
     else:
         n_comp = B
-    if P == B - n_comp:
+    if P == B - n_comp and not force_rounds:
         return _TreePlan(pairs, edge_pair, ())
 
     # adjacency over pairs
@@ -3291,9 +3313,19 @@ class TreeFactorization:
                 "TreeFactorization requires scalar/per-edge/per-cell "
                 "coefficients (quad-mode callables stay on the fused path)"
             )
-        plan = _plan_tree_elimination(asm)
+        # force_rounds: the forest fast path returns rounds=() (the fused
+        # path's level plan supersedes them), but THIS class executes the
+        # peel rounds directly — without them an irregular forest would
+        # silently return λ = 0.
+        plan = _plan_tree_elimination(asm, force_rounds=True)
         if plan is None:
             raise ValueError("TreeFactorization requires multipliers (B > 0)")
+        if plan.core_size == 0 and len(plan.rounds) == 0:
+            # defensive: with B > 0 an empty plan would solve nothing
+            raise ValueError(
+                "TreeFactorization got an empty elimination plan for a "
+                "graph with multipliers — this is a bug, please report"
+            )
         if plan.core_size > 512:
             plan = attach_core_plan(plan)
         if plan.core_size > 4096 and plan.core_plan is None:
@@ -3532,12 +3564,7 @@ def _tree_eliminate_factor(
             wv = w_pairs[jnp.asarray(plan.core_pairs[:, 2])]
             Lc = Lc.at[ci, cj].add(-wv)
             Lc = Lc.at[cj, ci].add(-wv)
-        dscale = jnp.sqrt(jnp.diagonal(Lc))
-        Ls = (Lc / dscale[:, None]) / dscale[None, :]
-        chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
-        piv = jnp.diagonal(chol).astype(diag.dtype)
-        ok = jnp.all(jnp.isfinite(piv)) & (jnp.min(piv) > 1e-7 * jnp.max(piv))
-        state["core_dense"] = {"Lc": Lc, "chol": chol, "dscale": dscale, "ok": ok}
+        state["core_dense"] = scaled_cholesky_factor(Lc)
     return state
 
 
@@ -3575,18 +3602,7 @@ def _tree_eliminate_apply(
         lam = lam.at[cn].set(lam_core)
     elif plan.core_size > 0:
         cn = jnp.asarray(plan.core_nodes)
-        cd = state["core_dense"]
-        Lc, chol, dscale, ok = cd["Lc"], cd["chol"], cd["dscale"], cd["ok"]
-
-        def solve_scaled(rv):
-            y = jax.scipy.linalg.cho_solve((chol, True), (rv / dscale).astype(jnp.float32))
-            return y.astype(rhs.dtype) / dscale
-
-        rc = r[cn]
-        lam_core = solve_scaled(rc)
-        for _ in range(3):
-            lam_core = lam_core + solve_scaled(rc - Lc @ lam_core)
-        lam_core = jnp.where(ok, lam_core, jnp.nan)
+        lam_core = scaled_cholesky_solve(state["core_dense"], r[cn])
         lam = lam.at[cn].set(lam_core)
     for e, par_safe, has_par, w, db, rb in reversed(saved):
         lam_par = jnp.where(has_par, lam[par_safe], 0.0)
@@ -3912,34 +3928,21 @@ def build_schur_executor(
                     chol = jnp.linalg.cholesky(L)
                     lam = jax.scipy.linalg.cho_solve((chol, True), rhs)
                     piv = jnp.diagonal(chol)
+                    # Singularity guard (the MUMPS zero-pivot analog): a
+                    # network component with no boundary makes the
+                    # Laplacian singular — pivots collapse or go NaN.
+                    ok = jnp.all(jnp.isfinite(piv)) & (
+                        jnp.min(piv) > 1e-7 * jnp.max(piv)
+                    )
+                    lam = jnp.where(ok, lam, jnp.nan)
                 else:
-                    # Mixed precision: float64 Cholesky is emulated (slow) on
-                    # TPU, so factorise the Jacobi-scaled Laplacian in f32
-                    # and recover full f64 accuracy with iterative
-                    # refinement (residuals in f64).  The scaled matrix has
-                    # unit diagonal, so f32 factorisation is well behaved.
-                    d = jnp.sqrt(diag)
-                    Ls = (L / d[:, None]) / d[None, :]
-                    chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
-
-                    def solve_scaled(r):
-                        y = jax.scipy.linalg.cho_solve(
-                            (chol, True), (r / d).astype(jnp.float32)
-                        )
-                        return y.astype(ed.W.dtype) / d
-
-                    lam = solve_scaled(rhs)
-                    for _ in range(3):
-                        lam = lam + solve_scaled(rhs - L @ lam)
-                    piv = jnp.diagonal(chol).astype(ed.W.dtype)
+                    # Mixed precision: float64 Cholesky is emulated (slow)
+                    # on TPU — the shared Jacobi-scaled f32 factor + f64
+                    # refinement kernel (incl. the singularity pivot gate).
+                    lam = scaled_cholesky_solve(
+                        scaled_cholesky_factor(L), rhs
+                    )
                 iters = jnp.zeros((), dtype=jnp.int32)
-                # Singularity guard (the MUMPS zero-pivot analog): a network
-                # component with no boundary makes the Laplacian singular —
-                # its Cholesky pivots collapse or go NaN.
-                ok = jnp.all(jnp.isfinite(piv)) & (
-                    jnp.min(piv) > 1e-7 * jnp.max(piv)
-                )
-                lam = jnp.where(ok, lam, jnp.nan)
             else:
                 if opts.cg_precond not in ("auto", "mg", "chebyshev", "jacobi"):
                     raise ValueError(

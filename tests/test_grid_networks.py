@@ -124,3 +124,27 @@ def test_wide_grid_exact_transform(dims):
     b = np.asarray(asm._b_host)
     rel_res = np.linalg.norm(A @ x1 - b) / np.linalg.norm(b)
     assert rel_res < 1e-8, rel_res
+
+
+def test_dct2_matrix_device_f32_argument_precision():
+    """The on-device DCT-II matrix generator (> 4096-wide lattices) must
+    form the cosine ARGUMENT in f64 even when an f32 matrix is requested:
+    pi*(j+0.5)*j overflows f32 precision at n ~ 5000 (phase error ~2e-3
+    rad), four orders worse than rounding an f64-generated matrix."""
+    import jax.numpy as jnp
+
+    from networks_fenicsx_tpu.solver import _dct2_matrix_device
+
+    n = 4200
+    j = np.arange(n, dtype=np.float64)
+    D_ref = np.cos(np.pi * (j[None, :] + 0.5) * j[:, None] / n)
+    D_ref *= np.sqrt(2.0 / n)
+    D_ref[0] *= np.sqrt(0.5)
+
+    D64 = np.asarray(_dct2_matrix_device(n, jnp.float64))
+    np.testing.assert_allclose(D64, D_ref, atol=1e-12)
+
+    D32 = np.asarray(_dct2_matrix_device(n, jnp.float32))
+    # f32 ROUNDING of exact values is ~6e-8 absolute at these magnitudes;
+    # an f32-formed argument would sit at ~4e-5.
+    assert np.max(np.abs(D32 - D_ref)) < 1e-6

@@ -160,3 +160,18 @@ def test_sharded_sweep_scalar_requires_lattice():
     asm.compute_forms(p_bc_ex=lambda x: x[1], R=1.0)
     with pytest.raises(ValueError, match="uniform rectangular"):
         sharded_sweep(asm, np.array([1.0, 2.0]), devices=jax.devices()[:2])
+
+
+def test_sharded_grid_sweep_rejects_scenario_matrix():
+    """A (S, E) per-edge scenario matrix passed to a scalar-R lattice
+    sweep must fail loudly — reshape(-1) previously turned it into S*E
+    independent scalar scenarios silently."""
+    from networks_fenicsx_tpu.parallel.sweep import sharded_sweep
+
+    G = network_generation.make_grid(5, 4, arrays=True)
+    mesh = NetworkMesh(G, N=1)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=2.0)  # scalar mode
+    bad = np.ones((3, mesh.num_edges))
+    with pytest.raises(ValueError, match="1-D array of SCALAR"):
+        sharded_sweep(asm, bad, devices=jax.devices()[:2])

@@ -592,9 +592,11 @@ def test_solver_factorize_kind_change_falls_back():
 
 def test_solver_factorize_staleness_check_is_o1(monkeypatch):
     """The factor-reuse staleness check must not hash the full R buffer on
-    every rhs-only solve: the O(E) byte hash runs only when the R input
-    OBJECT changed (and re-arms on a byte match), never in the steady
-    serving loop."""
+    every rhs-only solve: solves WITHOUT an intervening compute_forms()
+    never hash, a read-only (immutable) R never hashes on identity, and a
+    WRITEABLE same-object R hashes exactly once per compute_forms() call
+    (identity cannot prove unchanged bytes for a mutable buffer — see
+    test_solver_factorize_inplace_mutation_not_stale)."""
     import hashlib
 
     from networks_fenicsx_tpu import network_generation
@@ -604,6 +606,7 @@ def test_solver_factorize_staleness_check_is_o1(monkeypatch):
     mesh = NetworkMesh(G, N=2, color_strategy="fast")
     E = mesh.num_edges
     R = rng.uniform(0.5, 2.0, E)
+    R.setflags(write=False)  # immutable buffer: identity => unchanged
     asm = HydraulicNetworkAssembler(mesh)
     asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
     solver = Solver(asm)
@@ -618,27 +621,97 @@ def test_solver_factorize_staleness_check_is_o1(monkeypatch):
 
     monkeypatch.setattr(hashlib, "sha1", counting_sha1)
 
-    # steady serving loop: SAME R object per compute_forms — zero hashing
+    # rhs-only serving loop: no compute_forms at all — zero hashing
+    for _ in range(3):
+        solver.solve()
+        assert solver.info.method == "schur_factorized"
+    assert calls["n"] == 0
+
+    # steady serving loop, SAME read-only R object per compute_forms —
+    # still zero hashing (identity is trustworthy for immutable buffers)
     for _ in range(3):
         asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R)
         solver.solve()
         assert solver.info.method == "schur_factorized"
     assert calls["n"] == 0
 
-    # fresh-but-byte-equal array: exactly one hash, factor re-armed
-    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=R.copy())
+    # WRITEABLE same-object R: one hash per compute_forms (bytes may have
+    # changed), factor still reused while they match
+    Rw = np.array(R)  # writeable copy, same bytes
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=Rw)
     solver.solve()
     assert solver.info.method == "schur_factorized"
     assert calls["n"] == 1
-
-    # and the re-armed generation makes the next same-object solve free
-    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=asm._R_src)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=rng.uniform(-1, 1, E), R=Rw)
     solver.solve()
     assert solver.info.method == "schur_factorized"
-    assert calls["n"] == 1
+    assert calls["n"] == 2
+    # ...but subsequent rhs-only solves stay free
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+    assert calls["n"] == 2
 
     # a genuinely different R falls back to the fused path (one hash)
-    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R * 1.5)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=np.asarray(R) * 1.5)
     solver.solve()
     assert solver.info.method != "schur_factorized"
-    assert calls["n"] == 2
+    assert calls["n"] == 3
+
+
+def test_solver_factorize_inplace_mutation_not_stale():
+    """In-place mutation of the SAME R buffer between compute_forms()
+    calls must not serve the stale factorization: identity does not imply
+    unchanged bytes for a writeable array."""
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(7)
+    G = network_generation.make_tree(4, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 2.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R)
+    solver = Solver(asm)
+    solver.factorize()
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+
+    R *= 3.0  # same object, different bytes
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R)
+    solver.solve()
+    assert solver.info.method != "schur_factorized"
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    got = np.asarray(solver.solution_vector())
+    np.testing.assert_allclose(
+        got, refv, atol=1e-10 * max(1.0, np.abs(refv).max())
+    )
+
+
+def test_solver_factorize_irregular_forest():
+    """Solver.factorize() on a forest that is NOT blocked-eligible
+    (irregular branching): TreeFactorization must execute real peel
+    rounds — the forest fast path's empty rounds previously made it
+    return lambda = 0 silently."""
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(11)
+    # keep=0.0: spanning tree of a Delaunay web — an irregular forest
+    G = network_generation.make_random_network(120, keep=0.0, seed=5)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    E = mesh.num_edges
+    R = rng.uniform(0.5, 2.0, E)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], f=rng.uniform(-1, 1, E), R=R)
+    solver = Solver(asm)
+    solver.factorize()
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    got = np.asarray(solver.solution_vector())
+    scale = max(1.0, np.abs(refv).max())
+    assert np.abs(refv).max() > 1e-6  # a zero reference would prove nothing
+    np.testing.assert_allclose(got, refv, atol=1e-10 * scale)
