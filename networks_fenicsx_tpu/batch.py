@@ -179,7 +179,12 @@ def solve_sweep(
             opts = dataclasses.replace(opts, schur_method="dct")
         else:
             opts = dataclasses.replace(opts, schur_method="dense")
-    key = (in_axes, opts.schur_method, asm.coefficient_modes())
+    import dataclasses as _dc
+
+    # EVERY option field keys the cache — an f32 sweep followed by a
+    # default-f64 sweep (or a level_scan/output_dtype change) must not
+    # silently reuse the first compiled executor.
+    key = (in_axes, _dc.astuple(opts), asm.coefficient_modes())
     cache = getattr(asm, "_sweep_cache", None)
     if cache is None:
         cache = asm._sweep_cache = {}

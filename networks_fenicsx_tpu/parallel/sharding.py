@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import assembly as _assembly
 from ..function import NetworkFunction
 from ..ops import krylov
+from ..ops.mixed_precision import scaled_cholesky_factor, scaled_cholesky_solve
 from ..solver import (
     SolveInfo,
     _EdgeData,
@@ -298,17 +299,10 @@ def _sharded_schur_pipeline(
             L = L.at[t_idx, s_idx].add(-off_w)
             L = jax.lax.psum(L, axis)
             L = L.at[jnp.arange(B), jnp.arange(B)].add(diag)
-            d = jnp.sqrt(diag)
-            Ls = (L / d[:, None]) / d[None, :]
-            chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
-
-            def solve_scaled(r):
-                y = jax.scipy.linalg.cho_solve((chol, True), (r / d).astype(jnp.float32))
-                return y.astype(ed.W.dtype) / d
-
-            lam = solve_scaled(rhs)
-            for _ in range(3):
-                lam = lam + solve_scaled(rhs - L @ lam)
+            # shared Jacobi-scaled f32 factor + f64 refinement, INCLUDING
+            # the singularity pivot gate (NaN out, so the caller's
+            # non-finite guard raises just like the serial dense path)
+            lam = scaled_cholesky_solve(scaled_cholesky_factor(L), rhs)
         else:
             # --- distributed matrix-free CG: the off-diagonal apply is a
             # local gather/scatter over owned edges + one psum per
@@ -548,10 +542,11 @@ class ShardedNetworkSolver:
         args = ex.prepare_args(*coeff)
         out = ex(*args)
         if len(out) == 7:
-            # grid executor: surfaces the λ-system residual (observably
-            # reduced precision on the >4096-wide FFT fallback)
+            # grid executor: surfaces the λ-system residual.  ABSOLUTE,
+            # matching every serial path's SolveInfo.residual convention
+            # (callers compare against atol-style floors and serial runs).
             q_T, p_T, lam_loc, lam_T, res, rhs_n, finite = out
-            residual = float(res) / max(float(rhs_n), 1e-300)
+            residual = float(res)
         else:
             # blocked forest executor: exact elimination, no residual
             q_T, p_T, lam_loc, lam_T, _rhs, finite = out

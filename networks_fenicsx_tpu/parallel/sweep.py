@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import assembly as _assembly
+from ..ops.mixed_precision import scaled_cholesky_factor, scaled_cholesky_solve
 from ..batch import SweepResult
 
 try:
@@ -160,17 +161,10 @@ def sharded_sweep(
             L = L.at[t_idx, s_idx].add(-off_w)
             L = jax.lax.psum(L, "edges")
 
-            d = jnp.sqrt(jnp.diagonal(L))
-            Ls = (L / d[:, None]) / d[None, :]
-            chol = jnp.linalg.cholesky(Ls.astype(jnp.float32))
-
-            def solve_scaled(r):
-                y = jax.scipy.linalg.cho_solve((chol, True), (r / d).astype(jnp.float32))
-                return y.astype(jnp.float64) / d
-
-            lam = solve_scaled(rhs)
-            for _ in range(3):
-                lam = lam + solve_scaled(rhs - L @ lam)
+            # shared Jacobi-scaled f32 factor + f64 refinement with the
+            # singularity pivot gate (NaN propagates to the caller's
+            # finiteness guard)
+            lam = scaled_cholesky_solve(scaled_cholesky_factor(L), rhs)
 
             # local back-substitution (P1, f=0: flux constant per edge)
             lam_pad = jnp.concatenate([lam, jnp.zeros(1)])

@@ -164,6 +164,17 @@ class Solver:
         rhs-only half of the elimination against the cached factor.  A
         changed R (or a topology outside the blocked/lattice envelopes)
         silently falls back to the fused path.
+
+        Convergence contract on the factorized path: the solve is the
+        same exact direct elimination as the fused executor and is gated
+        on FINITENESS (the singularity analog of
+        ``ksp_error_if_not_converged``); it does not recompute the
+        fused path's residual-vs-tolerance floor per rhs — the factor was
+        validated when it was built, and an extra residual matvec per
+        rhs-only solve would defeat the serving speedup.  Callers needing
+        a per-solve residual bound should run the fused :meth:`solve`
+        (drop the factor) or check ``SolveInfo.residual`` where the
+        executor surfaces one (lattice path).
         """
         import hashlib
 
@@ -256,9 +267,14 @@ class Solver:
                     fresh = True
                     self._factorization = (fac, state, digest, modes, gen_now)
             # the captured factor is valid only while BOTH the resistance
-            # bytes and the coefficient kinds match (a kind change would
-            # feed the wrong layout into the cached solve program)
-            if fresh and modes == asm.coefficient_modes():
+            # bytes and the coefficient KINDS (R_mode, f_mode) match — a
+            # kind change would feed the wrong layout into the cached
+            # solve program.  The f_zero flag is deliberately ignored:
+            # the factorization solve paths always process f at runtime
+            # (no zero-source elision), so switching f between zero and
+            # nonzero is exactly the rhs-only serving contract, not a
+            # staleness event.
+            if fresh and modes[:2] == asm.coefficient_modes()[:2]:
                 out = fac.solve(state, args[1], args[2], args[3])
                 x = fac.solution_vector(out)
                 finite = bool(np.asarray(out[-1]))
@@ -1801,15 +1817,10 @@ def _plan_level_elimination(
     depth = np.full(B, -1, np.int64)
     parent = np.full(B, -1, np.int64)
     parent_pairid = np.full(B, -1, np.int64)
-    frontier = np.flatnonzero(
-        np.bincount(pairs.ravel(), minlength=B) == 0
-    )  # isolated bifurcations are their own roots
-    # choose one root per component: smallest-id node not yet visited; do
-    # this in frontier rounds so every component gets exactly one root.
     unvisited = np.ones(B, dtype=bool)
-    roots = []
-    # initial roots: all components' minimum-id nodes.  Compute components
-    # cheaply via connected_components on the pair graph.
+    # roots: every component's minimum-id node (isolated bifurcations are
+    # their own single-node components).  Components via scipy's
+    # connected_components on the pair graph.
     import scipy.sparse as _sp
     from scipy.sparse.csgraph import connected_components as _cc
 
@@ -2907,6 +2918,27 @@ def _blocked_uniform_solve(
     return q_T, p_T, lam, rhs_norm, finite
 
 
+
+def _permute_coefficient(arr, mode: str, N: int, edge_order=None):
+    """Host-side coefficient relayout: public order -> internal layout.
+
+    ``scalar`` passes through; ``edge`` ``(E,)`` data reorders by
+    ``edge_order`` (None = identity); ``cell`` ``(C,)`` public cell order
+    becomes j-major ``(N, E)`` blocks (every condensation op contiguous
+    along the lane axis).  The single shared implementation of the
+    permutation used by the blocked executor and all three factorization
+    pairs — the layout contract lives HERE, nowhere else."""
+    a = np.asarray(arr)
+    if mode == "scalar":
+        return a
+    if mode == "cell":
+        a2 = a.reshape(a.size // N, N)
+        if edge_order is not None:
+            a2 = a2[edge_order]
+        return np.ascontiguousarray(a2.T)
+    return a if edge_order is None else a[edge_order]
+
+
 class BlockedFactorization:
     """Factor-reuse serving pair for the blocked forest executor.
 
@@ -3002,13 +3034,7 @@ class BlockedFactorization:
 
     # -- host-side permutation (mirrors _BlockedExecutor._permute)
     def _permute(self, arr, mode):
-        a = np.asarray(arr)
-        eo = self._plan.edge_order
-        if mode == "scalar":
-            return a
-        if mode == "cell":
-            return np.ascontiguousarray(a.reshape(self._E, self._N)[eo].T)
-        return a[eo]
+        return _permute_coefficient(arr, mode, self._N, self._plan.edge_order)
 
     def factor(self, R_data):
         """Resistance-side factorization (device pytree, reusable)."""
@@ -3218,13 +3244,7 @@ class GridFactorization:
         )
 
     def _permute(self, arr, mode):
-        a = np.asarray(arr)
-        eo = self._plan.edge_order
-        if mode == "scalar":
-            return a
-        if mode == "cell":
-            return np.ascontiguousarray(a.reshape(self._E, self._N)[eo].T)
-        return a[eo]
+        return _permute_coefficient(arr, mode, self._N, self._plan.edge_order)
 
     def factor(self, R_data):
         """Conductance-side factorization (device pytree, reusable)."""
@@ -3407,11 +3427,8 @@ class TreeFactorization:
         )
 
     def _prep_coeff(self, arr, mode):
-        a = np.asarray(arr)
-        if mode == "cell":
-            # (C,) public cell order -> (N, E) j-major blocks
-            return np.ascontiguousarray(a.reshape(self._E, self._N).T)
-        return a
+        # public edge order is the tree path's internal order (no reorder)
+        return _permute_coefficient(arr, mode, self._N, edge_order=None)
 
     def factor(self, R_data):
         """Resistance-side factorization (device pytree, reusable)."""
@@ -3636,16 +3653,7 @@ class _BlockedExecutor:
         return self._fn.lower(*args)
 
     def _permute(self, arr, mode):
-        a = np.asarray(arr)
-        if mode == "scalar":
-            return a
-        if mode == "cell":
-            # (C,) public cell order -> (N, E) j-major internal blocks
-            E = self.edge_order.shape[0]
-            return np.ascontiguousarray(
-                a.reshape(E, self._N)[self.edge_order].T
-            )
-        return a[self.edge_order]
+        return _permute_coefficient(arr, mode, self._N, self.edge_order)
 
     def prepare_args(self, R_data, f_data, start_pbc, end_pbc):
         eo = self.edge_order
@@ -3745,6 +3753,19 @@ def build_schur_executor(
                 schur_method = "tree"
             else:
                 schur_method = "dense" if B <= 4096 else "cg"
+    elif schur_method == "tree" and tree_plan is not None and tree_plan.core_size > 512:
+        # Explicitly requested tree path: apply the same core envelope as
+        # "auto" — a large cycle core otherwise materialises an
+        # O(core²)-memory dense factor (e.g. ~80 GB at a 100k-node core).
+        tree_plan = attach_core_plan(tree_plan)
+        if tree_plan.core_plan is None and tree_plan.core_size > 4096:
+            raise ValueError(
+                f"schur_method='tree' on a graph whose cycle core has "
+                f"{tree_plan.core_size} nodes: the sparse core elimination "
+                "could not be planned (fill budget / size cap) and a dense "
+                "core factor would need O(core²) memory — use "
+                "schur_method='auto' (CG+multigrid) or method='host_lu'"
+            )
     level_plan = None
     matvec_plan = None
     shift_plan = None

@@ -715,3 +715,63 @@ def test_solver_factorize_irregular_forest():
     scale = max(1.0, np.abs(refv).max())
     assert np.abs(refv).max() > 1e-6  # a zero reference would prove nothing
     np.testing.assert_allclose(got, refv, atol=1e-10 * scale)
+
+
+def test_solver_factorize_survives_f_zero_flip():
+    """Switching f between zero and nonzero is exactly the rhs-only
+    serving contract — it must NOT drop the cached factorization (the
+    factorization solve paths always process f at runtime; only a
+    coefficient KIND change invalidates)."""
+    from networks_fenicsx_tpu import network_generation
+
+    G = network_generation.make_tree(4, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    rng = np.random.default_rng(2)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    R.setflags(write=False)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R)  # f = 0 default
+    solver = Solver(asm)
+    solver.factorize()
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+
+    # nonzero scalar source: same kinds, f_zero flips — factor must hold
+    asm.compute_forms(p_bc_ex=lambda x: x[1], f=0.7, R=R)
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    got = np.asarray(solver.solution_vector())
+    np.testing.assert_allclose(
+        got, refv, atol=1e-10 * max(1.0, np.abs(refv).max())
+    )
+    # and back to zero source
+    asm.compute_forms(p_bc_ex=lambda x: 2.0 * x[1], R=R)
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+
+
+def test_explicit_tree_method_rejects_huge_dense_core():
+    """schur_method='tree' on a large cyclic core must engage the sparse
+    core elimination (same envelope as 'auto') or refuse loudly — never
+    materialise an O(core²) dense factor."""
+    from networks_fenicsx_tpu import network_generation
+
+    G = network_generation.make_grid(30, 30, arrays=True)
+    mesh = NetworkMesh(G, N=1)
+    asm = HydraulicNetworkAssembler(mesh)
+    rng = np.random.default_rng(3)
+    asm.compute_forms(
+        p_bc_ex=lambda x: x[0], R=rng.uniform(0.5, 2.0, mesh.num_edges)
+    )
+    solver = Solver(asm, options=SolverOptions(schur_method="tree"))
+    solver.solve()  # 841-node core: sparse elimination, not dense
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    got = np.asarray(solver.solution_vector())
+    np.testing.assert_allclose(
+        got, refv, atol=1e-10 * max(1.0, np.abs(refv).max())
+    )

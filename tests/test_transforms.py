@@ -266,3 +266,27 @@ def test_solve_sweep_scenario_sharding():
 
     with pytest.raises(ValueError, match="divisible"):
         solve_sweep(asm, f=fb[: S - 1], devices=devices)
+
+
+def test_solve_sweep_cache_keys_on_all_options():
+    """The compiled-sweep cache must key on EVERY SolverOptions field: an
+    f32 sweep followed by a default-f64 sweep previously reused the f32
+    executor silently (cache key was (in_axes, schur_method, modes))."""
+    from networks_fenicsx_tpu import Solver, SolverOptions, solve_sweep
+
+    mesh, asm, executor, (R_q, f_q, spbc, epbc) = _setup()
+    E = mesh.num_edges
+    R_batch = np.asarray(R_q)[None, :E] * np.array([1.0, 2.0])[:, None]
+    res32 = solve_sweep(asm, R=R_batch, options=SolverOptions(dtype="float32"))
+    res64 = solve_sweep(asm, R=R_batch)
+    # the f64 sweep must match a direct f64 solve at f64 accuracy — an
+    # accidentally-reused f32 executor sits at ~1e-5
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R_batch[1])
+    s = Solver(asm)
+    s.solve()
+    ref = np.asarray(s.solution_vector())
+    err64 = np.max(np.abs(np.asarray(res64.x[1]) - ref))
+    assert err64 < 1e-11 * max(1.0, np.abs(ref).max()), err64
+    # and the f32 sweep really ran in f32 (sanity that both paths exist)
+    err32 = np.max(np.abs(np.asarray(res32.x[1]) - ref))
+    assert err32 > err64
