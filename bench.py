@@ -88,10 +88,16 @@ def _await_backend(max_wait_s: float) -> tuple[bool, str]:
         budget = deadline - time.monotonic()
         if budget <= 0:
             return False, last
-        # Generous per-probe bound: a healthy tunnel's first d2h pull has
-        # been observed at 80-300 s.  Bounded regardless so a wedge cannot
-        # hang the bench itself.
-        per_probe = min(max(60.0, budget), 290.0)
+        # Escalating per-probe bounds: each probe is a fresh process that
+        # pays the FULL first-device-pull cold start (observed 80-300 s,
+        # up to ~720 s on this rig), so retrying with short bounds can
+        # never pass on a healthy-but-cold tunnel.  Probe 1 is quick (it
+        # catches fast registration errors cheaply); later probes get the
+        # whole remaining budget (capped at the worst observed cold start)
+        # so one slow-but-working pull CAN complete.  Bounded regardless
+        # so a wedge cannot hang the bench itself.
+        per_probe = 60.0 if attempt == 1 else min(max(300.0, budget), 720.0)
+        per_probe = min(per_probe, max(30.0, budget))
         t0 = time.monotonic()
         try:
             p = subprocess.run(
@@ -819,7 +825,7 @@ def main(degraded: str | None = None) -> None:
 
 if __name__ == "__main__":
     try:
-        wait_s = float(os.environ.get("NXFX_BENCH_TUNNEL_WAIT", "600"))
+        wait_s = float(os.environ.get("NXFX_BENCH_TUNNEL_WAIT", "900"))
         ok, info = _await_backend(wait_s)
         if not ok and os.environ.get("NXFX_BENCH_CPU_FALLBACK", "1") != "0":
             # The TPU tunnel is unavailable (it wedged for hours at a time

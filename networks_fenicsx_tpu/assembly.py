@@ -362,10 +362,21 @@ class HydraulicNetworkAssembler:
             if x is None or isinstance(x, (int, float)):
                 return True
             if isinstance(x, np.ndarray):
-                return not x.flags.writeable
+                # A read-only VIEW over a writeable base still changes
+                # bytes when the base is mutated — the whole base chain
+                # must be read-only too.
+                while isinstance(x, np.ndarray):
+                    if x.flags.writeable:
+                        return False
+                    x = x.base
+                return x is None  # non-ndarray backing buffer: conservative
             return type(x).__module__.startswith("jax")  # jax.Array: immutable
 
-        if (R is prev and _immutable(R)) or (
+        # Immutability must hold at BOTH ends of the identity check: a
+        # buffer mutated while writeable and frozen afterwards passes an
+        # at-solve-time check but its bytes already drifted from the
+        # snapshot — so the snapshot records whether it was immutable THEN.
+        if (R is prev and getattr(self, "_R_src_immutable", False) and _immutable(R)) or (
             isinstance(R, (int, float))
             and isinstance(prev, (int, float))
             and float(R) == float(prev)
@@ -374,6 +385,7 @@ class HydraulicNetworkAssembler:
         else:
             self._R_generation = getattr(self, "_R_generation", 0) + 1
         self._R_src = R
+        self._R_src_immutable = _immutable(R)
         self._quad_weights = w
         self._quad_phi = phi
 

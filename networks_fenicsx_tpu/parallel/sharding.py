@@ -541,7 +541,16 @@ class ShardedNetworkSolver:
             coeff = asm.schur_arguments(device=False)
         args = ex.prepare_args(*coeff)
         out = ex(*args)
-        if len(out) == 7:
+        # Dispatch on the executor's declared identity, not tuple arity
+        # (arity alone would silently mis-bind positions if a variant
+        # ever adds/removes an output).
+        is_grid = getattr(ex, "method_name", "") == "schur_sharded_grid"
+        if is_grid != (len(out) == 7):
+            raise RuntimeError(
+                f"sharded executor output arity {len(out)} contradicts "
+                f"method_name={getattr(ex, 'method_name', '?')!r}"
+            )
+        if is_grid:
             # grid executor: surfaces the λ-system residual.  ABSOLUTE,
             # matching every serial path's SolveInfo.residual convention
             # (callers compare against atol-style floors and serial runs).

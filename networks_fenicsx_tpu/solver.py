@@ -278,7 +278,11 @@ class Solver:
                 out = fac.solve(state, args[1], args[2], args[3])
                 x = fac.solution_vector(out)
                 finite = bool(np.asarray(out[-1]))
-                residual = float(out[-3]) if len(out) == 6 else 0.0
+                # explicit contract, not tuple arity: only the grid
+                # factorization surfaces a λ residual (out[-3])
+                residual = (
+                    float(out[-3]) if fac.solve_has_residual else 0.0
+                )
                 info = SolveInfo("schur_factorized", 0, residual, finite)
                 self._x, self._info = jnp.asarray(x), info
                 if self._options.monitor:
@@ -1013,73 +1017,61 @@ def _dct_capacitance_apply(
         else dt
     )
 
+    # Matmul DCT: TPU FFTs lower poorly (the 512² dctn+idctn pair
+    # profiles at ~1.1 ms) while the MXU runs the same transform as
+    # two (n, n) matmuls per axis — O(n³) beats O(n² log n) by the
+    # hardware ratio until n is in the thousands.  Precision: the
+    # FIRST direct pass runs the matmuls in the compute dtype (f64
+    # dots emulate as while-lowered VPU programs, ~1.1 ms at 512² but
+    # exact); refinement passes act on residuals that are already
+    # ~ε_f64·κ of the answer, so their transforms run in f32 MXU
+    # dots — a κ·ε_f32-relative error of a tiny correction, invisible
+    # in the result.  (All-f32 transforms are NOT enough: measured
+    # stalls at 5.3e-6 / 6.5e-3 relative λ residual on 128²/512².)
+    #
+    # The transform matrices come from one of two providers — a host
+    # constant up to 4096 per side, or on-device generation from iota
+    # above it (an (n, n) f64 host constant at that size would bake
+    # hundreds of MB into the executable; the old silent > 4096 f32-FFT
+    # fallback stalled at 6.5e-3 rel λ residual and is gone).  ONE shared
+    # Lplus body serves both so a precision/normalization fix can never
+    # drift between them; matrices are created at closure-creation time —
+    # inside the trace, but once per dtype, not once per application.
+
     if max(s, ny) <= 4096:
-        # Matmul DCT: TPU FFTs lower poorly (the 512² dctn+idctn pair
-        # profiles at ~1.1 ms) while the MXU runs the same transform as
-        # two (n, n) matmuls per axis — O(n³) beats O(n² log n) by the
-        # hardware ratio until n is in the thousands.  Precision: the
-        # FIRST direct pass runs the matmuls in the compute dtype (f64
-        # dots emulate as while-lowered VPU programs, ~1.1 ms at 512² but
-        # exact); refinement passes act on residuals that are already
-        # ~ε_f64·κ of the answer, so their transforms run in f32 MXU
-        # dots — a κ·ε_f32-relative error of a tiny correction, invisible
-        # in the result.  (All-f32 transforms are NOT enough: measured
-        # stalls at 5.3e-6 / 6.5e-3 relative λ residual on 128²/512².)
+        _host_D: dict[int, np.ndarray] = {}
 
         def _dct2_matrix(n: int) -> np.ndarray:
-            j = np.arange(n)
-            D = np.cos(np.pi * (j[None, :] + 0.5) * j[:, None] / n)
-            D *= np.sqrt(2.0 / n)
-            D[0] *= np.sqrt(0.5)
-            return D  # orthonormal DCT-II: c = D @ b, b = D.T @ c
+            if n not in _host_D:
+                j = np.arange(n)
+                D = np.cos(np.pi * (j[None, :] + 0.5) * j[:, None] / n)
+                D *= np.sqrt(2.0 / n)
+                D[0] *= np.sqrt(0.5)
+                _host_D[n] = D  # orthonormal DCT-II: c = D@b, b = D.T@c
+            return _host_D[n]
 
-        Dx_np = _dct2_matrix(s)
-        Dy_np = _dct2_matrix(ny)
-
-        def _make_matmul_lplus(tdt):
-            Dx = jnp.asarray(Dx_np, tdt)
-            Dy = jnp.asarray(Dy_np, tdt)
-            inv_t = inv.astype(tdt)
-
-            def Lplus(b):
-                B2 = b.reshape(ny, s).astype(tdt)
-                c = Dy @ B2 @ Dx.T
-                return (Dy.T @ (c * inv_t) @ Dx).reshape(-1).astype(dt)
-
-            return Lplus
-
-        Lplus_exact = _make_matmul_lplus(dt)
-        Lplus_fast = (
-            _make_matmul_lplus(fft_dt) if fft_dt != dt else Lplus_exact
-        )
+        def _make_D(n: int, tdt) -> jnp.ndarray:
+            return jnp.asarray(_dct2_matrix(n), tdt)
 
     else:
-        # Wide lattices (> 4096 per side): the TPU FFT lowering is
-        # f32-only and its κ·ε_f32 error STALLS far above f64 (measured:
-        # 6.5e-3 rel λ residual at 512² — the old silent fallback).  The
-        # exact contract holds instead: the same orthonormal matmul-DCT,
-        # but with the transform matrices GENERATED ON DEVICE from iota —
-        # an (n, n) f64 host constant at this size would bake hundreds of
-        # MB into the executable.  First pass f64-exact, refinement
-        # passes in f32 MXU dots, exactly like the ≤4096 path (see
-        # :func:`_dct2_matrix_device` for the argument-precision rule).
+        _make_D = _dct2_matrix_device  # see its argument-precision rule
 
-        def _make_matmul_lplus(tdt):
-            inv_t = inv.astype(tdt)
+    def _make_matmul_lplus(tdt):
+        Dx = _make_D(s, tdt)
+        Dy = _make_D(ny, tdt)
+        inv_t = inv.astype(tdt)
 
-            def Lplus(b):
-                Dx = _dct2_matrix_device(s, tdt)
-                Dy = _dct2_matrix_device(ny, tdt)
-                B2 = b.reshape(ny, s).astype(tdt)
-                c = Dy @ B2 @ Dx.T
-                return (Dy.T @ (c * inv_t) @ Dx).reshape(-1).astype(dt)
+        def Lplus(b):
+            B2 = b.reshape(ny, s).astype(tdt)
+            c = Dy @ B2 @ Dx.T
+            return (Dy.T @ (c * inv_t) @ Dx).reshape(-1).astype(dt)
 
-            return Lplus
+        return Lplus
 
-        Lplus_exact = _make_matmul_lplus(dt)
-        Lplus_fast = (
-            _make_matmul_lplus(fft_dt) if fft_dt != dt else Lplus_exact
-        )
+    Lplus_exact = _make_matmul_lplus(dt)
+    Lplus_fast = (
+        _make_matmul_lplus(fft_dt) if fft_dt != dt else Lplus_exact
+    )
 
     rows = jnp.asarray(plan.stub_rows)
 
@@ -2957,6 +2949,8 @@ class BlockedFactorization:
     :meth:`solution_vector` maps them to the global flat layout.
     """
 
+    solve_has_residual = False  # exact elimination: 5-tuple, no residual
+
     def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
                  opts: "SolverOptions | None" = None):
         plan = _plan_blocked(asm)
@@ -3110,6 +3104,8 @@ class GridFactorization:
     rhs assembly, the DCT direct+refine passes, expansion and
     back-substitution).  Requires the ``make_grid`` lattice envelope
     (scalar resistance; see :func:`_plan_grid_layout`)."""
+
+    solve_has_residual = True  # 6-tuple: λ residual at out[-3]
 
     def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
                  opts: "SolverOptions | None" = None):
@@ -3322,6 +3318,8 @@ class TreeFactorization:
     Cholesky), :meth:`solve` only the rhs half.  Solution blocks come
     back in PUBLIC edge order (no internal layout / permutation).
     """
+
+    solve_has_residual = False  # exact elimination: 5-tuple, no residual
 
     def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
                  opts: "SolverOptions | None" = None):
@@ -3636,6 +3634,8 @@ class _BlockedExecutor:
     plan's internal edge order (host numpy — done once per coefficient
     set, off the dispatch path); ``edge_order``/``bif_order`` let the
     host flatten map outputs back to the public layout."""
+
+    blocks_out = True  # always the 7-tuple blocks contract
 
     def __init__(self, fn, plan: _BlockedPlan, R_mode: str, f_mode: str, N: int = 1):
         self._fn = fn
@@ -4127,12 +4127,15 @@ def build_schur_executor(
         return _finish(ed)
 
     fn = jax.jit(core) if jit else core
-    if dct_plan is not None:
-        try:
+    try:
+        # explicit output contract (see _schur_solve) — never inferred
+        # from tuple arity by callers that can know better
+        fn.blocks_out = outputs == "blocks"
+        if dct_plan is not None:
             # conditioning hint for the λ-residual gate (see _schur_solve)
             fn.kappa_hint = float(max(dct_plan.s, dct_plan.ny)) ** 2
-        except AttributeError:  # pragma: no cover - jit wrapper may refuse
-            pass
+    except AttributeError:  # pragma: no cover - jit wrapper may refuse
+        pass
     return fn
 
 
@@ -4158,7 +4161,17 @@ def _schur_solve(
     if prepare is not None:
         args = prepare(*args)
     out = executor(*args)
-    if len(out) == 7:
+    # Output contract from the executor itself (tuple arity alone could
+    # silently mis-bind positions if a variant ever changes shape).
+    blocks_out = getattr(executor, "blocks_out", None)
+    if blocks_out is None:
+        blocks_out = len(out) == 7
+    elif blocks_out != (len(out) == 7):
+        raise RuntimeError(
+            f"executor output arity {len(out)} contradicts its declared "
+            f"blocks_out={blocks_out} contract"
+        )
+    if blocks_out:
         # blocks contract: flatten on the host (numpy view-transpose; no
         # device relayout/concat pass — see _solution_blocks_T)
         q_T, p_T, lam, iters, residual, rhs_norm, finite = out

@@ -689,6 +689,70 @@ def test_solver_factorize_inplace_mutation_not_stale():
     )
 
 
+def test_solver_factorize_mutate_then_freeze_not_stale():
+    """A buffer mutated while WRITEABLE and frozen afterwards must not
+    serve the stale factorization: immutability has to hold at both ends
+    of the identity check (snapshot time and solve time)."""
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(11)
+    G = network_generation.make_tree(4, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R)  # writeable snapshot
+    solver = Solver(asm)
+    solver.factorize()
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+
+    R *= 3.0
+    R.setflags(write=False)  # freeze AFTER mutating
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=R)
+    solver.solve()
+    assert solver.info.method != "schur_factorized"
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    np.testing.assert_allclose(
+        np.asarray(solver.solution_vector()),
+        refv,
+        atol=1e-10 * max(1.0, np.abs(refv).max()),
+    )
+
+
+def test_solver_factorize_readonly_view_of_writeable_base_not_stale():
+    """A read-only VIEW over a writeable base changes bytes when the base
+    is mutated — the staleness signal must not treat it as immutable."""
+    from networks_fenicsx_tpu import network_generation
+
+    rng = np.random.default_rng(12)
+    G = network_generation.make_tree(4, 1.0, 2.0, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    base = rng.uniform(0.5, 2.0, mesh.num_edges)
+    Rv = base[:]
+    Rv.setflags(write=False)  # read-only view, writeable base
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=Rv)
+    solver = Solver(asm)
+    solver.factorize()
+    solver.solve()
+    assert solver.info.method == "schur_factorized"
+
+    base *= 3.0  # mutate underneath the frozen view
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=Rv)
+    solver.solve()
+    assert solver.info.method != "schur_factorized"
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    np.testing.assert_allclose(
+        np.asarray(solver.solution_vector()),
+        refv,
+        atol=1e-10 * max(1.0, np.abs(refv).max()),
+    )
+
+
 def test_solver_factorize_irregular_forest():
     """Solver.factorize() on a forest that is NOT blocked-eligible
     (irregular branching): TreeFactorization must execute real peel
