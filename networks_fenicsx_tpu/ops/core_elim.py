@@ -95,6 +95,7 @@ def plan_core_elimination(
     kcap: int = 32,
     max_fill_ratio: float = 60.0,
     max_slots: int = 20_000_000,
+    tail_stop: bool = True,
 ) -> CoreElimPlan | None:
     """Symbolic minimum-degree independent-set elimination.
 
@@ -109,6 +110,11 @@ def plan_core_elimination(
         max_fill_ratio / max_slots: fill budget — beyond it the planner
             gives up (returns ``None``) and the caller keeps the dense/CG
             fallback.
+        tail_stop: apply the diminishing-returns stop (see the loop
+            comment).  ``False`` forces the sparse rounds all the way to
+            ``dense_cutoff`` — used by tests that pin the sparse numeric
+            phase on small cores where the stop would otherwise keep the
+            whole core dense.
 
     Returns None when the core is empty or the fill budget is exceeded.
     """
@@ -152,7 +158,7 @@ def plan_core_elimination(
         # nodes each (76 rounds, 16k HLO lines); stopping at a ≤2048-node
         # remainder gives 25 rounds / ~4k lines with the dense tail still
         # MXU-cheap.  Only when the remainder fits the dense envelope.
-        if n_alive <= 2048 and len(chosen) < max(16, n_alive // 32):
+        if tail_stop and n_alive <= 2048 and len(chosen) < max(16, n_alive // 32):
             break
         chosen.sort()
         K = max((len(adj[v]) for v in chosen), default=1)

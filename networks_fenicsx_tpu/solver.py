@@ -1731,7 +1731,10 @@ def _plan_tree_elimination(
 
 
 def attach_core_plan(
-    tree_plan: _TreePlan, dense_cutoff: int = 384, max_core: int = 150_000
+    tree_plan: _TreePlan,
+    dense_cutoff: int = 384,
+    max_core: int = 150_000,
+    tail_stop: bool = True,
 ) -> _TreePlan:
     """Attach a sparse core-elimination plan when the cycle core admits one.
 
@@ -1748,7 +1751,10 @@ def attach_core_plan(
     from .ops.core_elim import plan_core_elimination
 
     cp = plan_core_elimination(
-        tree_plan.core_pairs, tree_plan.core_size, dense_cutoff=dense_cutoff
+        tree_plan.core_pairs,
+        tree_plan.core_size,
+        dense_cutoff=dense_cutoff,
+        tail_stop=tail_stop,
     )
     if cp is None:
         return tree_plan
@@ -3693,6 +3699,7 @@ def build_schur_executor(
     elide_zero_f: bool = True,
     outputs: str = "flat",
     internal_layout: bool = False,
+    _tree_plan=None,
 ):
     """Build the (optionally jitted) end-to-end Schur solve.
 
@@ -3734,7 +3741,11 @@ def build_schur_executor(
         asm.coefficient_modes() if inputs == "coefficients" else (None, None, False)
     )
     if schur_method in ("auto", "tree") and B > 0:
-        tree_plan = _plan_tree_elimination(asm)
+        # _tree_plan: test/tooling override (e.g. a core plan attached
+        # with a non-default dense_cutoff to force the sparse rounds)
+        tree_plan = (
+            _tree_plan if _tree_plan is not None else _plan_tree_elimination(asm)
+        )
     if schur_method == "auto":
         # Peel-then-core elimination is exact for any graph; small cycle
         # cores stay dense.  Large cores first try the exact separable-DCT

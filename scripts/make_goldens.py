@@ -49,6 +49,13 @@ def build_graph(spec: dict):
         )
     if kind == "grid":
         return network_generation.make_grid(spec["nx"], spec["ny"])
+    if kind == "random":
+        return network_generation.make_random_network(
+            spec["n"],
+            keep=spec["keep"],
+            num_boundary=spec["num_boundary"],
+            seed=spec["seed"],
+        )
     raise ValueError(kind)
 
 
@@ -56,6 +63,12 @@ def edge_R(spec: dict, G):
     if spec.get("R") == "poiseuille":
         radius = np.array([G.edges[e]["radius"] for e in G.edges], dtype=np.float64)
         return 1.0 / radius**4
+    if spec.get("R") == "seeded":
+        # per-edge resistances in list(G.edges) order; the exact float64
+        # values are embedded into the golden config so the consumer
+        # never re-derives them (no RNG-drift risk)
+        rng = np.random.default_rng(spec["seed"] + 1)
+        return rng.uniform(0.5, 2.0, G.number_of_edges())
     return spec.get("R")
 
 
@@ -95,6 +108,15 @@ CONFIGS: dict[str, dict] = {
     # cycle-core elimination, the MG/Chebyshev CG paths AND the exact
     # separable-DCT direct solve against exact rational arithmetic
     "grid5x4": dict(graph="grid", nx=5, ny=4, N=2, p_bc="x", R=2.0, f=0.3),
+    # unstructured Delaunay web (beyond the reference's generators):
+    # irregular junction degrees + cycles everywhere — pins the
+    # peel-then-core elimination AND (via test_golden's forced
+    # dense_cutoff variant) the sparse min-degree core numeric phase
+    # (ops/core_elim.py) against exact rational arithmetic
+    "web48": dict(
+        graph="random", n=48, keep=0.6, num_boundary=3, seed=5, N=2,
+        p_bc="x", R="seeded", f=0.3,
+    ),
 }
 
 P_BC = {"x": p_bc_x, "y": p_bc_y}
@@ -104,16 +126,22 @@ def main() -> None:
     OUTDIR.mkdir(parents=True, exist_ok=True)
     for name, spec in CONFIGS.items():
         G = build_graph(spec)
+        R_val = edge_R(spec, G)
         res = exact_solve(
             G,
             spec["N"],
             P_BC[spec["p_bc"]],
-            R=edge_R(spec, G),
+            R=R_val,
             f=spec.get("f"),
             flux_degree=spec.get("flux_degree", 1),
         )
+        cfg = {k: v for k, v in spec.items()}
+        if spec.get("R") == "seeded":
+            # embed the exact float64 values, in the same order as the
+            # golden's "edges" list (list(G.edges) order)
+            cfg["R"] = np.asarray(R_val).tolist()
         payload = {
-            "config": {k: v for k, v in spec.items()},
+            "config": cfg,
             "edges": res["edges"],
             "N": res["N"],
             "flux": res["flux"].tolist(),

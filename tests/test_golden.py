@@ -40,6 +40,13 @@ def _build_problem(golden: dict):
         G = network_generation.make_tree(spec["n"], spec["H"], spec["W"])
     elif spec["graph"] == "grid":
         G = network_generation.make_grid(spec["nx"], spec["ny"])
+    elif spec["graph"] == "random":
+        G = network_generation.make_random_network(
+            spec["n"],
+            keep=spec["keep"],
+            num_boundary=spec["num_boundary"],
+            seed=spec["seed"],
+        )
     else:
         G = network_generation.make_arterial_tree(
             N=spec["n"], direction=np.asarray(spec["direction"])
@@ -49,6 +56,15 @@ def _build_problem(golden: dict):
     p_bc = (lambda x: x[0]) if spec["p_bc"] == "x" else (lambda x: x[1])
     if spec.get("R") == "poiseuille":
         R = 1.0 / mesh.edge_radius**4
+    elif isinstance(spec.get("R"), list):
+        # per-edge values embedded by make_goldens.py, in the golden's
+        # "edges" order — remap to the mesh's public edge order
+        mesh_edges = [tuple(int(x) for x in e) for e in mesh.edges]
+        order = np.asarray(
+            [mesh_edges.index(tuple(e)) for e in golden["edges"]]
+        )
+        R = np.empty(len(spec["R"]))
+        R[order] = np.asarray(spec["R"])
     else:
         R = spec.get("R")
     asm.compute_forms(p_bc_ex=p_bc, R=R, f=spec.get("f"))
@@ -129,6 +145,41 @@ def test_golden_grid_schur_variants(schur_method: str):
     _check(golden, mesh, asm, sol, tol=1e-10)
 
 
+def test_golden_web_forced_sparse_core():
+    """The unstructured-web golden pins the sparse min-degree core
+    NUMERIC phase (ops/core_elim.py) against exact rational arithmetic:
+    the 47-node cycle core would normally stay dense (<= 512), so a core
+    plan with a tiny dense_cutoff is force-attached — the independent-set
+    elimination rounds then carry the solve."""
+    from networks_fenicsx_tpu.solver import (
+        _plan_tree_elimination,
+        _schur_solve,
+        attach_core_plan,
+        build_schur_executor,
+    )
+
+    golden = _load("web48")
+    _, mesh, asm = _build_problem(golden)
+    plan = _plan_tree_elimination(asm)
+    forced = attach_core_plan(plan, dense_cutoff=4, tail_stop=False)
+    assert forced.core_plan is not None
+    assert forced.core_plan.stats["rounds"] > 0
+    opts = SolverOptions(method="schur", schur_method="tree")
+    ex = build_schur_executor(asm, opts, _tree_plan=forced)
+    x, info = _schur_solve(asm, opts, executor=ex)
+    assert info.converged
+
+    # same flat layout as Solver.solution_vector(): pin against the
+    # standard solver (itself golden-pinned by test_golden_direct_methods)
+    ref = Solver(asm, options=SolverOptions(method="schur"))
+    ref.assemble()
+    sol = ref.solve()
+    _check(golden, mesh, asm, sol, tol=1e-10)
+    refv = np.asarray(ref.solution_vector())
+    scale = max(1.0, np.abs(refv).max())
+    np.testing.assert_allclose(np.asarray(x), refv, atol=1e-10 * scale)
+
+
 @pytest.mark.parametrize("name", ["y_bifurcation", "tree4"])
 def test_golden_minres(name: str):
     golden = _load(name)
@@ -145,7 +196,7 @@ def test_goldens_exist():
     expected = {
         "y_bifurcation", "double_y", "tree_N2", "tree_N16", "tree_N256",
         "tree4", "y_source", "arterial", "arterial_poiseuille",
-        "tree3_k2", "y_k3", "grid5x4",
+        "tree3_k2", "y_k3", "grid5x4", "web48",
     }
     assert expected.issubset(set(GOLDEN_NAMES))
 
