@@ -10,6 +10,8 @@ solve calls).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -160,8 +162,6 @@ def solve_sweep(
     # small-to-medium bifurcation counts.
     B = mesh.num_multipliers
     if opts.schur_method == "auto" and 0 < B <= 4096:
-        import dataclasses
-
         from .solver import lattice_solve_applicable
 
         # Uniform lattices take the exact DCT solve: it vmaps without a
@@ -179,12 +179,10 @@ def solve_sweep(
             opts = dataclasses.replace(opts, schur_method="dct")
         else:
             opts = dataclasses.replace(opts, schur_method="dense")
-    import dataclasses as _dc
-
     # EVERY option field keys the cache — an f32 sweep followed by a
     # default-f64 sweep (or a level_scan/output_dtype change) must not
     # silently reuse the first compiled executor.
-    key = (in_axes, _dc.astuple(opts), asm.coefficient_modes())
+    key = (in_axes, dataclasses.astuple(opts), asm.coefficient_modes())
     cache = getattr(asm, "_sweep_cache", None)
     if cache is None:
         cache = asm._sweep_cache = {}
