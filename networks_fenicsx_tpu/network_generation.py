@@ -32,6 +32,7 @@ __all__ = [
     "make_arterial_tree",
     "make_grid",
     "make_random_network",
+    "make_vascular_bed",
 ]
 
 
@@ -505,3 +506,148 @@ def make_random_network(
     for u, v in all_edges:
         G.add_edge(int(u), int(v))
     return G
+
+
+def make_vascular_bed(
+    n_gen: int,
+    nx_cells: int,
+    ny_cells: int,
+    W: float = 1.0,
+    H: float = 1.0,
+    tree_height: float | None = None,
+    r_capillary: float = 0.05,
+    r_terminal: float | None = None,
+    arrays: bool = False,
+) -> "nx.DiGraph | ArrayNetwork":
+    """Arterio-venous perfusion unit: supply tree → capillary bed → drain.
+
+    The physiological flagship composite the reference cannot generate
+    (its generators are tree-only,
+    ``/root/reference/src/networks_fenicsx/network_generation.py:42,158``):
+    a binary arterial tree with Murray's-law radii feeds ``2**n_gen``
+    evenly-spaced columns of the top row of an ``nx_cells × ny_cells``
+    capillary lattice; a mirrored venous tree drains the bottom row.  The
+    single arterial inlet and venous outlet are the only boundary nodes —
+    every multiplier sits on a cycle through the bed, so the solve
+    exercises the peel-then-core machinery end-to-end (the min-degree
+    sparse core elimination absorbs tree and lattice jointly).
+
+    Murray's law at every (symmetric) bifurcation: the parent edge radius
+    is ``(r₁³ + r₂³)^{1/3} = 2^{1/3} r`` — the same deposition law as
+    :func:`make_arterial_tree` (reference ``network_generation.py:236-238``).
+    Every edge carries a ``radius`` attribute so Poiseuille resistance
+    ``R ∝ 1/r⁴`` applies uniformly.
+
+    Args:
+        n_gen: Arterial generations; the tree ends in ``2**n_gen``
+            terminal arterioles (must not exceed ``nx_cells``).
+        nx_cells, ny_cells: Capillary lattice dimensions (nodes per side).
+        W, H: Physical extent of the lattice.
+        tree_height: Vertical extent of each tree (default ``H / 2``).
+        r_capillary: Capillary edge radius.
+        r_terminal: Terminal arteriole/venule radius (default
+            ``1.5 * r_capillary``).
+        arrays: Return an :class:`ArrayNetwork` (identical numbering).
+    """
+    if n_gen < 1:
+        raise ValueError("n_gen must be >= 1")
+    if nx_cells < 2 or ny_cells < 2:
+        raise ValueError("capillary bed needs at least 2 nodes per side")
+    L = 2**n_gen
+    if L > nx_cells:
+        raise ValueError(
+            f"2**n_gen = {L} terminal vessels exceed nx_cells = {nx_cells}"
+        )
+    # L <= nx_cells means the linspace spacing is >= 1, so rounding keeps
+    # the attachment columns strictly increasing (always distinct).
+    cols = np.round(np.linspace(0, nx_cells - 1, L)).astype(np.int64)
+    dx = W / (nx_cells - 1)
+    dy = H / (ny_cells - 1)
+    dz = (tree_height if tree_height is not None else H / 2.0) / (n_gen + 1)
+    r_term = 1.5 * r_capillary if r_terminal is None else r_terminal
+
+    # --- capillary lattice (row-major numbering, right/up edges) --------
+    nG = nx_cells * ny_cells
+    k = np.arange(nG, dtype=np.int64)
+    gi, gj = k % nx_cells, k // nx_cells
+    cand = np.stack(
+        [np.stack([k, k + 1], axis=1), np.stack([k, k + nx_cells], axis=1)],
+        axis=1,
+    ).reshape(-1, 2)
+    valid = np.stack([gi + 1 < nx_cells, gj + 1 < ny_cells], axis=1).reshape(-1)
+    grid_edges = cand[valid]
+    grid_pos = np.stack([gi * dx, gj * dy], axis=1)
+
+    # --- tree node x-positions, bottom-up (level n_gen-1 .. 0) ----------
+    # level k holds 2**k internal nodes; leaf EDGES (no leaf nodes) land
+    # directly on the lattice columns.
+    x_levels: list[np.ndarray] = [None] * n_gen  # type: ignore[list-item]
+    child_x = cols * dx
+    for lvl in range(n_gen - 1, -1, -1):
+        child_x = 0.5 * (child_x[0::2] + child_x[1::2])
+        x_levels[lvl] = child_x
+
+    def level_base(base: int, lvl: int) -> int:
+        return base + (2**lvl - 1)
+
+    art_base = nG
+    inlet = art_base + (L - 1)
+    ven_base = inlet + 1
+    outlet = ven_base + (L - 1)
+
+    pos_parts = [grid_pos]
+    for lvl in range(n_gen):  # arterial internal nodes, root-first
+        y = H + (n_gen + 1 - lvl) * dz
+        pos_parts.append(np.stack([x_levels[lvl], np.full(2**lvl, y)], axis=1))
+    pos_parts.append(np.array([[x_levels[0][0], H + (n_gen + 2) * dz]]))  # inlet
+    for lvl in range(n_gen):  # venous (mirror: y -> -(y - H))
+        y = -(n_gen + 1 - lvl) * dz
+        pos_parts.append(np.stack([x_levels[lvl], np.full(2**lvl, y)], axis=1))
+    pos_parts.append(np.array([[x_levels[0][0], -(n_gen + 2) * dz]]))  # outlet
+    pos = np.concatenate(pos_parts, axis=0)
+
+    def murray(lvl: int) -> float:
+        # radius of an edge ENTERING a level-``lvl`` node (lvl = n_gen
+        # means a terminal edge into the lattice)
+        return r_term * 2.0 ** ((n_gen - lvl) / 3.0)
+
+    edges: list[tuple[int, int]] = [tuple(e) for e in grid_edges]
+    radii: list[float] = [r_capillary] * len(edges)
+
+    # arterial: inlet trunk, internal parent->child, terminal edges
+    edges.append((inlet, level_base(art_base, 0)))
+    radii.append(murray(0))
+    for lvl in range(1, n_gen):
+        pb, cb = level_base(art_base, lvl - 1), level_base(art_base, lvl)
+        for i in range(2**lvl):
+            edges.append((pb + i // 2, cb + i))
+            radii.append(murray(lvl))
+    top_row = (ny_cells - 1) * nx_cells + cols
+    lb = level_base(art_base, n_gen - 1)
+    for i in range(L):
+        edges.append((lb + i // 2, int(top_row[i])))
+        radii.append(murray(n_gen))
+
+    # venous: terminal edges (bottom row -> venule), child->parent, outlet
+    vb = level_base(ven_base, n_gen - 1)
+    for i in range(L):
+        edges.append((int(cols[i]), vb + i // 2))
+        radii.append(murray(n_gen))
+    for lvl in range(n_gen - 1, 0, -1):
+        pb, cb = level_base(ven_base, lvl - 1), level_base(ven_base, lvl)
+        for i in range(2**lvl):
+            edges.append((cb + i, pb + i // 2))
+            radii.append(murray(lvl))
+    edges.append((level_base(ven_base, 0), outlet))
+    radii.append(murray(0))
+
+    # Stable-sort by source node: nx.DiGraph.edges() iterates grouped by
+    # node insertion order, so this makes the ``arrays=True`` edge order
+    # IDENTICAL to the DiGraph path (the venous terminal edges — sourced
+    # at bottom-row lattice nodes — interleave with that node's lattice
+    # edges under both representations).
+    e_arr = np.asarray(edges, dtype=np.int64)
+    r_arr = np.asarray(radii, dtype=np.float64)
+    order = np.argsort(e_arr[:, 0], kind="stable")
+    net = ArrayNetwork(pos=pos, edges=e_arr[order], radius=r_arr[order])
+    return net if arrays else net.to_networkx()
