@@ -313,6 +313,22 @@ err_u = float(np.max(np.abs(xu - xu2)) / max(1.0, np.abs(xu2).max()))
 check("unstructured-sparse-core", plan_u.core_plan is not None and err_u < 1e-10,
       f"err={err_u:.1e} stats={plan_u.core_plan.stats if plan_u.core_plan else None}")
 
+# 27. composite arterio-venous perfusion bed (tree + lattice + venous):
+# the structure-adaptive peel-then-core elimination on the chip
+Gb = network_generation.make_vascular_bed(4, 32, 20, arrays=True)
+mb = NetworkMesh(Gb, N=1, color_strategy="fast")
+ab = HydraulicNetworkAssembler(mb)
+Rb = 1.0 / mb.edge_radius**4
+ab.compute_forms(p_bc_ex=lambda x: x[1], R=Rb)
+sb = Solver(ab); sb.assemble(); sb.solve()
+xb = np.asarray(sb.solution_vector())
+ab2 = HydraulicNetworkAssembler(mb)
+ab2.compute_forms(p_bc_ex=lambda x: x[1], R=Rb)
+sb2 = Solver(ab2, options=SolverOptions(method="host_lu")); sb2.assemble(); sb2.solve()
+xb2 = np.asarray(sb2.solution_vector())
+err_b = float(np.max(np.abs(xb - xb2)) / max(1.0, np.abs(xb2).max()))
+check("vascular-bed-composite", err_b < 1e-10, f"err={err_b:.1e}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 # Machine-readable artifact: bench.py embeds this in its detail block so

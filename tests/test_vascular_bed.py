@@ -144,6 +144,33 @@ def test_vascular_bed_sweep_and_factorize():
     assert solver.info.method == "schur_factorized"
 
 
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_vascular_bed_sharded(ndev):
+    """The composite routes the GENERAL sharded pipeline (no forest or
+    lattice envelope applies) — sharded == serial host LU at 1e-10."""
+    import jax
+
+    from networks_fenicsx_tpu.parallel import ShardedNetworkSolver
+
+    devices = jax.devices("cpu")[:ndev]
+    if len(devices) < ndev:
+        pytest.skip(f"need {ndev} virtual devices")
+    G = network_generation.make_vascular_bed(3, 12, 8, arrays=True)
+    mesh = NetworkMesh(G, N=2, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1], R=1.0 / mesh.edge_radius**4)
+    sh = ShardedNetworkSolver(asm, devices=devices)
+    sh.assemble()
+    sol = sh.solve()
+    ref_asm = HydraulicNetworkAssembler(mesh)
+    ref_asm.compute_forms(p_bc_ex=lambda x: x[1], R=1.0 / mesh.edge_radius**4)
+    ref = Solver(ref_asm, options=SolverOptions(method="host_lu"))
+    ref.assemble()
+    ref_sol = ref.solve()
+    for a, b in zip(sol, ref_sol):
+        assert np.max(np.abs(np.asarray(a.values) - np.asarray(b.values))) < 1e-10
+
+
 def test_vascular_bed_errors():
     with pytest.raises(ValueError, match="exceed nx_cells"):
         network_generation.make_vascular_bed(5, 12, 8)
