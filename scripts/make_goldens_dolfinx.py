@@ -63,6 +63,21 @@ def main() -> None:
             continue
         if spec["graph"] == "tree":
             G = network_generation.make_tree(spec["n"], spec["H"], spec["W"])
+        elif spec["graph"] == "random":
+            # beyond the reference's generators, but its MUMPS stack can
+            # CONSUME the DiGraph — build it with the repo's generator
+            # (seeded, deterministic) and cross-validate the unstructured
+            # family against DOLFINx too
+            from networks_fenicsx_tpu.network_generation import (
+                make_random_network,
+            )
+
+            G = make_random_network(
+                spec["n"],
+                keep=spec["keep"],
+                num_boundary=spec["num_boundary"],
+                seed=spec["seed"],
+            )
         else:
             G = network_generation.make_arterial_tree(
                 N=spec["n"], direction=np.asarray(spec["direction"])
@@ -80,21 +95,30 @@ def main() -> None:
         kwargs = {}
         if spec.get("f") is not None:
             kwargs["f"] = float(spec["f"])
+        R_per_edge = None
         if spec.get("R") == "poiseuille":
+            radius = np.array([G.edges[e]["radius"] for e in G.edges])
+            R_per_edge = 1.0 / radius**4
+        elif spec.get("R") == "seeded":
+            # same deterministic per-edge values as make_goldens.edge_R;
+            # embed them in the written config (list(G.edges) order) so
+            # tests/test_golden.py consumes the exact floats
+            from make_goldens import edge_R
+
+            R_per_edge = np.asarray(edge_R(spec, G), dtype=np.float64)
+            spec = dict(spec, R=R_per_edge.tolist())
+        if R_per_edge is not None:
             import dolfinx
 
-            # per-edge R from the radius attribute, expanded as DG0 data on
-            # the parent mesh cells (cells are edge-major, N per edge)
-            radius = np.array([G.edges[e]["radius"] for e in G.edges])
+            # per-edge R expanded as DG0 data on the parent mesh cells
+            # (cells mapped to edges by midpoint — colors != edge ids)
             DG0 = dolfinx.fem.functionspace(mesh.mesh, ("DG", 0))
             Rfun = dolfinx.fem.Function(DG0)
-            cell_markers = mesh.subdomains.values  # edge color per cell
-            del cell_markers  # colors != edge ids; map by cell midpoint below
             mids = DG0.tabulate_dof_coordinates()
             Rvals = np.empty(mids.shape[0])
             for c, m in enumerate(mids):
                 e = _nearest_edge(m, edges, pos)
-                Rvals[c] = 1.0 / radius[e] ** 4
+                Rvals[c] = R_per_edge[e]
             Rfun.x.array[:] = Rvals
             kwargs["R"] = Rfun
         elif spec.get("R") is not None:
