@@ -696,6 +696,111 @@ def main(degraded: str | None = None) -> None:
             log(f"unstructured stage skipped: {e!r}")
             unstructured = None
 
+    # --- composite scale point: arterio-venous perfusion bed
+    # (make_vascular_bed — Murray's-law tree + capillary lattice + venous
+    # drain).  The structure-adaptive peel-then-core elimination on the
+    # composite; SuperLU on the identical system is the baseline.
+    # Failure-isolated; NXFX_BENCH_BED=0 skips.
+    bed = None
+    if os.environ.get("NXFX_BENCH_BED", "1") != "0" and stage_ok("bed", 300):
+        try:
+            from networks_fenicsx_tpu.network_generation import make_vascular_bed
+            from networks_fenicsx_tpu.solver import (
+                _plan_tree_elimination,
+                attach_core_plan,
+            )
+
+            bg = int(os.environ.get("NXFX_BENCH_BED_GENS", "5"))
+            bx = int(os.environ.get("NXFX_BENCH_BED_NX", "96"))
+            by = int(os.environ.get("NXFX_BENCH_BED_NY", "64"))
+            t0 = time.perf_counter()
+            G_b = make_vascular_bed(bg, bx, by, arrays=True)
+            mesh_b = NetworkMesh(G_b, N=2, color_strategy="fast")
+            asm_b = HydraulicNetworkAssembler(mesh_b)
+            R_b = 1.0 / mesh_b.edge_radius**4
+            asm_b.compute_forms(p_bc_ex=p_bc, R=R_b)
+            plan_b = attach_core_plan(_plan_tree_elimination(asm_b))
+            stats_b = plan_b.core_plan.stats if plan_b.core_plan else None
+            ex_b = build_schur_executor(
+                asm_b, opts, outputs="blocks", internal_layout=True
+            )
+            prep_b = getattr(ex_b, "prepare_args", None)
+            log(f"bed: {2**bg} terminals over {bx}x{by}, "
+                f"{mesh_b.num_edges} vessels, {asm_b.num_dofs} dofs, "
+                f"core plan {stats_b} ({time.perf_counter() - t0:.1f}s build)")
+            a_b = asm_b.schur_arguments(device=prep_b is None)
+            if prep_b is not None:
+                a_b = prep_b(*a_b)
+            args_b = jax.device_put(a_b)
+            jax.block_until_ready(args_b)
+            out_b = ex_b(*args_b)
+            np.asarray(out_b[0][:1, :1])  # warm (compile) + sync
+            bed_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                asm_b.compute_forms(p_bc_ex=p_bc, R=R_b)
+                ab2 = asm_b.schur_arguments(device=prep_b is None)
+                if prep_b is not None:
+                    ab2 = prep_b(*ab2)
+                o_b = ex_b(*ab2)
+                np.asarray(o_b[0][:1, :1])
+                bed_times.append(time.perf_counter() - t0)
+            t_bed = min(bed_times)
+            depth_bed = 16
+            best_bed = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_b = [ex_b(*args_b) for _ in range(depth_bed)]
+                np.asarray(outs_b[-1][0][:1, :1])
+                best_bed = min(best_bed, (time.perf_counter() - t0) / depth_bed)
+            import scipy.sparse as _sp
+            import scipy.sparse.linalg as _spla
+
+            vals_b = np.concatenate(
+                [np.asarray(asm_b._cell_mass).ravel(), asm_b._static_vals]
+            )
+            A_b = _sp.csc_matrix(
+                (vals_b, (asm_b._all_rows, asm_b._all_cols)),
+                shape=(asm_b.num_dofs,) * 2,
+            )
+            b_b = np.asarray(asm_b._b_host)
+            lu_b = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                x_lu_b = _spla.splu(A_b).solve(b_b)
+                lu_b.append(time.perf_counter() - t0)
+            t_lu_b = float(np.median(lu_b))
+            from networks_fenicsx_tpu.solver import _flatten_blocks_host
+
+            x_b = _flatten_blocks_host(
+                out_b[0], out_b[1], out_b[2], mesh_b.edge_color,
+                edge_order=getattr(ex_b, "edge_order", None),
+                bif_order=getattr(ex_b, "bif_order", None),
+            )
+            err_b = float(
+                np.max(np.abs(x_b - x_lu_b)) / max(1.0, np.abs(x_lu_b).max())
+            )
+            bed = {
+                "terminals": 2**bg,
+                "lattice": [bx, by],
+                "vessels": int(mesh_b.num_edges),
+                "num_dofs": int(asm_b.num_dofs),
+                "core_plan": stats_b,
+                "assemble_solve_ms": round(t_bed * 1e3, 3),
+                "pipelined_ms_per_solve": round(best_bed * 1e3, 3),
+                "superlu_ms_median": round(t_lu_b * 1e3, 3),
+                "vs_superlu": round(t_lu_b / t_bed, 2),
+                "max_rel_err_vs_superlu": err_b,
+            }
+            log(f"bed assemble+solve: best {t_bed * 1e3:.2f} ms, pipelined "
+                f"x{depth_bed} {best_bed * 1e3:.2f} ms/solve; SuperLU "
+                f"{t_lu_b * 1e3:.1f} ms ({t_lu_b / t_bed:.1f}x); err {err_b:.1e}")
+            assert err_b < 1e-8, f"bed mismatch vs SuperLU: {err_b}"
+            del out_b, outs_b, o_b, args_b, ex_b, asm_b, mesh_b, G_b
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"bed stage skipped: {e!r}")
+            bed = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -812,6 +917,7 @@ def main(degraded: str | None = None) -> None:
             "xl": xl,
             "lattice": lattice,
             "unstructured": unstructured,
+            "bed": bed,
             "tpu_validate": _read_validate_artifact(),
             "backend": jax.default_backend(),
         },
@@ -850,6 +956,9 @@ if __name__ == "__main__":
                 "NXFX_BENCH_XL": "0",
                 "NXFX_BENCH_LATTICE_N": "128",
                 "NXFX_BENCH_UNSTRUCTURED_N": "2000",
+                "NXFX_BENCH_BED_GENS": "4",
+                "NXFX_BENCH_BED_NX": "48",
+                "NXFX_BENCH_BED_NY": "32",
             }.items():
                 os.environ.setdefault(k, v)
             main(degraded=cause)
