@@ -560,138 +560,156 @@ def main(degraded: str | None = None) -> None:
             log(f"lattice stage skipped: {e!r}")
             lattice = None
 
+    # --- shared scale-point harness for the topology-family stages
+    # (unstructured web, perfusion bed): fused-executor synchronized
+    # assemble+solve, deep-pipelined re-dispatch, SuperLU factor+solve of
+    # the identical system as baseline + accuracy oracle.  An accuracy
+    # mismatch is RECORDED in the stage dict (never swallowed by the
+    # callers' environment-failure isolation).
+    def _scale_stage(label, mesh_s, asm_s, recompute, extras,
+                     include_factor_reuse=False):
+        from networks_fenicsx_tpu.solver import (
+            _flatten_blocks_host,
+            _plan_tree_elimination,
+            attach_core_plan,
+        )
+
+        t_build = time.perf_counter()
+        plan_s = attach_core_plan(_plan_tree_elimination(asm_s))
+        stats_s = plan_s.core_plan.stats if plan_s.core_plan else None
+        ex_s = build_schur_executor(
+            asm_s, opts, outputs="blocks", internal_layout=True
+        )
+        prep_s = getattr(ex_s, "prepare_args", None)
+        log(f"{label}: {mesh_s.num_edges} vessels, {asm_s.num_dofs} dofs, "
+            f"core plan {stats_s} ({time.perf_counter() - t_build:.1f}s plan)")
+        a_s = asm_s.schur_arguments(device=prep_s is None)
+        if prep_s is not None:
+            a_s = prep_s(*a_s)
+        args_s = jax.device_put(a_s)
+        jax.block_until_ready(args_s)
+        out_s = ex_s(*args_s)
+        np.asarray(out_s[0][:1, :1])  # warm (compile) + sync
+        # synchronized assemble+solve (forms recomputed per rep)
+        times_s = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            recompute()
+            aa = asm_s.schur_arguments(device=prep_s is None)
+            if prep_s is not None:
+                aa = prep_s(*aa)
+            o_s = ex_s(*aa)
+            np.asarray(o_s[0][:1, :1])
+            times_s.append(time.perf_counter() - t0)
+        t_sync = min(times_s)
+        depth_s = 16
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs_s = [ex_s(*args_s) for _ in range(depth_s)]
+            np.asarray(outs_s[-1][0][:1, :1])
+            best_s = min(best_s, (time.perf_counter() - t0) / depth_s)
+        # SuperLU baseline + accuracy on the identical system
+        import scipy.sparse as _sp
+        import scipy.sparse.linalg as _spla
+
+        vals_s = np.concatenate(
+            [np.asarray(asm_s._cell_mass).ravel(), asm_s._static_vals]
+        )
+        A_s = _sp.csc_matrix(
+            (vals_s, (asm_s._all_rows, asm_s._all_cols)),
+            shape=(asm_s.num_dofs,) * 2,
+        )
+        b_s = np.asarray(asm_s._b_host)
+        lu_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x_lu_s = _spla.splu(A_s).solve(b_s)
+            lu_times.append(time.perf_counter() - t0)
+        t_lu_s = float(np.median(lu_times))
+        x_s = _flatten_blocks_host(
+            out_s[0], out_s[1], out_s[2], mesh_s.edge_color,
+            edge_order=getattr(ex_s, "edge_order", None),
+            bif_order=getattr(ex_s, "bif_order", None),
+        )
+        err_s = float(
+            np.max(np.abs(x_s - x_lu_s)) / max(1.0, np.abs(x_lu_s).max())
+        )
+        record = {
+            **extras,
+            "vessels": int(mesh_s.num_edges),
+            "num_dofs": int(asm_s.num_dofs),
+            "core_plan": stats_s,
+            "assemble_solve_ms": round(t_sync * 1e3, 3),
+            "pipelined_ms_per_solve": round(best_s * 1e3, 3),
+            "superlu_ms_median": round(t_lu_s * 1e3, 3),
+            "vs_superlu": round(t_lu_s / t_sync, 2),
+            "max_rel_err_vs_superlu": err_s,
+        }
+        if include_factor_reuse:
+            # factor-once / re-solve-per-rhs (the MUMPS factor-reuse
+            # contract): conductance-side factor cached, rhs-only solves
+            # pipelined.  Failure-logged, never fatal to the stage.
+            try:
+                from networks_fenicsx_tpu.solver import build_tree_factorization
+
+                fac_s = build_tree_factorization(asm_s, opts)
+                Rs_a, fs_a, ss_a, es_a = asm_s.schur_arguments(device=False)
+                st_s = jax.block_until_ready(fac_s.factor(Rs_a))
+                rhs_s = jax.device_put(fac_s.prepare_rhs(fs_a, ss_a, es_a))
+                of_s = fac_s.solve_prepared(st_s, rhs_s)
+                np.asarray(of_s[0][:1, :1])  # warm + sync
+                bf_s = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    ofs_s = [
+                        fac_s.solve_prepared(st_s, rhs_s)
+                        for _ in range(depth_s)
+                    ]
+                    np.asarray(ofs_s[-1][0][:1, :1])
+                    bf_s = min(bf_s, (time.perf_counter() - t0) / depth_s)
+                record["factor_reuse_ms_per_solve"] = round(bf_s * 1e3, 3)
+                log(f"{label} factor-reuse (rhs-only): "
+                    f"{bf_s * 1e3:.2f} ms/solve")
+            except Exception as e:  # pragma: no cover - defensive
+                log(f"{label} factor-reuse skipped: {e!r}")
+                record["factor_reuse_ms_per_solve"] = None
+        log(f"{label} assemble+solve: best {t_sync * 1e3:.2f} ms, pipelined "
+            f"x{depth_s} {best_s * 1e3:.2f} ms/solve; SuperLU "
+            f"{t_lu_s * 1e3:.1f} ms ({t_lu_s / t_sync:.1f}x); err {err_s:.1e}")
+        if err_s >= 1e-8:
+            # recorded IN the artifact — distinguishable from an
+            # environment skip (which leaves the stage null)
+            record["error"] = f"accuracy mismatch vs SuperLU: {err_s:.3e}"
+            log(f"{label} ACCURACY MISMATCH vs SuperLU: {err_s:.3e}")
+        return record
+
     # --- unstructured scale point: ~10k-junction random cyclic capillary
     # web (Delaunay family, make_random_network) through the sparse
-    # min-degree core elimination — the MUMPS-generality path.  SuperLU
-    # factor+solve of the identical system is the baseline here too.
+    # min-degree core elimination — the MUMPS-generality path.
     # Failure-isolated; NXFX_BENCH_UNSTRUCTURED=0 skips.
     unstructured = None
     if (os.environ.get("NXFX_BENCH_UNSTRUCTURED", "1") != "0"
             and stage_ok("unstructured", 360)):
         try:
             from networks_fenicsx_tpu.network_generation import make_random_network
-            from networks_fenicsx_tpu.solver import (
-                _plan_tree_elimination,
-                attach_core_plan,
-            )
 
             n_un = int(os.environ.get("NXFX_BENCH_UNSTRUCTURED_N", "10000"))
-            t0 = time.perf_counter()
             G_u = make_random_network(n_un, keep=0.7, seed=42, arrays=True)
             mesh_u = NetworkMesh(G_u, N=2, color_strategy="fast")
             asm_u = HydraulicNetworkAssembler(mesh_u)
             rng_u = np.random.default_rng(1)
             R_u = rng_u.uniform(0.5, 3.0, mesh_u.num_edges)
             asm_u.compute_forms(p_bc_ex=p_bc, R=R_u)
-            plan_u = attach_core_plan(_plan_tree_elimination(asm_u))
-            stats_u = plan_u.core_plan.stats if plan_u.core_plan else None
-            ex_u = build_schur_executor(
-                asm_u, opts, outputs="blocks", internal_layout=True
+            unstructured = _scale_stage(
+                "unstructured",
+                mesh_u,
+                asm_u,
+                lambda: asm_u.compute_forms(p_bc_ex=p_bc, R=R_u),
+                {"junctions": n_un},
+                include_factor_reuse=True,
             )
-            prep_u = getattr(ex_u, "prepare_args", None)
-            log(f"unstructured: {n_un} junctions, {mesh_u.num_edges} vessels, "
-                f"{asm_u.num_dofs} dofs, core plan {stats_u} "
-                f"({time.perf_counter() - t0:.1f}s build)")
-            a_u = asm_u.schur_arguments(device=prep_u is None)
-            if prep_u is not None:
-                a_u = prep_u(*a_u)
-            args_u = jax.device_put(a_u)
-            jax.block_until_ready(args_u)
-            out_u = ex_u(*args_u)
-            np.asarray(out_u[0][:1, :1])  # warm (compile) + sync
-            # synchronized assemble+solve
-            un_times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                asm_u.compute_forms(p_bc_ex=p_bc, R=R_u)
-                aa = asm_u.schur_arguments(device=prep_u is None)
-                if prep_u is not None:
-                    aa = prep_u(*aa)
-                o_u = ex_u(*aa)
-                np.asarray(o_u[0][:1, :1])
-                un_times.append(time.perf_counter() - t0)
-            t_un = min(un_times)
-            depth_u = 16
-            best_u = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                outs_u = [ex_u(*args_u) for _ in range(depth_u)]
-                np.asarray(outs_u[-1][0][:1, :1])
-                best_u = min(best_u, (time.perf_counter() - t0) / depth_u)
-            # SuperLU baseline + accuracy on the identical system
-            import scipy.sparse as _sp
-            import scipy.sparse.linalg as _spla
-
-            vals_u = np.concatenate(
-                [np.asarray(asm_u._cell_mass).ravel(), asm_u._static_vals]
-            )
-            A_u = _sp.csc_matrix(
-                (vals_u, (asm_u._all_rows, asm_u._all_cols)),
-                shape=(asm_u.num_dofs,) * 2,
-            )
-            b_u = np.asarray(asm_u._b_host)
-            lu_times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                x_lu_u = _spla.splu(A_u).solve(b_u)
-                lu_times.append(time.perf_counter() - t0)
-            t_lu_u = float(np.median(lu_times))
-            from networks_fenicsx_tpu.solver import _flatten_blocks_host
-
-            x_u = _flatten_blocks_host(
-                out_u[0], out_u[1], out_u[2], mesh_u.edge_color,
-                edge_order=getattr(ex_u, "edge_order", None),
-                bif_order=getattr(ex_u, "bif_order", None),
-            )
-            err_u = float(
-                np.max(np.abs(x_u - x_lu_u)) / max(1.0, np.abs(x_lu_u).max())
-            )
-            # factor-reuse on the unstructured topology (the MUMPS
-            # factor-once/re-solve-per-rhs contract on the hard family):
-            # sparse-core factor cached, rhs-only solves pipelined.
-            t_fac_u = None
-            try:
-                from networks_fenicsx_tpu.solver import build_tree_factorization
-
-                fac_u = build_tree_factorization(asm_u, opts)
-                Ru_a, fu_a, su_a, eu_a = asm_u.schur_arguments(device=False)
-                st_u = jax.block_until_ready(fac_u.factor(Ru_a))
-                rhs_u = jax.device_put(fac_u.prepare_rhs(fu_a, su_a, eu_a))
-                of_u = fac_u.solve_prepared(st_u, rhs_u)
-                np.asarray(of_u[0][:1, :1])  # warm + sync
-                bf_u = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    ofs_u = [
-                        fac_u.solve_prepared(st_u, rhs_u)
-                        for _ in range(depth_u)
-                    ]
-                    np.asarray(ofs_u[-1][0][:1, :1])
-                    bf_u = min(bf_u, (time.perf_counter() - t0) / depth_u)
-                t_fac_u = bf_u
-                log(f"unstructured factor-reuse (rhs-only): "
-                    f"{t_fac_u * 1e3:.2f} ms/solve")
-            except Exception as e:  # pragma: no cover - defensive
-                log(f"unstructured factor-reuse skipped: {e!r}")
-            unstructured = {
-                "junctions": n_un,
-                "vessels": int(mesh_u.num_edges),
-                "num_dofs": int(asm_u.num_dofs),
-                "core_plan": stats_u,
-                "assemble_solve_ms": round(t_un * 1e3, 3),
-                "pipelined_ms_per_solve": round(best_u * 1e3, 3),
-                "factor_reuse_ms_per_solve": (
-                    round(t_fac_u * 1e3, 3) if t_fac_u is not None else None
-                ),
-                "superlu_ms_median": round(t_lu_u * 1e3, 3),
-                "vs_superlu": round(t_lu_u / t_un, 2),
-                "max_rel_err_vs_superlu": err_u,
-            }
-            log(f"unstructured assemble+solve: best {t_un * 1e3:.2f} ms, "
-                f"pipelined x{depth_u} {best_u * 1e3:.2f} ms/solve; SuperLU "
-                f"{t_lu_u * 1e3:.1f} ms ({t_lu_u / t_un:.1f}x); err {err_u:.1e}")
-            assert err_u < 1e-8, f"unstructured mismatch vs SuperLU: {err_u}"
-            del out_u, outs_u, o_u, args_u, ex_u, asm_u, mesh_u, G_u
+            del asm_u, mesh_u, G_u
         except Exception as e:  # pragma: no cover - defensive
             log(f"unstructured stage skipped: {e!r}")
             unstructured = None
@@ -699,104 +717,28 @@ def main(degraded: str | None = None) -> None:
     # --- composite scale point: arterio-venous perfusion bed
     # (make_vascular_bed — Murray's-law tree + capillary lattice + venous
     # drain).  The structure-adaptive peel-then-core elimination on the
-    # composite; SuperLU on the identical system is the baseline.
-    # Failure-isolated; NXFX_BENCH_BED=0 skips.
+    # composite.  Failure-isolated; NXFX_BENCH_BED=0 skips.
     bed = None
     if os.environ.get("NXFX_BENCH_BED", "1") != "0" and stage_ok("bed", 300):
         try:
             from networks_fenicsx_tpu.network_generation import make_vascular_bed
-            from networks_fenicsx_tpu.solver import (
-                _plan_tree_elimination,
-                attach_core_plan,
-            )
 
             bg = int(os.environ.get("NXFX_BENCH_BED_GENS", "5"))
             bx = int(os.environ.get("NXFX_BENCH_BED_NX", "96"))
             by = int(os.environ.get("NXFX_BENCH_BED_NY", "64"))
-            t0 = time.perf_counter()
             G_b = make_vascular_bed(bg, bx, by, arrays=True)
             mesh_b = NetworkMesh(G_b, N=2, color_strategy="fast")
             asm_b = HydraulicNetworkAssembler(mesh_b)
             R_b = 1.0 / mesh_b.edge_radius**4
             asm_b.compute_forms(p_bc_ex=p_bc, R=R_b)
-            plan_b = attach_core_plan(_plan_tree_elimination(asm_b))
-            stats_b = plan_b.core_plan.stats if plan_b.core_plan else None
-            ex_b = build_schur_executor(
-                asm_b, opts, outputs="blocks", internal_layout=True
+            bed = _scale_stage(
+                "bed",
+                mesh_b,
+                asm_b,
+                lambda: asm_b.compute_forms(p_bc_ex=p_bc, R=R_b),
+                {"terminals": 2**bg, "lattice": [bx, by]},
             )
-            prep_b = getattr(ex_b, "prepare_args", None)
-            log(f"bed: {2**bg} terminals over {bx}x{by}, "
-                f"{mesh_b.num_edges} vessels, {asm_b.num_dofs} dofs, "
-                f"core plan {stats_b} ({time.perf_counter() - t0:.1f}s build)")
-            a_b = asm_b.schur_arguments(device=prep_b is None)
-            if prep_b is not None:
-                a_b = prep_b(*a_b)
-            args_b = jax.device_put(a_b)
-            jax.block_until_ready(args_b)
-            out_b = ex_b(*args_b)
-            np.asarray(out_b[0][:1, :1])  # warm (compile) + sync
-            bed_times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                asm_b.compute_forms(p_bc_ex=p_bc, R=R_b)
-                ab2 = asm_b.schur_arguments(device=prep_b is None)
-                if prep_b is not None:
-                    ab2 = prep_b(*ab2)
-                o_b = ex_b(*ab2)
-                np.asarray(o_b[0][:1, :1])
-                bed_times.append(time.perf_counter() - t0)
-            t_bed = min(bed_times)
-            depth_bed = 16
-            best_bed = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                outs_b = [ex_b(*args_b) for _ in range(depth_bed)]
-                np.asarray(outs_b[-1][0][:1, :1])
-                best_bed = min(best_bed, (time.perf_counter() - t0) / depth_bed)
-            import scipy.sparse as _sp
-            import scipy.sparse.linalg as _spla
-
-            vals_b = np.concatenate(
-                [np.asarray(asm_b._cell_mass).ravel(), asm_b._static_vals]
-            )
-            A_b = _sp.csc_matrix(
-                (vals_b, (asm_b._all_rows, asm_b._all_cols)),
-                shape=(asm_b.num_dofs,) * 2,
-            )
-            b_b = np.asarray(asm_b._b_host)
-            lu_b = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                x_lu_b = _spla.splu(A_b).solve(b_b)
-                lu_b.append(time.perf_counter() - t0)
-            t_lu_b = float(np.median(lu_b))
-            from networks_fenicsx_tpu.solver import _flatten_blocks_host
-
-            x_b = _flatten_blocks_host(
-                out_b[0], out_b[1], out_b[2], mesh_b.edge_color,
-                edge_order=getattr(ex_b, "edge_order", None),
-                bif_order=getattr(ex_b, "bif_order", None),
-            )
-            err_b = float(
-                np.max(np.abs(x_b - x_lu_b)) / max(1.0, np.abs(x_lu_b).max())
-            )
-            bed = {
-                "terminals": 2**bg,
-                "lattice": [bx, by],
-                "vessels": int(mesh_b.num_edges),
-                "num_dofs": int(asm_b.num_dofs),
-                "core_plan": stats_b,
-                "assemble_solve_ms": round(t_bed * 1e3, 3),
-                "pipelined_ms_per_solve": round(best_bed * 1e3, 3),
-                "superlu_ms_median": round(t_lu_b * 1e3, 3),
-                "vs_superlu": round(t_lu_b / t_bed, 2),
-                "max_rel_err_vs_superlu": err_b,
-            }
-            log(f"bed assemble+solve: best {t_bed * 1e3:.2f} ms, pipelined "
-                f"x{depth_bed} {best_bed * 1e3:.2f} ms/solve; SuperLU "
-                f"{t_lu_b * 1e3:.1f} ms ({t_lu_b / t_bed:.1f}x); err {err_b:.1e}")
-            assert err_b < 1e-8, f"bed mismatch vs SuperLU: {err_b}"
-            del out_b, outs_b, o_b, args_b, ex_b, asm_b, mesh_b, G_b
+            del asm_b, mesh_b, G_b
         except Exception as e:  # pragma: no cover - defensive
             log(f"bed stage skipped: {e!r}")
             bed = None

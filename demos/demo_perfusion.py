@@ -64,22 +64,22 @@ err = float(
 assert err < 1e-10, err
 
 # perfusion uniformity: flux through each terminal arteriole (the edges
-# entering the lattice top row).  A perfectly symmetric bed perfuses all
-# terminals equally; boundary-driven asymmetry shows up as spread.
+# feeding the lattice top row from the tree).  A perfectly symmetric bed
+# perfuses all terminals equally; asymmetry shows up as spread.
 radius = np.asarray(network_mesh.edge_radius)
-r_term = 1.5 * 0.05
 flux_cells = np.asarray(global_flux.values).reshape(network_mesh.num_cells, -1)
-cell_edge = np.repeat(np.arange(network_mesh.num_edges), network_mesh.N)
-edge_flux = np.array(
-    [flux_cells[cell_edge == e].mean() for e in range(network_mesh.num_edges)]
-)
+# cells are edge-major (N per edge): per-edge flux = mean over its cells
+edge_flux = flux_cells.mean(axis=1).reshape(network_mesh.num_edges, -1).mean(axis=1)
 edges_arr = np.asarray(network_mesh.edges)
+# terminals structurally: source OUTSIDE the lattice, target in its top row
+n_lattice = nx_cells * ny_cells
 top_row_lo = (ny_cells - 1) * nx_cells
 is_terminal = (
-    (np.abs(radius - r_term) < 1e-12)
+    (edges_arr[:, 0] >= n_lattice)
     & (edges_arr[:, 1] >= top_row_lo)
-    & (edges_arr[:, 1] < top_row_lo + nx_cells)
+    & (edges_arr[:, 1] < n_lattice)
 )
+assert int(is_terminal.sum()) == 2**n_gen, int(is_terminal.sum())
 q_term = np.abs(edge_flux[is_terminal])
 cv = float(q_term.std() / q_term.mean())
 
@@ -90,7 +90,10 @@ write_vtu(
     network_mesh.vertices,
     network_mesh.cells,
     VTK_LINE,
-    cell_data={"flux": flux_cells.mean(axis=1), "radius": radius[cell_edge]},
+    cell_data={
+        "flux": flux_cells.mean(axis=1),
+        "radius": radius[network_mesh.cell_edge],
+    },
 )
 
 print(

@@ -108,6 +108,22 @@ def make_tree(
     return G
 
 
+def _lattice_edges(nx_cells: int, ny_cells: int) -> np.ndarray:
+    """Interior lattice edges (right then up per node, row-major order).
+
+    The single shared implementation of the rectangular-lattice edge
+    contract — node numbering parity between ``make_grid`` and
+    ``make_vascular_bed`` (and their DiGraph twins) lives HERE."""
+    k = np.arange(nx_cells * ny_cells, dtype=np.int64)
+    i, j = k % nx_cells, k // nx_cells
+    cand = np.stack(
+        [np.stack([k, k + 1], axis=1), np.stack([k, k + nx_cells], axis=1)],
+        axis=1,
+    ).reshape(-1, 2)
+    valid = np.stack([i + 1 < nx_cells, j + 1 < ny_cells], axis=1).reshape(-1)
+    return cand[valid]
+
+
 @timed("nxfx:make_grid")
 def make_grid(
     nx_cells: int, ny_cells: int, W: float = 1.0, H: float = 1.0, arrays: bool = False
@@ -132,20 +148,16 @@ def make_grid(
     if arrays:
         # Identical node numbering (row-major) and edge order (per node in
         # row-major order: right edge then up edge) as the DiGraph path.
+        grid_edges = _lattice_edges(nx_cells, ny_cells)
         k = np.arange(nx_cells * ny_cells, dtype=np.int64)
         i, j = k % nx_cells, k // nx_cells
-        cand = np.stack(
-            [np.stack([k, k + 1], axis=1), np.stack([k, k + nx_cells], axis=1)],
-            axis=1,
-        ).reshape(-1, 2)
-        valid = np.stack([i + 1 < nx_cells, j + 1 < ny_cells], axis=1).reshape(-1)
         inlet = nx_cells * ny_cells
         outlet = inlet + 1
         # DiGraph.edges() iterates grouped by source-node id: the outlet
         # stub (source = last core node) precedes the inlet stub.
         edges = np.concatenate(
             [
-                cand[valid],
+                grid_edges,
                 np.array(
                     [[nx_cells * ny_cells - 1, outlet], [inlet, 0]], dtype=np.int64
                 ),
@@ -570,12 +582,7 @@ def make_vascular_bed(
     nG = nx_cells * ny_cells
     k = np.arange(nG, dtype=np.int64)
     gi, gj = k % nx_cells, k // nx_cells
-    cand = np.stack(
-        [np.stack([k, k + 1], axis=1), np.stack([k, k + nx_cells], axis=1)],
-        axis=1,
-    ).reshape(-1, 2)
-    valid = np.stack([gi + 1 < nx_cells, gj + 1 < ny_cells], axis=1).reshape(-1)
-    grid_edges = cand[valid]
+    grid_edges = _lattice_edges(nx_cells, ny_cells)
     grid_pos = np.stack([gi * dx, gj * dy], axis=1)
 
     # --- tree node x-positions, bottom-up (level n_gen-1 .. 0) ----------
