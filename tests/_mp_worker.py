@@ -86,6 +86,24 @@ def main() -> None:
     ref_l.assemble()
     check("grid", mesh_l, sol_l, ref_l.solve(), sl.info.method, "schur_sharded_grid")
 
+    # --- unstructured web (no forest/lattice envelope: the GENERAL
+    # sharded pipeline — edge-partitioned psum assembly + peel-then-core)
+    Gw = network_generation.make_random_network(24, keep=0.6, num_boundary=3, seed=2)
+    mesh_w = NetworkMesh(Gw, N=1, color_strategy="fast")
+    rng_w = np.random.default_rng(3)
+    R_w = rng_w.uniform(0.5, 2.0, mesh_w.num_edges)
+    asm_w = HydraulicNetworkAssembler(mesh_w)
+    asm_w.compute_forms(p_bc_ex=lambda x: x[0], R=R_w)
+    sw = ShardedNetworkSolver(asm_w)
+    sw.assemble()
+    sol_w = sw.solve()
+
+    asm_wr = HydraulicNetworkAssembler(mesh_w)
+    asm_wr.compute_forms(p_bc_ex=lambda x: x[0], R=R_w)
+    ref_w = Solver(asm_wr, options=SolverOptions(method="host_lu"))
+    ref_w.assemble()
+    check("web", mesh_w, sol_w, ref_w.solve(), sw.info.method, "schur_sharded")
+
     print(f"MP_OK[{pid}]", flush=True)
 
 

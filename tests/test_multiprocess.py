@@ -50,6 +50,7 @@ def test_two_process_distributed_sharded_matches_serial():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MP_OK[{pid}]" in out, f"worker {pid} incomplete:\n{out[-4000:]}"
-        # both topology classes ran on every process
+        # all three topology classes ran on every process
         assert f"MP_CHECK[{pid}] tree:" in out
         assert f"MP_CHECK[{pid}] grid:" in out
+        assert f"MP_CHECK[{pid}] web:" in out
