@@ -44,11 +44,110 @@ from .mixed_precision import scaled_cholesky_factor, scaled_cholesky_solve
 
 __all__ = [
     "CoreElimPlan",
+    "nested_dissection_order",
     "plan_core_elimination",
     "core_eliminate",
     "_core_factor",
     "_core_apply",
 ]
+
+
+def nested_dissection_order(
+    core_pairs: np.ndarray, n_core: int, leaf: int = 64
+) -> np.ndarray:
+    """Level-structure nested-dissection elimination order.
+
+    Recursive graph bisection: BFS levels from a pseudo-peripheral node
+    split each component at the median level; that level's nodes form the
+    separator, appended AFTER both halves.  Leaf components (< ``leaf``
+    nodes) keep BFS order.  Where greedy minimum-degree fill blows up —
+    large 2-D lattice cores are the canonical case (MUMPS uses METIS ND
+    there) — this order bounds fill near the O(n log n) ND asymptotic,
+    letting :func:`plan_core_elimination` stay within its budget.
+    """
+    # CSR adjacency
+    ci = np.asarray(core_pairs[:, 0], dtype=np.int64)
+    cj = np.asarray(core_pairs[:, 1], dtype=np.int64)
+    src = np.concatenate([ci, cj])
+    dst = np.concatenate([cj, ci])
+    o = np.argsort(src, kind="stable")
+    src, dst = src[o], dst[o]
+    indptr = np.zeros(n_core + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    def neighbors(v: int) -> np.ndarray:
+        return dst[indptr[v] : indptr[v + 1]]
+
+    order: list[np.ndarray] = []
+    # worklist of (nodes, emit_after): separators are pushed to emit after
+    # both halves complete (LIFO preserves the recursive emission order)
+    in_part = np.full(n_core, -1, dtype=np.int64)  # partition stamp
+    stamp = 0
+    stack: list[tuple[np.ndarray, bool]] = [
+        (np.arange(n_core, dtype=np.int64), False)
+    ]
+    while stack:
+        nodes, is_sep = stack.pop()
+        if is_sep or nodes.size <= leaf:
+            order.append(nodes)
+            continue
+        stamp += 1
+        in_part[nodes] = stamp
+        # BFS levels from a pseudo-peripheral node of this part (first
+        # BFS finds a far node; second BFS from it gives the levels).
+        # Parts can be disconnected (separator removal); handle per seed.
+        level = np.full(n_core, -1, dtype=np.int64)
+        remaining = nodes
+        comp_sets = []
+        while remaining.size:
+            seed = int(remaining[0])
+            for _pass in range(2):
+                level[nodes] = -1
+                level[seed] = 0
+                frontier = [seed]
+                comp = [seed]
+                far = seed
+                lv = 0
+                while frontier:
+                    lv += 1
+                    nxt = []
+                    for v in frontier:
+                        for w in neighbors(v):
+                            w = int(w)
+                            if in_part[w] == stamp and level[w] < 0:
+                                level[w] = lv
+                                nxt.append(w)
+                                comp.append(w)
+                    if nxt:
+                        far = nxt[0]
+                    frontier = nxt
+                seed = far  # second pass starts from the far end
+            comp_arr = np.asarray(comp, dtype=np.int64)
+            # capture levels NOW — the next component's BFS resets them
+            comp_sets.append((comp_arr, level[comp_arr].copy()))
+            mask = np.ones(remaining.size, dtype=bool)
+            mask[np.isin(remaining, comp_arr)] = False
+            remaining = remaining[mask]
+        for comp_arr, lvs in comp_sets:
+            if comp_arr.size <= leaf:
+                order.append(comp_arr)
+                continue
+            # median-level separator (balanced halves by cumulative count)
+            counts = np.bincount(lvs)
+            half = int(np.searchsorted(np.cumsum(counts), comp_arr.size // 2))
+            half = min(max(half, 1), counts.size - 1)
+            sep = comp_arr[lvs == half]
+            lo = comp_arr[lvs < half]
+            hi = comp_arr[lvs > half]
+            stack.append((sep, True))  # emitted after both halves (LIFO)
+            if hi.size:
+                stack.append((hi, False))
+            if lo.size:
+                stack.append((lo, False))
+    out = np.concatenate(order) if order else np.empty(0, np.int64)
+    assert out.size == n_core
+    return out
 
 
 class _Round(typing.NamedTuple):
@@ -96,6 +195,8 @@ def plan_core_elimination(
     max_fill_ratio: float = 60.0,
     max_slots: int = 20_000_000,
     tail_stop: bool = True,
+    order: np.ndarray | None = None,
+    dense_cap: int | None = None,
 ) -> CoreElimPlan | None:
     """Symbolic minimum-degree independent-set elimination.
 
@@ -115,6 +216,18 @@ def plan_core_elimination(
             ``dense_cutoff`` — used by tests that pin the sparse numeric
             phase on small cores where the stop would otherwise keep the
             whole core dense.
+        order: optional elimination order (e.g.
+            :func:`nested_dissection_order`): per round every alive node
+            that is a rank-local-minimum among its alive neighbours
+            eliminates (parallel pivoting — fill equals the sequential
+            order's, rounds = elimination-tree height).  Bounds fill on
+            large lattice-like cores where greedy min-degree blows the
+            budget; wide separator cliques (degree > kcap under any
+            order) land in the dense tail, as in a multifrontal solver.
+        dense_cap: maximum dense-tail size (default
+            ``max(dense_cutoff, 4096)``).  ND orders on big lattices
+            stall with top-separator tails of 4-8k — MXU-cheap to factor
+            densely, so the ND caller raises this.
 
     Returns None when the core is empty or the fill budget is exceeded.
     """
@@ -132,22 +245,42 @@ def plan_core_elimination(
     alive = np.ones(n_core, dtype=bool)
     n_alive = n_core
     rounds: list[_Round] = []
+    rank = None
+    if order is not None:
+        order = np.asarray(order, dtype=np.int64)
+        rank = np.empty(n_core, dtype=np.int64)
+        rank[order] = np.arange(n_core, dtype=np.int64)
 
     while n_alive > dense_cutoff:
-        # candidates: independent set of minimum-ish degree nodes
-        degs = {v: len(adj[v]) for v in range(n_core) if alive[v]}
-        dmin = min(degs.values())
-        thresh = min(kcap, max(dmin + 2, 4))
-        blocked = set()
-        chosen: list[int] = []
-        for v in sorted(degs, key=degs.get):  # type: ignore[arg-type]
-            if degs[v] > thresh:
-                break
-            if v in blocked:
-                continue
-            chosen.append(v)
-            blocked.add(v)
-            blocked.update(adj[v])
+        if rank is not None:
+            # parallel pivoting consistent with the given order: eliminate
+            # every alive node that is a rank-local-MINIMUM among its
+            # alive neighbours (non-adjacent by construction; the fill is
+            # exactly the sequential-order fill, rounds = elimination-tree
+            # height).  Wide separator cliques serialize under any order,
+            # so nodes beyond kcap are left for the dense tail.
+            chosen = [
+                v
+                for v in range(n_core)
+                if alive[v]
+                and len(adj[v]) <= kcap
+                and all(rank[w] > rank[v] for w in adj[v])
+            ]
+        else:
+            # candidates: independent set of minimum-ish degree nodes
+            degs = {v: len(adj[v]) for v in range(n_core) if alive[v]}
+            dmin = min(degs.values())
+            thresh = min(kcap, max(dmin + 2, 4))
+            blocked = set()
+            chosen = []
+            for v in sorted(degs, key=degs.get):  # type: ignore[arg-type]
+                if degs[v] > thresh:
+                    break
+                if v in blocked:
+                    continue
+                chosen.append(v)
+                blocked.add(v)
+                blocked.update(adj[v])
         if not chosen:
             break  # every remaining node exceeds kcap: dense tail
         # Diminishing-returns stop: once independent sets shrink to
@@ -222,7 +355,9 @@ def plan_core_elimination(
         )
 
     dense_nodes = np.flatnonzero(alive).astype(np.int64)
-    if dense_nodes.size > max(dense_cutoff, 4096):
+    if dense_nodes.size > (
+        dense_cap if dense_cap is not None else max(dense_cutoff, 4096)
+    ):
         return None  # fill forced a huge dense tail: not worth it
     rank = np.full(n_core, -1, dtype=np.int64)
     rank[dense_nodes] = np.arange(dense_nodes.size)

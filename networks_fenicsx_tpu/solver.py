@@ -1756,6 +1756,29 @@ def attach_core_plan(
         dense_cutoff=dense_cutoff,
         tail_stop=tail_stop,
     )
+    if cp is None and tree_plan.core_size > 4096:
+        # Greedy min-degree blew its fill budget — the canonical case is a
+        # large lattice-like core (where MUMPS would switch to METIS ND).
+        # Retry with a nested-dissection elimination order, which bounds
+        # fill near the O(n log n) ND asymptotic; kcap is wider because
+        # separator-adjacent eliminations carry bigger cliques.
+        from .ops.core_elim import nested_dissection_order
+
+        nd = nested_dissection_order(
+            np.asarray(tree_plan.core_pairs), tree_plan.core_size, leaf=8
+        )
+        cp = plan_core_elimination(
+            tree_plan.core_pairs,
+            tree_plan.core_size,
+            # top separators stall as wide cliques under ANY order — an
+            # ≤8k dense frontal tail is MXU-cheap (the multifrontal
+            # analog), and stopping there minimises device round count
+            dense_cutoff=8192,
+            kcap=64,
+            tail_stop=tail_stop,
+            order=nd,
+            dense_cap=8192,
+        )
     if cp is None:
         return tree_plan
     return tree_plan._replace(core_plan=cp)

@@ -277,3 +277,67 @@ def test_tree_factorization_unstructured_web():
     np.testing.assert_allclose(
         got2, ref2v, atol=1e-10 * max(1.0, np.abs(ref2v).max())
     )
+
+
+def test_nested_dissection_order_forced_small():
+    """The ND-ordered local-min planner variant is exact: force it on a
+    lattice core where min-degree also works and pin vs host LU."""
+    from networks_fenicsx_tpu.solver import _schur_solve, build_schur_executor
+    from networks_fenicsx_tpu.ops.core_elim import (
+        nested_dissection_order,
+        plan_core_elimination,
+    )
+
+    G = network_generation.make_grid(40, 40, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(6)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    plan = _plan_tree_elimination(asm)
+    pairs = np.asarray(plan.core_pairs)
+    nd = nested_dissection_order(pairs, plan.core_size, leaf=8)
+    assert np.array_equal(np.sort(nd), np.arange(plan.core_size))
+    cp = plan_core_elimination(
+        pairs, plan.core_size, dense_cutoff=64, kcap=64, order=nd,
+        tail_stop=False,
+    )
+    assert cp is not None and cp.stats["rounds"] > 0, cp and cp.stats
+    forced = plan._replace(core_plan=cp)
+
+    opts = SolverOptions(method="schur", schur_method="tree")
+    ex = build_schur_executor(asm, opts, _tree_plan=forced)
+    x, info = _schur_solve(asm, opts, executor=ex)
+    assert info.converged
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    rv = np.asarray(ref.solution_vector())
+    err = np.max(np.abs(np.asarray(x) - rv)) / max(1.0, np.abs(rv).max())
+    assert err < 1e-10, err
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NXFX_SLOW_TESTS"), reason="set NXFX_SLOW_TESTS=1"
+)
+def test_nested_dissection_fallback_large_lattice():
+    """Per-edge-R lattices beyond min-degree's fill budget (>= 192 per
+    side) auto-engage the ND-ordered plan and stay exact vs host LU —
+    the last MUMPS-generality cell (min-degree alone planned only to
+    ~128²)."""
+    n = 192
+    G = network_generation.make_grid(n, n, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(n)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    tp = attach_core_plan(_plan_tree_elimination(asm))
+    assert tp.core_plan is not None, "ND fallback did not engage"
+    assert tp.core_plan.stats["rounds"] > 0
+    s = Solver(asm)
+    s.solve()
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    rv = np.asarray(ref.solution_vector())
+    err = np.max(np.abs(np.asarray(s.solution_vector()) - rv))
+    assert err < 1e-9 * max(1.0, np.abs(rv).max()), err
