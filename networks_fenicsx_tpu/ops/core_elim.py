@@ -133,10 +133,18 @@ def nested_dissection_order(
             if comp_arr.size <= leaf:
                 order.append(comp_arr)
                 continue
-            # median-level separator (balanced halves by cumulative count)
+            # separator: the THINNEST level within the middle band of the
+            # cumulative count (35-65%) — exact-median levels on irregular
+            # graphs can be fat, and separator width drives both fill and
+            # the dense-tail size
             counts = np.bincount(lvs)
-            half = int(np.searchsorted(np.cumsum(counts), comp_arr.size // 2))
-            half = min(max(half, 1), counts.size - 1)
+            cum = np.cumsum(counts)
+            lo_b = int(np.searchsorted(cum, int(0.35 * comp_arr.size)))
+            hi_b = int(np.searchsorted(cum, int(0.65 * comp_arr.size)))
+            lo_b = min(max(lo_b, 1), counts.size - 1)
+            hi_b = min(max(hi_b, lo_b), counts.size - 1)
+            band = counts[lo_b : hi_b + 1]
+            half = lo_b + int(np.argmin(band))
             sep = comp_arr[lvs == half]
             lo = comp_arr[lvs < half]
             hi = comp_arr[lvs > half]
