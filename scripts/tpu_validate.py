@@ -329,6 +329,41 @@ xb2 = np.asarray(sb2.solution_vector())
 err_b = float(np.max(np.abs(xb - xb2)) / max(1.0, np.abs(xb2).max()))
 check("vascular-bed-composite", err_b < 1e-10, f"err={err_b:.1e}")
 
+# 28. nested-dissection-ordered sparse core on the chip (forced on a
+# small lattice so the ND numeric phase itself is exercised on TPU)
+from networks_fenicsx_tpu.ops.core_elim import (
+    nested_dissection_order,
+    plan_core_elimination,
+)
+from networks_fenicsx_tpu.solver import (
+    _plan_tree_elimination,
+    _schur_solve,
+    build_schur_executor,
+)
+
+Gn = network_generation.make_grid(40, 40, arrays=True)
+mn = NetworkMesh(Gn, N=1, color_strategy="fast")
+an = HydraulicNetworkAssembler(mn)
+rng_n = np.random.default_rng(6)
+Rn = rng_n.uniform(0.5, 2.0, mn.num_edges)
+an.compute_forms(p_bc_ex=lambda x: x[0], R=Rn)
+pn = _plan_tree_elimination(an)
+nd_n = nested_dissection_order(np.asarray(pn.core_pairs), pn.core_size, leaf=8)
+cpn = plan_core_elimination(
+    np.asarray(pn.core_pairs), pn.core_size, dense_cutoff=64, kcap=64,
+    order=nd_n, tail_stop=False,
+)
+on = SolverOptions(method="schur", schur_method="tree")
+exn = build_schur_executor(an, on, _tree_plan=pn._replace(core_plan=cpn))
+xn, infon = _schur_solve(an, on, executor=exn)
+an2 = HydraulicNetworkAssembler(mn)
+an2.compute_forms(p_bc_ex=lambda x: x[0], R=Rn)
+sn2 = Solver(an2, options=SolverOptions(method="host_lu")); sn2.assemble(); sn2.solve()
+xn2 = np.asarray(sn2.solution_vector())
+err_n = float(np.max(np.abs(np.asarray(xn) - xn2)) / max(1.0, np.abs(xn2).max()))
+check("nested-dissection-core", cpn is not None and cpn.stats["rounds"] > 0
+      and err_n < 1e-10, f"err={err_n:.1e} stats={cpn.stats if cpn else None}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 # Machine-readable artifact: bench.py embeds this in its detail block so
