@@ -26,6 +26,16 @@ Design (TPU-first):
 * **Dense tail**: once few nodes remain (or every remaining degree exceeds
   the padding cap) the residual system is solved with the existing
   mixed-precision dense Cholesky + iterative-refinement kernel.
+* **Supernodal front tail** (``supernodal_tail=True``): when the stalled
+  remainder exceeds the single-dense-solve envelope (wide separators of
+  big lattices / webs), it is eliminated multifrontally instead —
+  consecutive chunks of the elimination order become dense *fronts*, each
+  factored with an f64 Cholesky on the MXU, its Schur complement passed
+  to the first later front that pivots one of its nodes (extend-add via
+  host-precomputed local index maps; a front's boundary is a clique, so
+  that front provably absorbs the whole update matrix).  This is the
+  multifrontal method of sparse direct solvers (MUMPS' own structure),
+  with fronts as batched dense MXU ops.
 
 The planner returns ``None`` when fill blows past its budget (strongly
 non-planar cores); callers then keep the previous dense/CG behaviour.
@@ -173,6 +183,26 @@ class _Round(typing.NamedTuple):
     u_tgt: np.ndarray  # (U2,) unique sorted target slot ids
 
 
+class _Front(typing.NamedTuple):
+    """One supernodal front: a pivot chunk S plus its boundary clique B.
+
+    Local index space is ``[S | B]`` (m = w + b entries).  ``slot_*``
+    scatter the sparse value slots whose pair has at least one endpoint in
+    S into the frontal matrix; pairs fully inside B are NOT assembled here
+    (they belong to the front that later pivots them).  ``consume`` lists
+    earlier fronts whose update matrices extend-add into this one, with a
+    local index map for each (their boundary is a clique, so the first
+    front pivoting any member contains all of them — see module docs).
+    """
+
+    nodes: np.ndarray  # (w,) core-rank pivot ids, elimination-ordered
+    bnd: np.ndarray  # (b,) core-rank boundary ids, sorted ascending
+    slot_val: np.ndarray  # (ns,) value-slot ids
+    slot_i: np.ndarray  # (ns,) local row index in [S | B]
+    slot_j: np.ndarray  # (ns,) local col index (slot_i < slot_j)
+    consume: tuple  # tuple[(front_id, (m_c,) local index map), ...]
+
+
 class CoreElimPlan(typing.NamedTuple):
     """Host-planned sparse elimination of a cycle core (see module docs)."""
 
@@ -183,6 +213,7 @@ class CoreElimPlan(typing.NamedTuple):
     dense_nodes: np.ndarray  # (Bd,) core-rank ids solved densely at the top
     dense_pairs: np.ndarray  # (Pd, 3) (di, dj, slot) for the dense tail
     fill_slots: int  # diagnostic: slots added beyond the original pairs
+    fronts: tuple = ()  # tuple[_Front] — supernodal tail (excludes dense)
 
     @property
     def stats(self) -> dict:
@@ -192,7 +223,98 @@ class CoreElimPlan(typing.NamedTuple):
             "slots": self.n_slots,
             "fill": self.fill_slots,
             "dense_tail": int(self.dense_nodes.size),
+            "fronts": len(self.fronts),
+            "front_max": max(
+                (f.nodes.size + f.bnd.size for f in self.fronts), default=0
+            ),
         }
+
+
+def _plan_fronts(
+    adj: list, tail_order: np.ndarray, front_max: int, front_cap: int
+) -> tuple | None:
+    """Symbolic multifrontal elimination of the stalled tail.
+
+    ``tail_order`` is the remaining alive nodes in elimination order;
+    consecutive chunks of ``front_max`` become dense fronts.  ``adj`` is
+    the post-sparse-rounds adjacency (node -> {nbr: slot}) — read only.
+    Returns ``None`` when a front would exceed ``front_cap`` (host/HBM
+    safety: callers keep the dense/CG fallback).
+    """
+    cliques: list[np.ndarray] = []  # update-matrix member lists
+    node_cliques: dict[int, set] = {}
+    elim: set = set()
+    fronts: list[_Front] = []
+    for start in range(0, tail_order.size, front_max):
+        S = np.asarray(tail_order[start : start + front_max], dtype=np.int64)
+        Sset = {int(v) for v in S}
+        B: set = set()
+        consume_ids: set = set()
+        for v in Sset:
+            for w in adj[v]:
+                if w not in elim and w not in Sset:
+                    B.add(w)
+            for c in node_cliques.get(v, ()):
+                consume_ids.add(c)
+        for c in consume_ids:
+            for w in cliques[c]:
+                w = int(w)
+                if w not in elim and w not in Sset:
+                    B.add(w)
+        bnd = np.asarray(sorted(B), dtype=np.int64)
+        w_ = int(S.size)
+        if w_ + bnd.size > front_cap:
+            return None
+        loc = {int(v): i for i, v in enumerate(S)}
+        for i, v in enumerate(bnd):
+            loc[int(v)] = w_ + i
+        sv: list[int] = []
+        si: list[int] = []
+        sj: list[int] = []
+        # sparse values with >= 1 endpoint in S; B-B pairs assemble later,
+        # in the front that pivots them
+        for v in Sset:
+            lv = loc[v]
+            for w, slot in adj[v].items():
+                if w in elim:
+                    continue
+                lw = loc[w]
+                if w in Sset and lw < lv:
+                    continue  # S-S pairs once, from the lower-local side
+                sv.append(slot)
+                si.append(min(lv, lw))
+                sj.append(max(lv, lw))
+        consume: list[tuple[int, np.ndarray]] = []
+        for c in sorted(consume_ids):
+            # no clique member is ever eliminated before consumption (the
+            # eliminating front consumes it), so every member has a slot
+            # in [S | B] — a KeyError here would be a planner bug
+            lmap = np.asarray([loc[int(w)] for w in cliques[c]], dtype=np.int64)
+            consume.append((c, lmap))
+            for w in cliques[c]:
+                node_cliques.get(int(w), set()).discard(c)
+        fid = len(fronts)
+        fronts.append(
+            _Front(
+                nodes=S,
+                bnd=bnd,
+                slot_val=np.asarray(sv, dtype=np.int64),
+                slot_i=np.asarray(si, dtype=np.int64),
+                slot_j=np.asarray(sj, dtype=np.int64),
+                consume=tuple(consume),
+            )
+        )
+        if bnd.size:
+            cid = len(cliques)
+            assert cid == fid  # one clique per front, same numbering
+            cliques.append(bnd)
+            for w in bnd:
+                node_cliques.setdefault(int(w), set()).add(cid)
+        else:
+            cliques.append(np.empty(0, np.int64))  # keep ids aligned
+        elim.update(Sset)
+    assert not any(node_cliques.values()), "unconsumed update matrices"
+    return tuple(fronts)
 
 
 def plan_core_elimination(
@@ -205,6 +327,9 @@ def plan_core_elimination(
     tail_stop: bool = True,
     order: np.ndarray | None = None,
     dense_cap: int | None = None,
+    supernodal_tail: bool = False,
+    front_max: int = 1024,
+    front_cap: int = 16384,
 ) -> CoreElimPlan | None:
     """Symbolic minimum-degree independent-set elimination.
 
@@ -236,6 +361,13 @@ def plan_core_elimination(
             ``max(dense_cutoff, 4096)``).  ND orders on big lattices
             stall with top-separator tails of 4-8k — MXU-cheap to factor
             densely, so the ND caller raises this.
+        supernodal_tail: when the stalled remainder exceeds ``dense_cap``,
+            eliminate it multifrontally (see :func:`_plan_fronts`)
+            instead of giving up — the path for per-edge-R lattices
+            beyond ~300 per side and very large webs.
+        front_max: pivot-chunk width of each supernodal front.
+        front_cap: hard bound on a front's total size (pivots +
+            boundary); beyond it the planner returns ``None``.
 
     Returns None when the core is empty or the fill budget is exceeded.
     """
@@ -254,10 +386,23 @@ def plan_core_elimination(
     n_alive = n_core
     rounds: list[_Round] = []
     rank = None
+    low_cnt = None
+    pool: set = set()
     if order is not None:
         order = np.asarray(order, dtype=np.int64)
         rank = np.empty(n_core, dtype=np.int64)
         rank[order] = np.arange(n_core, dtype=np.int64)
+        # incremental local-min bookkeeping: low_cnt[v] = alive neighbours
+        # of lower rank; v is eligible exactly when it reaches 0.  Kept in
+        # sync through eliminations (decrements) and fill edges (the
+        # higher-rank endpoint gains a lower-rank neighbour) — replaces a
+        # full O(n_core) eligibility scan per round (68 rounds x 262k
+        # nodes at 512² cost ~2 min of host time).
+        low_cnt = np.zeros(n_core, dtype=np.int64)
+        for v in range(n_core):
+            rv_ = rank[v]
+            low_cnt[v] = sum(1 for w in adj[v] if rank[w] < rv_)
+        pool = {v for v in range(n_core) if low_cnt[v] == 0}
 
     while n_alive > dense_cutoff:
         if rank is not None:
@@ -267,13 +412,16 @@ def plan_core_elimination(
             # exactly the sequential-order fill, rounds = elimination-tree
             # height).  Wide separator cliques serialize under any order,
             # so nodes beyond kcap are left for the dense tail.
-            chosen = [
-                v
-                for v in range(n_core)
-                if alive[v]
-                and len(adj[v]) <= kcap
-                and all(rank[w] > rank[v] for w in adj[v])
-            ]
+            chosen = []
+            stale = []
+            for v in pool:
+                if not alive[v] or low_cnt[v] != 0:
+                    stale.append(v)  # re-added on the decrement to 0
+                elif len(adj[v]) <= kcap:
+                    chosen.append(v)
+                # else: eligible but over-wide — stays pooled; its degree
+                # shrinks as neighbours eliminate
+            pool.difference_update(stale)
         else:
             # candidates: independent set of minimum-ish degree nodes
             degs = {v: len(adj[v]) for v in range(n_core) if alive[v]}
@@ -326,10 +474,19 @@ def plan_core_elimination(
                         n_slots += 1
                         adj[ni][nj] = slot
                         adj[nj][ni] = slot
+                        if low_cnt is not None:
+                            # new edge: the higher-rank endpoint gains a
+                            # lower-rank alive neighbour
+                            hi = ni if rank[ni] > rank[nj] else nj
+                            low_cnt[hi] += 1
                     u_entries.append((s * K + i, s * K + j, slot))
             # remove v
             for n, _slot in nbrs:
                 del adj[n][v]
+                if low_cnt is not None and rank[n] > rank[v]:
+                    low_cnt[n] -= 1
+                    if low_cnt[n] == 0:
+                        pool.add(n)
             adj[v] = {}
             alive[v] = False
         n_alive -= S
@@ -363,10 +520,21 @@ def plan_core_elimination(
         )
 
     dense_nodes = np.flatnonzero(alive).astype(np.int64)
-    if dense_nodes.size > (
-        dense_cap if dense_cap is not None else max(dense_cutoff, 4096)
-    ):
-        return None  # fill forced a huge dense tail: not worth it
+    fronts: tuple = ()
+    cap = dense_cap if dense_cap is not None else max(dense_cutoff, 4096)
+    if dense_nodes.size > cap:
+        if not supernodal_tail:
+            return None  # fill forced a huge dense tail: not worth it
+        tail_order = (
+            dense_nodes[np.argsort(rank[dense_nodes], kind="stable")]
+            if rank is not None
+            else dense_nodes
+        )
+        planned = _plan_fronts(adj, tail_order, front_max, front_cap)
+        if planned is None:
+            return None  # a front outgrew the cap: keep dense/CG fallback
+        fronts = planned
+        dense_nodes = np.empty(0, np.int64)
     rank = np.full(n_core, -1, dtype=np.int64)
     rank[dense_nodes] = np.arange(dense_nodes.size)
     dense_pairs: list[tuple[int, int, int]] = []
@@ -392,6 +560,7 @@ def plan_core_elimination(
         dense_nodes=dense_nodes,
         dense_pairs=dp,
         fill_slots=n_slots - P0,
+        fronts=fronts,
     )
 
 
@@ -443,6 +612,42 @@ def _core_factor(
         rounds.append((a, inv))
 
     state: dict = {"rounds": tuple(rounds)}
+    if plan.fronts:
+        # multifrontal tail: dense f64 Cholesky per front on the MXU,
+        # Schur updates extend-added into the consuming front
+        pending: dict[int, jnp.ndarray] = {}
+        front_states: list = []
+        ok = jnp.asarray(True)
+        for fid, fr in enumerate(plan.fronts):
+            w = int(fr.nodes.size)
+            b = int(fr.bnd.size)
+            F = jnp.zeros((w + b, w + b), dtype)
+            F = F.at[jnp.arange(w), jnp.arange(w)].add(d[jnp.asarray(fr.nodes)])
+            if fr.slot_val.size:
+                sval = vals[jnp.asarray(fr.slot_val)]
+                fi = jnp.asarray(fr.slot_i)
+                fj = jnp.asarray(fr.slot_j)
+                F = F.at[fi, fj].add(sval)
+                F = F.at[fj, fi].add(sval)
+            for cid, lmap in fr.consume:
+                U = pending.pop(cid)
+                lm = jnp.asarray(lmap)
+                F = F.at[lm[:, None], lm[None, :]].add(U)
+            C = jnp.linalg.cholesky(F[:w, :w])
+            piv = jnp.diagonal(C)
+            # zero-pivot gate (the MUMPS singularity analog): exact f64
+            # factor, so only structural collapse trips it
+            ok = ok & jnp.all(jnp.isfinite(piv)) & (
+                jnp.min(piv) > 1e-12 * jnp.max(piv)
+            )
+            if b:
+                X = jax.scipy.linalg.cho_solve((C, True), F[:w, w:])
+                pending[fid] = F[w:, w:] - F[w:, :w] @ X
+            else:
+                X = None
+            front_states.append((C, X))
+        state["fronts"] = tuple(front_states)
+        state["fronts_ok"] = ok
     if plan.dense_nodes.size:
         dn = jnp.asarray(plan.dense_nodes)
         Bd = int(plan.dense_nodes.size)
@@ -482,11 +687,32 @@ def _core_apply(
             )
         saved.append((e, jnp.asarray(rd.nbr_node), a, inv, rv))
 
+    front_rv: list = []
+    if plan.fronts:
+        # multifrontal forward sweep: r_B -= X^T r_S, in front order
+        for fr, (C, X) in zip(plan.fronts, state["fronts"]):
+            rv_f = r[jnp.asarray(fr.nodes)]
+            front_rv.append(rv_f)
+            if X is not None:
+                r = r.at[jnp.asarray(fr.bnd)].add(-(X.T @ rv_f))
+
     lam = jnp.zeros(Bc + 1, dtype)  # +1: padded neighbour reads
     if plan.dense_nodes.size:
         dn = jnp.asarray(plan.dense_nodes)
         lam_d = scaled_cholesky_solve(state["dense"], r[dn])
         lam = lam.at[dn].set(lam_d)
+
+    if plan.fronts:
+        for fr, (C, X), rv_f in reversed(
+            list(zip(plan.fronts, state["fronts"], front_rv))
+        ):
+            lam_s = jax.scipy.linalg.cho_solve((C, True), rv_f)
+            if X is not None:
+                lam_s = lam_s - X @ lam[jnp.asarray(fr.bnd)]
+            lam = lam.at[jnp.asarray(fr.nodes)].set(lam_s)
+        # zero-pivot gate: poison the whole core solution so callers'
+        # finiteness guards fail loudly (matching the dense-tail path)
+        lam = jnp.where(state["fronts_ok"], lam, jnp.nan)
 
     for e, nbr, a, inv, rv in reversed(saved):
         lam_n = lam[nbr]  # (S, K); pads read lam[Bc] == 0

@@ -1733,7 +1733,7 @@ def _plan_tree_elimination(
 def attach_core_plan(
     tree_plan: _TreePlan,
     dense_cutoff: int = 384,
-    max_core: int = 150_000,
+    max_core: int = 300_000,
     tail_stop: bool = True,
 ) -> _TreePlan:
     """Attach a sparse core-elimination plan when the cycle core admits one.
@@ -1750,12 +1750,18 @@ def attach_core_plan(
         return tree_plan
     from .ops.core_elim import plan_core_elimination
 
-    cp = plan_core_elimination(
-        tree_plan.core_pairs,
-        tree_plan.core_size,
-        dense_cutoff=dense_cutoff,
-        tail_stop=tail_stop,
-    )
+    cp = None
+    if tree_plan.core_size <= 65_536:
+        cp = plan_core_elimination(
+            tree_plan.core_pairs,
+            tree_plan.core_size,
+            dense_cutoff=dense_cutoff,
+            tail_stop=tail_stop,
+        )
+    # Cores beyond ~64k never fit greedy min-degree's fill budget
+    # (measured: it plans lattices only to ~128²), so skip straight to
+    # the nested-dissection order there rather than paying its symbolic
+    # scan twice.
     if cp is None and tree_plan.core_size > 4096:
         # Greedy min-degree blew its fill budget — the canonical case is a
         # large lattice-like core (where MUMPS would switch to METIS ND).
@@ -1772,12 +1778,15 @@ def attach_core_plan(
             tree_plan.core_size,
             # top separators stall as wide cliques under ANY order — an
             # ≤8k dense frontal tail is MXU-cheap (the multifrontal
-            # analog), and stopping there minimises device round count
+            # analog), and stopping there minimises device round count;
+            # beyond 8k the stalled remainder is eliminated as true
+            # multifrontal supernodal fronts (512²+ per-edge-R lattices)
             dense_cutoff=8192,
             kcap=64,
             tail_stop=tail_stop,
             order=nd,
             dense_cap=8192,
+            supernodal_tail=True,
         )
     if cp is None:
         return tree_plan

@@ -341,3 +341,94 @@ def test_nested_dissection_fallback_large_lattice():
     rv = np.asarray(ref.solution_vector())
     err = np.max(np.abs(np.asarray(s.solution_vector()) - rv))
     assert err < 1e-9 * max(1.0, np.abs(rv).max()), err
+
+
+def test_supernodal_front_tail_forced():
+    """Multifrontal supernodal tail (the >8k-separator-tail path for
+    512²+ per-edge-R lattices): force tiny fronts on a 40² lattice so
+    several fronts chain through extend-add consumption, and pin the
+    solution vs host LU."""
+    from networks_fenicsx_tpu.solver import _schur_solve, build_schur_executor
+    from networks_fenicsx_tpu.ops.core_elim import (
+        nested_dissection_order,
+        plan_core_elimination,
+    )
+
+    G = network_generation.make_grid(40, 40, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(7)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    plan = _plan_tree_elimination(asm)
+    pairs = np.asarray(plan.core_pairs)
+    nd = nested_dissection_order(pairs, plan.core_size, leaf=8)
+    cp = plan_core_elimination(
+        pairs, plan.core_size, dense_cutoff=64, kcap=24, order=nd,
+        dense_cap=16, supernodal_tail=True, front_max=37, tail_stop=False,
+    )
+    assert cp is not None, "front planner gave up"
+    assert len(cp.fronts) > 2, cp.stats
+    assert cp.stats["dense_tail"] == 0
+    # at least one front consumes an earlier front's update matrix
+    assert any(f.consume for f in cp.fronts)
+    forced = plan._replace(core_plan=cp)
+    opts = SolverOptions(method="schur", schur_method="tree")
+    ex = build_schur_executor(asm, opts, _tree_plan=forced)
+    x, info = _schur_solve(asm, opts, executor=ex)
+    assert info.converged
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    rv = np.asarray(ref.solution_vector())
+    err = np.max(np.abs(np.asarray(x) - rv)) / max(1.0, np.abs(rv).max())
+    assert err < 1e-10, err
+
+
+def test_supernodal_front_cap_refuses():
+    """A front outgrowing front_cap makes the planner return None (the
+    caller keeps the dense/CG fallback) rather than building an
+    over-sized dense front."""
+    from networks_fenicsx_tpu.ops.core_elim import (
+        nested_dissection_order,
+        plan_core_elimination,
+    )
+
+    G = network_generation.make_grid(24, 24, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=1.0)
+    plan = _plan_tree_elimination(asm)
+    pairs = np.asarray(plan.core_pairs)
+    nd = nested_dissection_order(pairs, plan.core_size, leaf=8)
+    cp = plan_core_elimination(
+        pairs, plan.core_size, dense_cutoff=32, kcap=8, order=nd,
+        dense_cap=8, supernodal_tail=True, front_max=16, front_cap=24,
+        tail_stop=False,
+    )
+    assert cp is None
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NXFX_SLOW_TESTS"), reason="set NXFX_SLOW_TESTS=1"
+)
+def test_supernodal_front_tail_large_lattice():
+    """320² per-edge-R lattice: beyond the single-dense-tail envelope
+    (stalled separator tail ≈ 9.7k > 8192), the auto path now engages
+    supernodal fronts and stays exact vs host LU."""
+    n = 320
+    G = network_generation.make_grid(n, n, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(n)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    tp = attach_core_plan(_plan_tree_elimination(asm))
+    assert tp.core_plan is not None, "ND+fronts did not engage"
+    assert len(tp.core_plan.fronts) > 0, tp.core_plan.stats
+    s = Solver(asm)
+    s.solve()
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    rv = np.asarray(ref.solution_vector())
+    err = np.max(np.abs(np.asarray(s.solution_vector()) - rv))
+    assert err < 1e-9 * max(1.0, np.abs(rv).max()), err
