@@ -364,6 +364,23 @@ err_n = float(np.max(np.abs(np.asarray(xn) - xn2)) / max(1.0, np.abs(xn2).max())
 check("nested-dissection-core", cpn is not None and cpn.stats["rounds"] > 0
       and err_n < 1e-10, f"err={err_n:.1e} stats={cpn.stats if cpn else None}")
 
+# 29. supernodal multifrontal tail on the chip (forced tiny fronts on the
+# same 40² lattice so the extend-add scatter chain + per-front Cholesky
+# run on TPU; see tests/test_core_elim.py::test_supernodal_front_tail_forced)
+cps = plan_core_elimination(
+    np.asarray(pn.core_pairs), pn.core_size, dense_cutoff=64, kcap=24,
+    order=nd_n, dense_cap=16, supernodal_tail=True, front_max=37,
+    tail_stop=False,
+)
+if cps is None or not cps.fronts:
+    check("supernodal-front-tail", False, f"planner gave no fronts: {cps}")
+else:
+    exs = build_schur_executor(an, on, _tree_plan=pn._replace(core_plan=cps))
+    xs, infos = _schur_solve(an, on, executor=exs)
+    err_s = float(np.max(np.abs(np.asarray(xs) - xn2)) / max(1.0, np.abs(xn2).max()))
+    check("supernodal-front-tail", infos.converged and err_s < 1e-10,
+          f"err={err_s:.1e} fronts={len(cps.fronts)} max={cps.stats['front_max']}")
+
 n_fail = sum(1 for _,ok,_ in results if not ok)
 print(f"\n{len(results)-n_fail}/{len(results)} TPU validations passed")
 # Machine-readable artifact: bench.py embeds this in its detail block so

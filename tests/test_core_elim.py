@@ -432,3 +432,31 @@ def test_supernodal_front_tail_large_lattice():
     rv = np.asarray(ref.solution_vector())
     err = np.max(np.abs(np.asarray(s.solution_vector()) - rv))
     assert err < 1e-9 * max(1.0, np.abs(rv).max()), err
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NXFX_XL_TESTS"), reason="set NXFX_XL_TESTS=1 (~5 min)"
+)
+def test_supernodal_front_tail_512_lattice():
+    """512² per-edge-R lattice (262k core): the full benchmark-family
+    size solves exact direct through ND rounds + supernodal fronts.
+    Measured on CPU: plan ~80 s (68 rounds, 26 fronts <= 2533 wide,
+    fill 3.6M), rel err 1.7e-11 vs host LU (host LU itself 33 s)."""
+    n = 512
+    G = network_generation.make_grid(n, n, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(n)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    tp = attach_core_plan(_plan_tree_elimination(asm))
+    assert tp.core_plan is not None, "ND+fronts did not engage"
+    assert len(tp.core_plan.fronts) > 0, tp.core_plan.stats
+    assert tp.core_plan.stats["dense_tail"] == 0, tp.core_plan.stats
+    s = Solver(asm)
+    s.solve()
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    rv = np.asarray(ref.solution_vector())
+    err = np.max(np.abs(np.asarray(s.solution_vector()) - rv))
+    assert err < 1e-9 * max(1.0, np.abs(rv).max()), err
