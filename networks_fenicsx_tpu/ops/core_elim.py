@@ -330,6 +330,7 @@ def plan_core_elimination(
     supernodal_tail: bool = False,
     front_max: int = 1024,
     front_cap: int = 16384,
+    front_stop: bool = True,
 ) -> CoreElimPlan | None:
     """Symbolic minimum-degree independent-set elimination.
 
@@ -368,6 +369,14 @@ def plan_core_elimination(
         front_max: pivot-chunk width of each supernodal front.
         front_cap: hard bound on a front's total size (pivots +
             boundary); beyond it the planner returns ``None``.
+        front_stop: with ``supernodal_tail``, break out of the rounds as
+            soon as a round shrinks below ``max(64, n_alive/64)`` pivots
+            and let the fronts absorb the remainder.  The sliver tail is
+            pure launch overhead on device (measured 512² lattice: the
+            last 32 of 68 rounds eliminate ~2k of 262k nodes; the web50k
+            tail is proportionally longer), while the few extra front
+            pivots are MXU-cheap.  Disabled on a retry when the wider
+            remainder makes a front outgrow ``front_cap``.
 
     Returns None when the core is empty or the fill budget is exceeded.
     """
@@ -448,6 +457,15 @@ def plan_core_elimination(
         # remainder gives 25 rounds / ~4k lines with the dense tail still
         # MXU-cheap.  Only when the remainder fits the dense envelope.
         if tail_stop and n_alive <= 2048 and len(chosen) < max(16, n_alive // 32):
+            break
+        # Front-stop: with a supernodal tail available there is no reason
+        # to crawl through sliver rounds at ANY size — the fronts factor
+        # the remainder in a handful of dense MXU Choleskys.
+        if (
+            supernodal_tail
+            and front_stop
+            and len(chosen) < max(64, n_alive // 64)
+        ):
             break
         chosen.sort()
         K = max((len(adj[v]) for v in chosen), default=1)

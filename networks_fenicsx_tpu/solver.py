@@ -1773,9 +1773,7 @@ def attach_core_plan(
         nd = nested_dissection_order(
             np.asarray(tree_plan.core_pairs), tree_plan.core_size, leaf=8
         )
-        cp = plan_core_elimination(
-            tree_plan.core_pairs,
-            tree_plan.core_size,
+        nd_kwargs = dict(
             # top separators stall as wide cliques under ANY order — an
             # ≤8k dense frontal tail is MXU-cheap (the multifrontal
             # analog), and stopping there minimises device round count;
@@ -1788,6 +1786,19 @@ def attach_core_plan(
             dense_cap=8192,
             supernodal_tail=True,
         )
+        cp = plan_core_elimination(
+            tree_plan.core_pairs, tree_plan.core_size, **nd_kwargs
+        )
+        if cp is None:
+            # The front-stop can hand the fronts a remainder whose
+            # boundary outgrows front_cap; retry crawling the rounds all
+            # the way down before conceding to the dense/CG fallback.
+            cp = plan_core_elimination(
+                tree_plan.core_pairs,
+                tree_plan.core_size,
+                front_stop=False,
+                **nd_kwargs,
+            )
     if cp is None:
         return tree_plan
     return tree_plan._replace(core_plan=cp)
