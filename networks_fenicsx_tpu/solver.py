@@ -3371,7 +3371,8 @@ class TreeFactorization:
     solve_has_residual = False  # exact elimination: 5-tuple, no residual
 
     def __init__(self, asm: _assembly.HydraulicNetworkAssembler,
-                 opts: "SolverOptions | None" = None):
+                 opts: "SolverOptions | None" = None,
+                 _tree_plan: "_TreePlan | None" = None):
         R_mode, f_mode, _ = asm.coefficient_modes()
         if R_mode not in ("scalar", "edge", "cell") or f_mode not in (
             "scalar", "edge", "cell"
@@ -3383,8 +3384,12 @@ class TreeFactorization:
         # force_rounds: the forest fast path returns rounds=() (the fused
         # path's level plan supersedes them), but THIS class executes the
         # peel rounds directly — without them an irregular forest would
-        # silently return λ = 0.
-        plan = _plan_tree_elimination(asm, force_rounds=True)
+        # silently return λ = 0.  _tree_plan: test-only injection of a
+        # forced plan (e.g. tiny supernodal fronts), as in
+        # build_schur_executor.
+        plan = _tree_plan
+        if plan is None:
+            plan = _plan_tree_elimination(asm, force_rounds=True)
         if plan is None:
             raise ValueError("TreeFactorization requires multipliers (B > 0)")
         if plan.core_size == 0 and len(plan.rounds) == 0:
@@ -3526,10 +3531,11 @@ class TreeFactorization:
 def build_tree_factorization(
     asm: _assembly.HydraulicNetworkAssembler,
     opts: "SolverOptions | None" = None,
+    _tree_plan=None,
 ) -> TreeFactorization:
     """Factor/solve pair for fixed-resistance serving on ANY topology
     (see :class:`TreeFactorization`)."""
-    return TreeFactorization(asm, opts)
+    return TreeFactorization(asm, opts, _tree_plan=_tree_plan)
 
 
 def _tree_schur_solve(

@@ -545,3 +545,54 @@ def test_supernodal_front_tail_50k_web():
     rv = np.asarray(ref.solution_vector())
     err = np.max(np.abs(np.asarray(s.solution_vector()) - rv))
     assert err < 1e-9 * max(1.0, np.abs(rv).max()), err
+
+
+def test_tree_factorization_supernodal_fronts():
+    """Factor-reuse serving through the multifrontal tail: a forced
+    fronts plan (the 512²+ lattice path) must round-trip factor() /
+    rhs-only solve() exactly — per-front Cholesky state is part of the
+    cached factor."""
+    from networks_fenicsx_tpu.solver import (
+        _plan_tree_elimination as _pte,
+        build_tree_factorization,
+    )
+    from networks_fenicsx_tpu.ops.core_elim import (
+        nested_dissection_order,
+        plan_core_elimination,
+    )
+
+    G = network_generation.make_grid(26, 26, arrays=True)
+    mesh = NetworkMesh(G, N=1, color_strategy="fast")
+    rng = np.random.default_rng(31)
+    R = rng.uniform(0.5, 2.0, mesh.num_edges)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[0], R=R)
+    plan = _pte(asm, force_rounds=True)
+    pairs = np.asarray(plan.core_pairs)
+    nd = nested_dissection_order(pairs, plan.core_size, leaf=8)
+    cp = plan_core_elimination(
+        pairs, plan.core_size, dense_cutoff=64, kcap=24, order=nd,
+        dense_cap=16, supernodal_tail=True, front_max=23, tail_stop=False,
+    )
+    assert cp is not None and cp.fronts
+    fac = build_tree_factorization(asm, _tree_plan=plan._replace(core_plan=cp))
+    state = fac.factor(R)
+    args = asm.schur_arguments(device=False)
+    out = fac.solve(state, args[1], args[2], args[3])
+    x = fac.solution_vector(out)
+    ref = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref.solve()
+    refv = np.asarray(ref.solution_vector())
+    np.testing.assert_allclose(x, refv, atol=1e-10 * max(1.0, np.abs(refv).max()))
+
+    # rhs-only re-solve (new p_bc) against the same cached factor
+    asm.compute_forms(p_bc_ex=lambda x: 2.0 * x[1] - x[0], R=R)
+    args1 = asm.schur_arguments(device=False)
+    out1 = fac.solve(state, args1[1], args1[2], args1[3])
+    x1 = fac.solution_vector(out1)
+    ref1 = Solver(asm, options=SolverOptions(method="host_lu"))
+    ref1.solve()
+    ref1v = np.asarray(ref1.solution_vector())
+    np.testing.assert_allclose(
+        x1, ref1v, atol=1e-10 * max(1.0, np.abs(ref1v).max())
+    )
