@@ -180,6 +180,46 @@ def test_golden_web_forced_sparse_core():
     np.testing.assert_allclose(np.asarray(x), refv, atol=1e-10 * scale)
 
 
+def test_golden_web_forced_supernodal_fronts():
+    """The same exact-Fraction web golden through the multifrontal tail:
+    tiny forced fronts (extend-add chain + per-front Cholesky) must
+    reproduce the rational-arithmetic solution — the strongest oracle
+    for the supernodal numeric phase."""
+    from networks_fenicsx_tpu.ops.core_elim import (
+        nested_dissection_order,
+        plan_core_elimination,
+    )
+    from networks_fenicsx_tpu.solver import (
+        _plan_tree_elimination,
+        _schur_solve,
+        build_schur_executor,
+    )
+
+    golden = _load("web48")
+    _, mesh, asm = _build_problem(golden)
+    plan = _plan_tree_elimination(asm)
+    pairs = np.asarray(plan.core_pairs)
+    nd = nested_dissection_order(pairs, plan.core_size, leaf=4)
+    cp = plan_core_elimination(
+        pairs, plan.core_size, dense_cutoff=8, kcap=16, order=nd,
+        dense_cap=4, supernodal_tail=True, front_max=7, front_cap=64,
+        tail_stop=False,
+    )
+    assert cp is not None and cp.fronts, cp and cp.stats
+    opts = SolverOptions(method="schur", schur_method="tree")
+    ex = build_schur_executor(asm, opts, _tree_plan=plan._replace(core_plan=cp))
+    x, info = _schur_solve(asm, opts, executor=ex)
+    assert info.converged
+
+    ref = Solver(asm, options=SolverOptions(method="schur"))
+    ref.assemble()
+    sol = ref.solve()
+    _check(golden, mesh, asm, sol, tol=1e-10)
+    refv = np.asarray(ref.solution_vector())
+    scale = max(1.0, np.abs(refv).max())
+    np.testing.assert_allclose(np.asarray(x), refv, atol=1e-10 * scale)
+
+
 @pytest.mark.parametrize("name", ["y_bifurcation", "tree4"])
 def test_golden_minres(name: str):
     golden = _load(name)
