@@ -743,6 +743,41 @@ def main(degraded: str | None = None) -> None:
             log(f"bed stage skipped: {e!r}")
             bed = None
 
+    # --- supernodal scale point: 320² per-edge-R lattice — min-degree
+    # blows its fill budget, the ND order stalls with a >8192 separator
+    # remainder, and the multifrontal supernodal tail carries the exact
+    # direct solve (dense MXU fronts + extend-add).  Failure-isolated;
+    # NXFX_BENCH_SUPERNODAL=0 skips.
+    supernodal = None
+    if (os.environ.get("NXFX_BENCH_SUPERNODAL", "1") != "0"
+            and stage_ok("supernodal", 420)):
+        try:
+            from networks_fenicsx_tpu.network_generation import make_grid
+
+            n_sn = int(os.environ.get("NXFX_BENCH_SUPERNODAL_N", "320"))
+            G_sn = make_grid(n_sn, n_sn, arrays=True)
+            mesh_sn = NetworkMesh(G_sn, N=1, color_strategy="fast")
+            asm_sn = HydraulicNetworkAssembler(mesh_sn)
+            rng_sn = np.random.default_rng(n_sn)
+            R_sn = rng_sn.uniform(0.5, 2.0, mesh_sn.num_edges)
+            asm_sn.compute_forms(p_bc_ex=p_bc, R=R_sn)
+            supernodal = _scale_stage(
+                "supernodal",
+                mesh_sn,
+                asm_sn,
+                lambda: asm_sn.compute_forms(p_bc_ex=p_bc, R=R_sn),
+                {"lattice": [n_sn, n_sn]},
+                include_factor_reuse=True,
+            )
+            if supernodal.get("core_plan") and not supernodal[
+                "core_plan"
+            ].get("fronts"):
+                supernodal["note"] = "fronts did not engage at this size"
+            del asm_sn, mesh_sn, G_sn
+        except Exception as e:  # pragma: no cover - defensive
+            log(f"supernodal stage skipped: {e!r}")
+            supernodal = None
+
     # --- roofline: lower-bound HBM traffic model of one solve.  The fused
     # program must at minimum read its runtime inputs once and write its
     # outputs once (intermediates that fuse are free; the λ level arrays
@@ -860,6 +895,7 @@ def main(degraded: str | None = None) -> None:
             "lattice": lattice,
             "unstructured": unstructured,
             "bed": bed,
+            "supernodal": supernodal,
             "tpu_validate": _read_validate_artifact(),
             "backend": jax.default_backend(),
         },
