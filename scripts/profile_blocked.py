@@ -42,6 +42,10 @@ def build(case: str):
         # (SolverOptions.level_scan) against the default unrolled program.
         if case.endswith("_scan"):
             opts = SolverOptions(level_scan="on")
+        elif case.endswith("_mixed"):
+            # f64 solve, f32 solution blocks: halves output bytes and
+            # skips the X64 recombination on the output writes.
+            opts = SolverOptions(output_dtype="float32")
         G = make_arterial_tree(N=16, direction=np.array([0.1, 1.0, 0.0]))
         mesh = NetworkMesh(G, N=40, color_strategy="fast")
         asm = HydraulicNetworkAssembler(mesh)
@@ -161,6 +165,8 @@ if __name__ == "__main__":
     if which in ("16gen_scan", "scan"):
         profile("16gen", outdir)
         profile("16gen_scan", outdir)
+    if which in ("16gen_mixed", "mixed"):
+        profile("16gen_mixed", outdir)
     if which in ("grid", "grid_general"):
         profile("grid_general", outdir)
     if which in ("grid", "grid_blocked"):
