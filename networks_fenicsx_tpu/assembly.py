@@ -139,7 +139,12 @@ class HydraulicNetworkAssembler:
         self._a_values: jnp.ndarray | None = None
         self._b_vector: jnp.ndarray | None = None
         self._build_dof_maps()
-        self._build_static_structure()
+        # COO structure (rows/cols for every block) is built lazily on
+        # first access (`_all_rows` etc.): only the explicit-matrix
+        # assemble kinds and the host-LU baseline consume it — the fused
+        # Schur executors never do, and at benchmark sizes materialising
+        # it costs seconds and ~0.5 GB.
+        self._static_built = False
         # Parity attribute: unique measure ids for in/out bifurcation
         # integrals (reference assembly.py:153-162).
         self._in_idx = max(mesh.in_marker, mesh.out_marker) + 1
@@ -224,53 +229,88 @@ class HydraulicNetworkAssembler:
 
     # ----------------------------------------------- static sparsity pattern
     def _build_static_structure(self) -> None:
-        """COO rows/cols for every block; only the mass values are dynamic."""
+        """COO rows/cols for every block; only the mass values are dynamic.
+
+        Entry order (relied on by the CSR-pattern cache and the
+        ``values = [cell_mass, static_vals]`` concatenation in
+        :meth:`assemble`): mass block first, then [+div | −divᵀ | λ-rows |
+        λ-cols].  Built by filling three preallocated arrays in place —
+        the chained ``np.concatenate`` formulation of the same stream
+        touched ~3x the bytes in fresh allocations, which dominates
+        wall-clock on page-fault-bound sandboxes (seconds at 2.6M cells)."""
+        if self._static_built:
+            return
         mesh = self._network_mesh
         k, kp = self._k, self._kp
         C = mesh.num_cells
         fd = self._cell_flux_dofs  # (C, k+1)
         pd = self._cell_p_dofs  # (C, np)
 
-        # Flux mass block: dynamic values (depend on R).
-        self._mass_rows = np.repeat(fd, k + 1, axis=1).ravel()
-        self._mass_cols = np.tile(fd, (1, k + 1)).ravel()
-
-        # Divergence blocks: static values.
         Dhat = elements.div_matrix(kp, k)  # (np, k+1)
         npd = Dhat.shape[0]
-        div_rows = np.repeat(pd, k + 1, axis=1).ravel()
-        div_cols = np.tile(fd, (1, npd)).ravel()
-        div_vals = np.tile(Dhat.ravel(), C)
-        # a[M][i] = +div ; a[i][M] = -div^T  (reference assembly.py:254-255)
-        self._static_rows = np.concatenate([div_rows, div_cols])
-        self._static_cols = np.concatenate([div_cols, div_rows])
-        self._static_vals = np.concatenate([div_vals, -div_vals])
-
-        # Multiplier incidence (reference assembly.py:268-277):
-        # in-edge of bifurcation b:  +q(edge end);  out-edge: −q(edge start).
-        lm_rows = []
-        lm_cols = []
-        lm_vals = []
         end_dof = self._edge_flux_base + self._dofs_per_edge - 1
         start_dof = self._edge_flux_base
         in_e = self._edge_end_bif >= 0
         out_e = self._edge_start_bif >= 0
-        lm_rows.append(self._lm_offset + self._edge_end_bif[in_e])
-        lm_cols.append(end_dof[in_e])
-        lm_vals.append(np.ones(in_e.sum()))
-        lm_rows.append(self._lm_offset + self._edge_start_bif[out_e])
-        lm_cols.append(start_dof[out_e])
-        lm_vals.append(-np.ones(out_e.sum()))
-        lr = np.concatenate(lm_rows)
-        lc = np.concatenate(lm_cols)
-        lv = np.concatenate(lm_vals)
-        # Symmetric counterpart a[c][M+1] with the same signs.
-        self._static_rows = np.concatenate([self._static_rows, lr, lc])
-        self._static_cols = np.concatenate([self._static_cols, lc, lr])
-        self._static_vals = np.concatenate([self._static_vals, lv, lv])
+        n_in, n_out = int(in_e.sum()), int(out_e.sum())
 
-        self._all_rows = np.concatenate([self._mass_rows, self._static_rows])
-        self._all_cols = np.concatenate([self._mass_cols, self._static_cols])
+        nm = C * (k + 1) * (k + 1)  # flux mass block (dynamic values)
+        nd = C * npd * (k + 1)  # one divergence block
+        n_static = 2 * nd + 2 * (n_in + n_out)
+        rows = np.empty(nm + n_static, dtype=fd.dtype)
+        cols = np.empty(nm + n_static, dtype=fd.dtype)
+        static_vals = np.empty(n_static, dtype=np.float64)
+
+        # Flux mass block: row ≙ repeat(fd, k+1, axis=1), col ≙ tile.
+        rows[:nm].reshape(C, k + 1, k + 1)[:] = fd[:, :, None]
+        cols[:nm].reshape(C, k + 1, k + 1)[:] = fd[:, None, :]
+
+        # a[M][i] = +div ; a[i][M] = -div^T  (reference assembly.py:254-255)
+        s0, s1 = nm, nm + nd
+        rows[s0:s1].reshape(C, npd, k + 1)[:] = pd[:, :, None]
+        cols[s0:s1].reshape(C, npd, k + 1)[:] = fd[:, None, :]
+        rows[s1 : s1 + nd].reshape(C, npd, k + 1)[:] = fd[:, None, :]
+        cols[s1 : s1 + nd].reshape(C, npd, k + 1)[:] = pd[:, :, None]
+        static_vals[:nd].reshape(C, npd * (k + 1))[:] = Dhat.ravel()[None]
+        static_vals[nd : 2 * nd].reshape(C, npd * (k + 1))[:] = -Dhat.ravel()[None]
+
+        # Multiplier incidence (reference assembly.py:268-277):
+        # in-edge of bifurcation b:  +q(edge end);  out-edge: −q(edge start),
+        # plus the symmetric counterpart a[c][M+1] with the same signs.
+        lr = np.concatenate(
+            [self._lm_offset + self._edge_end_bif[in_e],
+             self._lm_offset + self._edge_start_bif[out_e]]
+        )
+        lc = np.concatenate([end_dof[in_e], start_dof[out_e]])
+        lv = np.concatenate([np.ones(n_in), -np.ones(n_out)])
+        o0 = nm + 2 * nd
+        nlm = n_in + n_out
+        rows[o0 : o0 + nlm] = lr
+        cols[o0 : o0 + nlm] = lc
+        rows[o0 + nlm :] = lc
+        cols[o0 + nlm :] = lr
+        static_vals[2 * nd : 2 * nd + nlm] = lv
+        static_vals[2 * nd + nlm :] = lv
+
+        self._all_rows_arr = rows
+        self._all_cols_arr = cols
+        self._static_vals_arr = static_vals
+        self._static_built = True
+
+    @property
+    def _all_rows(self) -> np.ndarray:
+        self._build_static_structure()
+        return self._all_rows_arr
+
+    @property
+    def _all_cols(self) -> np.ndarray:
+        self._build_static_structure()
+        return self._all_cols_arr
+
+    @property
+    def _static_vals(self) -> np.ndarray:
+        self._build_static_structure()
+        return self._static_vals_arr
 
     # --------------------------------------------------------------- forms
     @timed("nxfx:HydraulicNetworkAssembler:compute_forms")

@@ -371,14 +371,22 @@ class NetworkMesh:
         # --- vertex table: graph nodes first, then per-edge interior points,
         # edge-major (reference mesh.py:270-316, vectorized).
         n_interior = N - 1
+        edge_vec = node_coords[edges[:, 1]] - node_coords[edges[:, 0]]  # (E, gdim)
+        vertices = np.empty((V + E * n_interior, gdim), dtype=np.float64)
+        vertices[:V] = node_coords
         if n_interior > 0:
-            w = np.linspace(0.0, 1.0, N, endpoint=False)[1:][None, :, None]  # (1,N-1,1)
-            starts = node_coords[edges[:, 0]][:, None, :]  # (E,1,gdim)
-            ends = node_coords[edges[:, 1]][:, None, :]
-            interior = (starts * (1.0 - w) + ends * w).reshape(E * n_interior, gdim)
-            vertices = np.vstack([node_coords, interior])
-        else:
-            vertices = node_coords.copy()
+            # Interior points start + w*vec, computed in an (E*gdim, N-1)
+            # layout: the straightforward (E, N-1, gdim) broadcast iterates
+            # E*(N-1) blocks of gdim(=2,3) elements and is loop-overhead
+            # bound (measured ~4x slower on 65k-edge/N=40 meshes).
+            w = np.linspace(0.0, 1.0, N, endpoint=False)[1:]  # (N-1,)
+            tmp = edge_vec.reshape(E * gdim, 1) * w[None, :]  # inner axis N-1
+            tmp += node_coords[edges[:, 0]].reshape(E * gdim, 1)
+            vertices[V:] = (
+                tmp.reshape(E, gdim, n_interior)
+                .transpose(0, 2, 1)
+                .reshape(E * n_interior, gdim)
+            )
 
         # --- cells, edge-major, N per edge, in along-edge chain order.
         # chain for edge e: [u, first_interior .. last_interior, v]
@@ -388,26 +396,30 @@ class NetworkMesh:
         if n_interior > 0:
             interior_ids = V + np.arange(E * n_interior, dtype=np.int64).reshape(E, n_interior)
             chain[:, 1:-1] = interior_ids
-        cells_along = np.stack([chain[:, :-1], chain[:, 1:]], axis=-1).reshape(E * N, 2)
-
         # Store cells with ascending vertex ids; orientation = +1 where the
         # stored order coincides with the edge direction (the reference keeps
         # the analogous ±1 DG0 field and corrects it after the partitioner
         # reorders cells, mesh.py:321-322,374-400 — here the sort is the only
         # reordering and the sign is tracked exactly).
-        ascending = cells_along[:, 0] < cells_along[:, 1]
-        cells = np.where(ascending[:, None], cells_along, cells_along[:, ::-1])
-        orientation = np.where(ascending, 1.0, -1.0)
+        a_end, b_end = chain[:, :-1], chain[:, 1:]
+        cells = np.empty((E * N, 2), dtype=np.int64)
+        cv = cells.reshape(E, N, 2)
+        np.minimum(a_end, b_end, out=cv[..., 0])
+        np.maximum(a_end, b_end, out=cv[..., 1])
+        orientation = np.where(a_end < b_end, 1.0, -1.0).reshape(E * N)
 
         cell_edge = np.repeat(np.arange(E, dtype=np.int32), N)
         cell_color = edge_color[cell_edge]
 
-        # Geometry helpers.
-        vec = vertices[cells[:, 1]] - vertices[cells[:, 0]]  # stored-order direction
-        cell_h = np.linalg.norm(vec, axis=1)
-        if np.any(cell_h <= 0.0):
+        # Geometry helpers — edge-level closed forms: every cell of edge e
+        # is a straight 1/N slice of it, so cell_h = |edge|/N uniformly and
+        # the stored-order unit tangent is ±(edge direction) with the sign
+        # already tracked in `orientation`.  (cell_tangent is materialised
+        # lazily — only orientation diagnostics read the (C, gdim) field.)
+        edge_length = np.sqrt(np.einsum("ij,ij->i", edge_vec, edge_vec))
+        if np.any(edge_length <= 0.0):
             raise ValueError("degenerate (zero-length) cell in network mesh")
-        cell_tangent = vec / cell_h[:, None]
+        cell_h = np.repeat(edge_length / N, N)
 
         # Vertex markers (reference mesh.py:402-420): original node id per
         # graph vertex, with boundary inlets/outlets overwritten by sentinels.
@@ -422,18 +434,17 @@ class NetworkMesh:
         self._num_graph_nodes = V
         self._num_edges = E
         self._vertices = vertices
-        self._cells = cells.astype(np.int64)
+        self._cells = cells
         self._cell_edge = cell_edge
         self._cell_color = cell_color
         self._orientation = orientation
         self._cell_h = cell_h
-        self._cell_tangent = cell_tangent
+        self._cell_tangent_cache: npt.NDArray[np.float64] | None = None
+        self._edge_unit_vec = edge_vec / edge_length[:, None]
         self._edges = edges
         self._edge_color = edge_color
         self._edge_radius = radii
-        self._edge_length = np.linalg.norm(
-            node_coords[edges[:, 1]] - node_coords[edges[:, 0]], axis=1
-        )
+        self._edge_length = edge_length
         self._num_edge_colors = num_colors
         self._bifurcation_values = bifurcation_values
         self._boundary_values = boundary_values
@@ -540,8 +551,13 @@ class NetworkMesh:
         """(C, gdim) unit direction of each cell in stored vertex order;
         multiply by :attr:`orientation` to get the graph-edge direction
         (the reference computes this as ``orientation * J[:,0]/|J[:,0]|``,
-        assembly.py:238-242)."""
-        return self._cell_tangent
+        assembly.py:238-242).  Built lazily: edges are straight, so this
+        is ±(per-edge unit vector) expanded to cells."""
+        if self._cell_tangent_cache is None:
+            self._cell_tangent_cache = (
+                self._edge_unit_vec[self._cell_edge] * self._orientation[:, None]
+            )
+        return self._cell_tangent_cache
 
     @property
     def orientation(self) -> npt.NDArray[np.float64]:
