@@ -257,8 +257,11 @@ class HydraulicNetworkAssembler:
         nm = C * (k + 1) * (k + 1)  # flux mass block (dynamic values)
         nd = C * npd * (k + 1)  # one divergence block
         n_static = 2 * nd + 2 * (n_in + n_out)
-        rows = np.empty(nm + n_static, dtype=fd.dtype)
-        cols = np.empty(nm + n_static, dtype=fd.dtype)
+        # int32 indices halve the COO footprint; every consumer (BCOO,
+        # scatter-add, CSR pattern, scipy COO) is width-agnostic.
+        idx_dt = np.int32 if self._num_dofs < np.iinfo(np.int32).max else np.int64
+        rows = np.empty(nm + n_static, dtype=idx_dt)
+        cols = np.empty(nm + n_static, dtype=idx_dt)
         static_vals = np.empty(n_static, dtype=np.float64)
 
         # Flux mass block: row ≙ repeat(fd, k+1, axis=1), col ≙ tile.
