@@ -312,6 +312,7 @@ def main(degraded: str | None = None) -> None:
                 best_b = min(best_b, (time.perf_counter() - t0) / (S * depth_b))
             log(f"batched x{S} (vmap, pipeline depth {depth_b}): "
                 f"{best_b * 1e3:.2f} ms/solve -> {n_dofs / best_b:.3e} dofs/s")
+            del batched, bargs, out_b, outs_b  # release queued HBM
         except Exception as e:  # pragma: no cover - defensive
             log(f"batched serving stage skipped: {e!r}")
             best_b = None
@@ -340,6 +341,7 @@ def main(degraded: str | None = None) -> None:
             t_pipe_f32 = best32
             log(f"pipelined x{K_deep} float32 serving: {t_pipe_f32 * 1e3:.2f} ms/solve "
                 f"-> {n_dofs / t_pipe_f32:.3e} dofs/s")
+            del ex32, args32, out32, outs32  # release queued HBM
         except Exception as e:  # pragma: no cover - defensive
             log(f"float32 serving stage skipped: {e!r}")
             t_pipe_f32 = None
@@ -370,6 +372,7 @@ def main(degraded: str | None = None) -> None:
             log(f"pipelined x{K_deep} mixed (f64 solve, f32 out): "
                 f"{t_pipe_mixed * 1e3:.2f} ms/solve "
                 f"-> {n_dofs / t_pipe_mixed:.3e} dofs/s")
+            del exm, argsm, outm, outsm  # release queued HBM
         except Exception as e:  # pragma: no cover - defensive
             log(f"mixed serving stage skipped: {e!r}")
             t_pipe_mixed = None
@@ -399,6 +402,7 @@ def main(degraded: str | None = None) -> None:
             log(f"pipelined x{K_deep} level-scan variant: "
                 f"{t_pipe_scan * 1e3:.2f} ms/solve "
                 f"-> {n_dofs / t_pipe_scan:.3e} dofs/s")
+            del exs, argss, outs0, outss  # release queued HBM
         except Exception as e:  # pragma: no cover - defensive
             log(f"level-scan stage skipped: {e!r}")
             t_pipe_scan = None
@@ -431,6 +435,7 @@ def main(degraded: str | None = None) -> None:
             log(f"pipelined x{K_deep} factor-reuse (rhs-only solve): "
                 f"{t_pipe_factor * 1e3:.2f} ms/solve "
                 f"-> {n_dofs / t_pipe_factor:.3e} dofs/s")
+            del fac, state, rhs, outf, outsf  # release queued HBM
         except Exception as e:  # pragma: no cover - defensive
             log(f"factor-reuse stage skipped: {e!r}")
             t_pipe_factor = None

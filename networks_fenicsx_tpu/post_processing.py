@@ -61,7 +61,7 @@ def extract_global_flux(
     return NetworkFunction(space, global_vals.reshape(-1), name="Global_Flux")
 
 
-def _write_flux_function(fn: NetworkFunction, path: Path) -> None:
+def _write_flux_function(fn: NetworkFunction, path: Path, writer=write_vtu) -> None:
     """Write a per-color flux function as polyline VTU with point data."""
     mesh = fn.space.mesh
     view = mesh.submeshes[fn.space.color]
@@ -75,27 +75,43 @@ def _write_flux_function(fn: NetworkFunction, path: Path) -> None:
         [np.arange(n_dofs - 1), np.arange(1, n_dofs)], axis=-1
     )[None, :, :]
     cells = (base + seg).reshape(-1, 2)
-    write_vtu(path, coords, cells, VTK_LINE, point_data={fn.name or "flux": fn.values})
+    writer(path, coords, cells, VTK_LINE, point_data={fn.name or "flux": fn.values})
 
 
 def _write_blocks(
-    functions: list[NetworkFunction], export_path: Path, suffix: str = ""
+    functions: list[NetworkFunction],
+    export_path: Path,
+    suffix: str = "",
+    format: str = "vtu",
+    time: float = 0.0,
 ) -> dict[str, str]:
     """Write one frame of every solution block; returns the series→file map
     (file names relative to ``export_path``)."""
+    if format == "bp":
+        import functools
+
+        from .io.bp import write_bp
+
+        writer = functools.partial(write_bp, time=time)
+        ext = ".bp"
+    elif format == "vtu":
+        writer = write_vtu
+        ext = ".vtu"
+    else:
+        raise ValueError(f"unknown export format {format!r} (vtu or bp)")
     written: dict[str, str] = {}
     flux_functions = functions[:-2]
     for i, q in enumerate(flux_functions):
-        fname = f"flux_{i}{suffix}.vtu"
-        _write_flux_function(q, export_path / fname)
+        fname = f"flux_{i}{suffix}{ext}"
+        _write_flux_function(q, export_path / fname, writer=writer)
         written[f"flux_{i}"] = fname
 
     pressure = functions[-2]
     mesh = pressure.space.mesh
-    fname = f"pressure{suffix}.vtu"
+    fname = f"pressure{suffix}{ext}"
     # Parent mesh as line cells in stored vertex order.
     if pressure.space.degree == 0:
-        write_vtu(
+        writer(
             export_path / fname,
             mesh.vertices,
             mesh.cells,
@@ -106,7 +122,7 @@ def _write_blocks(
         # Vertex dofs lead the dof layout, so the vertex slice of the value
         # array pairs with mesh.vertices; writing dof_coordinates() here
         # would leave NumberOfPoints > len(PointData), which VTK rejects.
-        write_vtu(
+        writer(
             export_path / fname,
             mesh.vertices[:],
             mesh.cells,
@@ -117,8 +133,8 @@ def _write_blocks(
 
     lm = functions[-1]
     lm_coords = lm.space.dof_coordinates()
-    fname = f"lm{suffix}.vtu"
-    write_vtu(
+    fname = f"lm{suffix}{ext}"
+    writer(
         export_path / fname,
         lm_coords,
         np.arange(lm_coords.shape[0], dtype=np.int64).reshape(-1, 1),
@@ -133,6 +149,7 @@ def export_functions(
     functions: list[NetworkFunction],
     outpath: Path | str,
     time: float | None = None,
+    format: str = "vtu",
 ) -> None:
     """Export every solution block (reference ``post_processing.py:55-78``).
 
@@ -144,10 +161,16 @@ def export_functions(
             ``.pvd`` collection stamped with this time (the reference's
             ``vtx.write(0.0)``).  For multi-frame series use
             :class:`TimeSeriesWriter`.
+        format: ``"vtu"`` (default) or ``"bp"`` — ADIOS2 VTX datasets
+            matching the reference's ``VTXWriter`` output names
+            (``flux_<i>.bp``, ``pressure.bp``, ``lm.bp``); needs the
+            ``adios2`` bindings (:mod:`networks_fenicsx_tpu.io.bp`).
     """
     export_path = Path(outpath)
-    written = _write_blocks(functions, export_path)
-    if time is not None:
+    written = _write_blocks(
+        functions, export_path, format=format, time=time or 0.0
+    )
+    if time is not None and format == "vtu":
         for series, fname in written.items():
             write_pvd(export_path / f"{series}.pvd", [(time, fname)])
 

@@ -1,6 +1,7 @@
 """Post-processing: global flux extraction and VTU export."""
 
 import numpy as np
+import pytest
 
 from networks_fenicsx_tpu import (
     HydraulicNetworkAssembler,
@@ -265,3 +266,51 @@ def test_write_pvd_escapes_attribute_values(tmp_path):
     root = ET.parse(p).getroot()
     files = [ds.get("file") for ds in root.iter("DataSet")]
     assert files == [weird, "plain.vtu"]
+
+
+def test_export_functions_bp_format(tmp_path):
+    """format="bp" routes the ADIOS2 VTX writer (reference
+    post_processing.py:55-78): with adios2 present the datasets
+    round-trip; without it the error is clear and .vtu output is
+    untouched."""
+    from networks_fenicsx_tpu import (
+        HydraulicNetworkAssembler,
+        NetworkMesh,
+        Solver,
+        network_generation,
+    )
+    from networks_fenicsx_tpu.io.bp import have_adios2
+    from networks_fenicsx_tpu.post_processing import export_functions
+
+    G = network_generation.make_tree(2, 1.0, 2.0)
+    mesh = NetworkMesh(G, N=2)
+    asm = HydraulicNetworkAssembler(mesh)
+    asm.compute_forms(p_bc_ex=lambda x: x[1])
+    s = Solver(asm)
+    s.assemble()
+    sol = s.solve()
+    if not have_adios2():
+        with pytest.raises(RuntimeError, match="adios2"):
+            export_functions(sol, tmp_path, format="bp")
+        return
+    export_functions(sol, tmp_path, time=0.25, format="bp")  # pragma: no cover
+    import adios2
+
+    with adios2.FileReader(str(tmp_path / "pressure.bp")) as f:
+        geo = f.read("geometry")
+        assert geo.shape == (mesh.num_vertices, 3)
+        conn = f.read("connectivity")
+        assert conn.shape == (mesh.num_cells, 3)
+        np.testing.assert_allclose(
+            f.read("pressure"), np.asarray(sol[-2].values)
+        )
+        vtkxml = f.read_attribute_string("vtk.xml")
+        assert "UnstructuredGrid" in vtkxml[0]
+
+
+def test_write_bp_unknown_format_rejected(tmp_path):
+    """_write_blocks refuses unknown export formats loudly."""
+    from networks_fenicsx_tpu.post_processing import _write_blocks
+
+    with pytest.raises(ValueError, match="unknown export format"):
+        _write_blocks([], tmp_path, format="hdf")
