@@ -1,6 +1,6 @@
-"""IO backends (VTU writer)."""
+"""IO backends: VTU/PVD, XDMF/HDF5, checkpoint, ADIOS2 VTX ``.bp``."""
 
-from . import vtk
+from . import bp, vtk
 from .vtk import write_vtu
 
-__all__ = ["vtk", "write_vtu"]
+__all__ = ["bp", "vtk", "write_vtu"]
