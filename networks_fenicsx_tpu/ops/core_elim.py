@@ -229,6 +229,63 @@ class CoreElimPlan(typing.NamedTuple):
             ),
         }
 
+    @property
+    def index_bytes(self) -> int:
+        """Total bytes of the plan's index arrays (the would-be HLO
+        literal payload if the plan is closed over instead of passed as
+        a runtime argument)."""
+        return sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(self)
+        )
+
+
+# Register the plan (and its front tuples) as pytrees: index arrays are
+# CHILDREN, structural ints are static aux data.  This lets a plan cross a
+# ``jit`` boundary as a runtime ARGUMENT — device buffers transferred once
+# — instead of being baked into the program as literal constants.  At
+# supernodal scale the constants are the program: a 320² per-edge-R
+# lattice plan carries ~450 MB of int64 indices, which (a) bloats the
+# serialized HLO past what compile services accept, (b) slows XLA
+# ingestion, and (c) duplicates the arrays into every executable (fused,
+# factor, apply) that embeds them.  ``_Round`` needs no registration —
+# it is a NamedTuple of arrays and flattens structurally.
+def _front_flatten(f: "_Front"):
+    children = (
+        f.nodes, f.bnd, f.slot_val, f.slot_i, f.slot_j,
+        tuple(lmap for _, lmap in f.consume),
+    )
+    aux = tuple(int(cid) for cid, _ in f.consume)
+    return children, aux
+
+
+def _front_unflatten(aux, children) -> "_Front":
+    nodes, bnd, slot_val, slot_i, slot_j, cons_maps = children
+    return _Front(
+        nodes=nodes, bnd=bnd, slot_val=slot_val, slot_i=slot_i,
+        slot_j=slot_j, consume=tuple(zip(aux, cons_maps)),
+    )
+
+
+def _plan_flatten(p: "CoreElimPlan"):
+    children = (p.init_slot, p.rounds, p.dense_nodes, p.dense_pairs, p.fronts)
+    aux = (p.n_core, p.n_slots, p.fill_slots)
+    return children, aux
+
+
+def _plan_unflatten(aux, children) -> "CoreElimPlan":
+    init_slot, rounds, dense_nodes, dense_pairs, fronts = children
+    n_core, n_slots, fill_slots = aux
+    return CoreElimPlan(
+        n_core=n_core, n_slots=n_slots, init_slot=init_slot, rounds=rounds,
+        dense_nodes=dense_nodes, dense_pairs=dense_pairs,
+        fill_slots=fill_slots, fronts=fronts,
+    )
+
+
+jax.tree_util.register_pytree_node(_Front, _front_flatten, _front_unflatten)
+jax.tree_util.register_pytree_node(CoreElimPlan, _plan_flatten, _plan_unflatten)
+
 
 def _plan_fronts(
     adj: list, tail_order: np.ndarray, front_max: int, front_cap: int
@@ -570,7 +627,7 @@ def plan_core_elimination(
         r._replace(nbr_slot=np.where(r.nbr_slot < 0, n_slots, r.nbr_slot))
         for r in rounds
     ]
-    return CoreElimPlan(
+    plan = CoreElimPlan(
         n_core=n_core,
         n_slots=n_slots,
         init_slot=np.asarray(core_pairs[:, 2], dtype=np.int64),
@@ -580,6 +637,18 @@ def plan_core_elimination(
         fill_slots=n_slots - P0,
         fronts=fronts,
     )
+    # Index compaction: every value (node ids ≤ n_core, slot ids ≤ n_slots,
+    # flat grid offsets) fits int32 at any plannable size; the plan rides
+    # to the device as runtime buffers (see the pytree registration), so
+    # this halves both the transfer and its resident HBM.
+    if max(n_core, n_slots + 1) < np.iinfo(np.int32).max:
+        plan = jax.tree_util.tree_map(
+            lambda a: a.astype(np.int32)
+            if isinstance(a, np.ndarray) and a.dtype == np.int64
+            else a,
+            plan,
+        )
+    return plan
 
 
 def _core_factor(

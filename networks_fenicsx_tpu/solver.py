@@ -3428,7 +3428,7 @@ class TreeFactorization:
         ep_sel = np.flatnonzero(plan.edge_pair >= 0)
         ep_ids = plan.edge_pair[ep_sel]
 
-        def factor_fn(R_data):
+        def factor_fn(R_data, cplan=None):
             R_data = jnp.asarray(R_data, dtype=comp_dt)
             W, a1, a2 = _blocked_condense_R(N, E, h_e, R_data, R_mode, k)
             w = 1.0 / W
@@ -3441,10 +3441,12 @@ class TreeFactorization:
                 )
             else:
                 w_pairs = jnp.zeros(0, comp_dt)
-            tree_state = _tree_eliminate_factor(plan, diag, w_pairs)
+            tree_state = _tree_eliminate_factor(
+                plan, diag, w_pairs, core_plan=cplan
+            )
             return {"W": W, "w": w, "a1": a1, "a2": a2, "tree": tree_state}
 
-        def solve_fn(state, f_data, spbc, epbc):
+        def solve_fn(state, f_data, spbc, epbc, cplan=None):
             f_data = jnp.asarray(f_data, dtype=comp_dt)
             spbc = jnp.asarray(spbc, dtype=comp_dt)
             epbc = jnp.asarray(epbc, dtype=comp_dt)
@@ -3456,7 +3458,9 @@ class TreeFactorization:
             rhs = jnp.zeros(B, comp_dt)
             rhs = rhs.at[t_idx].add(jnp.where(t_b, const + Ftot, 0.0))
             rhs = rhs.at[s_idx].add(jnp.where(s_b, -const, 0.0))
-            lam = _tree_eliminate_apply(plan, state["tree"], rhs)
+            lam = _tree_eliminate_apply(
+                plan, state["tree"], rhs, core_plan=cplan
+            )
             lam_pad = jnp.concatenate([lam, jnp.zeros(1, comp_dt)])
             r0 = jnp.where(s_b, lam_pad[s_pad], -spbc)
             rN = jnp.where(t_b, -lam_pad[t_pad], epbc)
@@ -3472,10 +3476,19 @@ class TreeFactorization:
             )
             return q_T, p_T, lam, jnp.linalg.norm(rhs), finite
 
+        # The core plan rides along as a runtime argument (device
+        # buffers shared by the factor/solve/batch programs) rather than
+        # HLO literal constants — see the pytree registration in
+        # ops/core_elim.py.
+        self._cplan_dev = (
+            jax.device_put(plan.core_plan)
+            if plan.core_plan is not None
+            else None
+        )
         self._factor_fn = jax.jit(factor_fn)
         self._solve_fn = jax.jit(solve_fn)
         self._solve_batch_fn = jax.jit(
-            jax.vmap(solve_fn, in_axes=(None, 0, 0, 0))
+            jax.vmap(solve_fn, in_axes=(None, 0, 0, 0, None))
         )
 
     def _prep_coeff(self, arr, mode):
@@ -3484,7 +3497,9 @@ class TreeFactorization:
 
     def factor(self, R_data):
         """Resistance-side factorization (device pytree, reusable)."""
-        return self._factor_fn(self._prep_coeff(R_data, self._R_mode))
+        return self._factor_fn(
+            self._prep_coeff(R_data, self._R_mode), self._cplan_dev
+        )
 
     def solve(self, state, f_data, start_pbc, end_pbc):
         """Solve against a cached factor for one rhs (f, boundary p)."""
@@ -3493,6 +3508,7 @@ class TreeFactorization:
             self._prep_coeff(f_data, self._f_mode),
             np.asarray(start_pbc),
             np.asarray(end_pbc),
+            self._cplan_dev,
         )
 
     def solve_batch(self, state, f_batch, start_pbc_batch, end_pbc_batch):
@@ -3505,6 +3521,7 @@ class TreeFactorization:
             f_rows,
             np.asarray(start_pbc_batch),
             np.asarray(end_pbc_batch),
+            self._cplan_dev,
         )
 
     def prepare_rhs(self, f_data, start_pbc, end_pbc):
@@ -3517,7 +3534,7 @@ class TreeFactorization:
 
     def solve_prepared(self, state, rhs_args):
         """Solve against a cached factor with :meth:`prepare_rhs` args."""
-        return self._solve_fn(state, *rhs_args)
+        return self._solve_fn(state, *rhs_args, self._cplan_dev)
 
     def solution_vector(self, out) -> np.ndarray:
         """Global flat block vector from a :meth:`solve` result."""
@@ -3544,12 +3561,18 @@ def _tree_schur_solve(
     rhs: jnp.ndarray,
     w_edges: jnp.ndarray,
     both_mask: jnp.ndarray,
+    core_plan=None,
 ) -> jnp.ndarray:
     """Solve L λ = rhs by fill-in-free elimination along the static plan.
 
     O(B) work in ~tree-depth rounds of vectorized gathers/scatters — the
     speed-of-light direct solve for tree networks (every reference
     benchmark), replacing both MUMPS and iterative methods.
+
+    ``core_plan``: optional override of ``plan.core_plan`` whose index
+    arrays are TRACED values (the plan passed as a jit argument — device
+    buffers instead of HLO literal constants; see the pytree registration
+    in ``ops/core_elim.py``).
     """
     P = plan.pair_nodes.shape[0]
     if P > 0:
@@ -3559,11 +3582,12 @@ def _tree_schur_solve(
         w_pairs = _segsum_sorted(w_edges, ids[order], P, sel=sel[order])
     else:
         w_pairs = jnp.zeros(0, dtype=diag.dtype)
-    return _tree_eliminate(plan, diag, rhs, w_pairs)
+    return _tree_eliminate(plan, diag, rhs, w_pairs, core_plan=core_plan)
 
 
 def _tree_eliminate(
-    plan: _TreePlan, diag: jnp.ndarray, rhs: jnp.ndarray, w_pairs: jnp.ndarray
+    plan: _TreePlan, diag: jnp.ndarray, rhs: jnp.ndarray, w_pairs: jnp.ndarray,
+    core_plan=None,
 ) -> jnp.ndarray:
     """Forward-eliminate and back-substitute along the static peel order,
     given aggregated per-pair conductances (callers may psum these across
@@ -3571,12 +3595,13 @@ def _tree_eliminate(
     per-rhs apply so factor-reuse serving (:class:`TreeFactorization`)
     shares the exact same formulas."""
     return _tree_eliminate_apply(
-        plan, _tree_eliminate_factor(plan, diag, w_pairs), rhs
+        plan, _tree_eliminate_factor(plan, diag, w_pairs, core_plan=core_plan),
+        rhs, core_plan=core_plan,
     )
 
 
 def _tree_eliminate_factor(
-    plan: _TreePlan, diag: jnp.ndarray, w_pairs: jnp.ndarray
+    plan: _TreePlan, diag: jnp.ndarray, w_pairs: jnp.ndarray, core_plan=None
 ) -> dict:
     """Conductance-side half of the peel-then-core elimination.
 
@@ -3619,7 +3644,10 @@ def _tree_eliminate_factor(
         from .ops.core_elim import _core_factor
 
         cn = jnp.asarray(plan.core_nodes)
-        state["core"] = _core_factor(plan.core_plan, d[cn], w_pairs)
+        state["core"] = _core_factor(
+            core_plan if core_plan is not None else plan.core_plan,
+            d[cn], w_pairs,
+        )
     elif plan.core_size > 0:
         # Dense factor of the residual cycle core: peeled diagonals are
         # already folded into d; off-diagonals are the original core pair
@@ -3639,7 +3667,7 @@ def _tree_eliminate_factor(
 
 
 def _tree_eliminate_apply(
-    plan: _TreePlan, state: dict, rhs: jnp.ndarray
+    plan: _TreePlan, state: dict, rhs: jnp.ndarray, core_plan=None
 ) -> jnp.ndarray:
     """Per-rhs half: forward rhs sweeps, core solve, back-substitution."""
     r = rhs
@@ -3668,7 +3696,10 @@ def _tree_eliminate_apply(
         from .ops.core_elim import _core_apply
 
         cn = jnp.asarray(plan.core_nodes)
-        lam_core = _core_apply(plan.core_plan, state["core"], r[cn])
+        lam_core = _core_apply(
+            core_plan if core_plan is not None else plan.core_plan,
+            state["core"], r[cn],
+        )
         lam = lam.at[cn].set(lam_core)
     elif plan.core_size > 0:
         cn = jnp.asarray(plan.core_nodes)
@@ -3963,7 +3994,7 @@ def build_schur_executor(
             N=mesh.N,
         )
 
-    def _finish(ed):
+    def _finish(ed, cplan=None):
         """λ solve + back-substitution given condensed edge data."""
         if B > 0 and schur_method == "tree":
             # Direct elimination — no residual matvec; correctness is
@@ -3974,7 +4005,9 @@ def build_schur_executor(
             else:
                 # Cycle core present: sorted assembly + peel-then-core.
                 diag, rhs = _lambda_system_sorted(ed, B, lam_plan)
-                lam = _tree_schur_solve(tree_plan, diag, rhs, 1.0 / ed.W, None)
+                lam = _tree_schur_solve(
+                    tree_plan, diag, rhs, 1.0 / ed.W, None, core_plan=cplan
+                )
                 rhs_norm = jnp.linalg.norm(rhs)
             iters = jnp.zeros((), dtype=jnp.int32)
             residual = jnp.zeros(())
@@ -4126,7 +4159,7 @@ def build_schur_executor(
         finite = jnp.all(jnp.isfinite(x))
         return x.astype(out_dt), iters, residual, rhs_norm, finite
 
-    def core(arg0, arg1, start_pbc, end_pbc):
+    def core(arg0, arg1, start_pbc, end_pbc, cplan=None):
         arg0 = jnp.asarray(arg0, dtype=comp_dt)
         arg1 = jnp.asarray(arg1, dtype=comp_dt)
         start_pbc = jnp.asarray(start_pbc, dtype=comp_dt)
@@ -4145,7 +4178,7 @@ def build_schur_executor(
                 ed = _make_edge_data_uniform(
                     asm, arg0, arg1, start_pbc, end_pbc, R_mode, f_mode
                 )
-                return _finish(ed)
+                return _finish(ed, cplan)
             w = jnp.asarray(asm._quad_weights, dtype=comp_dt)
             phi = jnp.asarray(asm._quad_phi, dtype=comp_dt)
             h = jnp.asarray(mesh.cell_h, dtype=comp_dt)
@@ -4184,9 +4217,24 @@ def build_schur_executor(
             cell_mass = jnp.asarray(arg0, dtype=comp_dt)
             cell_f_int = jnp.asarray(arg1, dtype=comp_dt)
             ed = _make_edge_data(asm, cell_mass, cell_f_int, start_pbc, end_pbc)
-        return _finish(ed)
+        return _finish(ed, cplan)
 
     fn = jax.jit(core) if jit else core
+    if tree_plan is not None and tree_plan.core_plan is not None:
+        # Pass the core-elimination plan as a runtime ARGUMENT (device
+        # buffers, transferred once) instead of baking its index arrays
+        # into the program as HLO literals — at supernodal scale those
+        # constants run to hundreds of MB, bloating compile payloads and
+        # duplicating the arrays into every executable.  The public
+        # 4-argument executor contract is preserved by closing over the
+        # device-resident plan here; callers (Solver, sweeps, bench) are
+        # unchanged.
+        _cplan_dev = jax.device_put(tree_plan.core_plan)
+        _inner_fn = fn
+
+        def fn(arg0, arg1, start_pbc, end_pbc):
+            return _inner_fn(arg0, arg1, start_pbc, end_pbc, _cplan_dev)
+
     try:
         # explicit output contract (see _schur_solve) — never inferred
         # from tuple arity by callers that can know better
