@@ -172,15 +172,20 @@ class _Round(typing.NamedTuple):
     elim: np.ndarray  # (S,) core-rank node ids, sorted ascending
     nbr_node: np.ndarray  # (S, K) neighbour core-rank ids, pad = Bc
     nbr_slot: np.ndarray  # (S, K) value-slot ids, pad = n_slots (zero cell)
-    # diagonal / rhs updates: flat indices into the (S*K) neighbour grid
-    d_src: np.ndarray  # (M1,) valid entries
-    d_seg: np.ndarray  # (M1,) segment id into d_tgt
-    d_tgt: np.ndarray  # (U1,) unique sorted target node ids
-    # off-diagonal Schur updates: index PAIRS into the (S*K) grid
+    # diagonal / rhs updates, as a gather-FOLD plan (see _plan_fold): the
+    # (S*K) neighbour grid folds into one sum per touched node, applied
+    # back through a full-size inverse gather — no TPU scatters (XLA
+    # lowers scatter/segment_sum serialized there; measured 20-25 ms per
+    # reduction at 50k segments vs ~0.1 ms for the fold).
+    d_fold: tuple  # tuple of (n_i, w_i) int arrays; level-1 indexes (S*K)
+    d_inv: np.ndarray  # (Bc,) node -> row of the folded sums, pad = U1
+    # off-diagonal Schur updates: index PAIRS into the (S*K) grid produce
+    # the (M2,) contribution vector; u_fold folds it per target slot.
     u_src_i: np.ndarray  # (M2,)
     u_src_j: np.ndarray  # (M2,)
-    u_seg: np.ndarray  # (M2,) segment id into u_tgt
-    u_tgt: np.ndarray  # (U2,) unique sorted target slot ids
+    u_fold: tuple  # fold plan over the (M2,) contribution vector
+    v_inv: np.ndarray  # (n_slots + 1,) slot -> folded row, pad = U2
+    e_inv: np.ndarray  # (Bc + 1,) node -> row in elim, pad = S (backsub)
 
 
 class _Front(typing.NamedTuple):
@@ -200,7 +205,7 @@ class _Front(typing.NamedTuple):
     slot_val: np.ndarray  # (ns,) value-slot ids
     slot_i: np.ndarray  # (ns,) local row index in [S | B]
     slot_j: np.ndarray  # (ns,) local col index (slot_i < slot_j)
-    consume: tuple  # tuple[(front_id, (m_c,) local index map), ...]
+    consume: tuple  # tuple[(front_id, (m,) INVERSE index map, pad=m_c), ...]
 
 
 class CoreElimPlan(typing.NamedTuple):
@@ -287,6 +292,70 @@ jax.tree_util.register_pytree_node(_Front, _front_flatten, _front_unflatten)
 jax.tree_util.register_pytree_node(CoreElimPlan, _plan_flatten, _plan_unflatten)
 
 
+def _plan_fold(
+    seg: np.ndarray, U: int, src: np.ndarray, src_len: int, cap: int = 64
+) -> tuple:
+    """Host plan for an exact gather-fold segment reduction.
+
+    Returns a tuple of padded 2-D int index arrays ("levels") such that
+    :func:`_fold_apply` sums the entries of a length-``src_len`` vector
+    into ``(U,)`` per-segment totals using only gathers and row sums —
+    the TPU-fast replacement for ``segment_sum``/scatter-add (XLA lowers
+    those serialized on TPU).  ``seg[i]``/``src[i]`` give entry i's
+    segment and its index into the source vector.  Pad cells index one
+    past the level's input (the appended zero).  Segments wider than
+    ``cap`` fold through intermediate chunk levels, so summation is an
+    exact f64 tree reduction at any width.
+    """
+    seg = np.asarray(seg, dtype=np.int64)
+    order = np.argsort(seg, kind="stable")
+    cur = np.asarray(src, dtype=np.int64)[order]
+    cur_counts = np.bincount(seg, minlength=U).astype(np.int64)
+    cur_len = int(src_len)
+    levels: list[np.ndarray] = []
+    while True:
+        W = int(cur_counts.max()) if cur_counts.size else 0
+        n_grp = int(cur_counts.size)
+        if W <= cap:
+            lv = np.full((n_grp, max(W, 1)), cur_len, dtype=np.int64)
+            offs = np.concatenate([[0], np.cumsum(cur_counts)])
+            col = np.arange(cur.size) - np.repeat(offs[:-1], cur_counts)
+            row = np.repeat(np.arange(n_grp), cur_counts)
+            lv[row, col] = cur
+            levels.append(lv)
+            return tuple(levels)
+        offs = np.concatenate([[0], np.cumsum(cur_counts)])
+        pos = np.arange(cur.size) - np.repeat(offs[:-1], cur_counts)
+        n_chunks_grp = (cur_counts + cap - 1) // cap
+        chunk_offs = np.concatenate([[0], np.cumsum(n_chunks_grp)])
+        chunk_id = np.repeat(chunk_offs[:-1], cur_counts) + pos // cap
+        n_chunks = int(chunk_offs[-1])
+        lv = np.full((n_chunks, cap), cur_len, dtype=np.int64)
+        lv[chunk_id, pos % cap] = cur
+        levels.append(lv)
+        cur = np.arange(n_chunks, dtype=np.int64)
+        cur_counts = n_chunks_grp
+        cur_len = n_chunks
+
+
+def _fold_apply(vec: jnp.ndarray, levels: tuple) -> jnp.ndarray:
+    """Apply a :func:`_plan_fold` plan: (src_len,) vector → (U,) sums."""
+    for lv in levels:
+        vec = jnp.concatenate([vec, jnp.zeros(1, vec.dtype)])
+        vec = vec[jnp.asarray(lv)].sum(axis=1)
+    return vec
+
+
+def _inverse_map(targets: np.ndarray, size: int, pad_rows: int) -> np.ndarray:
+    """(size,) map: position of index i in ``targets`` (else ``pad_rows``),
+    for applying folded sums back through a gather instead of a scatter."""
+    inv = np.full(size, pad_rows, dtype=np.int64)
+    inv[np.asarray(targets, dtype=np.int64)] = np.arange(
+        targets.size, dtype=np.int64
+    )
+    return inv
+
+
 def _plan_fronts(
     adj: list, tail_order: np.ndarray, front_max: int, front_cap: int
 ) -> tuple | None:
@@ -342,12 +411,18 @@ def _plan_fronts(
                 si.append(min(lv, lw))
                 sj.append(max(lv, lw))
         consume: list[tuple[int, np.ndarray]] = []
+        m_f = w_ + int(bnd.size)
         for c in sorted(consume_ids):
             # no clique member is ever eliminated before consumption (the
             # eliminating front consumes it), so every member has a slot
-            # in [S | B] — a KeyError here would be a planner bug
+            # in [S | B] — a KeyError here would be a planner bug.
+            # Stored as the INVERSE map (F-local -> update-local, pad =
+            # m_c): the extend-add then runs as an (m, m) gather from the
+            # padded update matrix instead of a serialized 2-D scatter.
             lmap = np.asarray([loc[int(w)] for w in cliques[c]], dtype=np.int64)
-            consume.append((c, lmap))
+            lminv = np.full(m_f, lmap.size, dtype=np.int64)
+            lminv[lmap] = np.arange(lmap.size, dtype=np.int64)
+            consume.append((c, lminv))
             for w in cliques[c]:
                 node_cliques.get(int(w), set()).discard(c)
         fid = len(fronts)
@@ -571,26 +646,34 @@ def plan_core_elimination(
         d_src = np.array([e[0] for e in d_entries], dtype=np.int64)
         d_tgt_all = np.array([e[1] for e in d_entries], dtype=np.int64)
         d_tgt, d_seg = np.unique(d_tgt_all, return_inverse=True)
+        d_fold = _plan_fold(d_seg, d_tgt.size, d_src, S * K)
+        d_inv = _inverse_map(d_tgt, n_core, d_tgt.size)
         if u_entries:
             u_src_i = np.array([e[0] for e in u_entries], dtype=np.int64)
             u_src_j = np.array([e[1] for e in u_entries], dtype=np.int64)
             u_tgt_all = np.array([e[2] for e in u_entries], dtype=np.int64)
             u_tgt, u_seg = np.unique(u_tgt_all, return_inverse=True)
+            u_fold = _plan_fold(
+                u_seg, u_tgt.size, np.arange(u_src_i.size), u_src_i.size
+            )
         else:
-            u_src_i = u_src_j = u_seg = np.empty(0, dtype=np.int64)
+            u_src_i = u_src_j = np.empty(0, dtype=np.int64)
             u_tgt = np.empty(0, dtype=np.int64)
+            u_fold = ()
+        elim_arr = np.asarray(chosen, dtype=np.int64)
+        e_inv = _inverse_map(elim_arr, n_core + 1, S)
         rounds.append(
             _Round(
-                elim=np.asarray(chosen, dtype=np.int64),
+                elim=elim_arr,
                 nbr_node=nbr_node,
                 nbr_slot=nbr_slot,
-                d_src=d_src,
-                d_seg=d_seg,
-                d_tgt=d_tgt,
+                d_fold=d_fold,
+                d_inv=d_inv,
                 u_src_i=u_src_i,
                 u_src_j=u_src_j,
-                u_seg=u_seg,
-                u_tgt=u_tgt,
+                u_fold=u_fold,
+                v_inv=u_tgt,  # placeholder: finalized once n_slots is known
+                e_inv=e_inv,
             )
         )
 
@@ -622,9 +705,13 @@ def plan_core_elimination(
         if dense_pairs
         else np.empty((0, 3), dtype=np.int64)
     )
-    # fix slot padding now that n_slots is final
+    # fix slot padding and build the slot inverse maps now that n_slots is
+    # final (v_inv carried the per-round target-slot list until here)
     rounds = [
-        r._replace(nbr_slot=np.where(r.nbr_slot < 0, n_slots, r.nbr_slot))
+        r._replace(
+            nbr_slot=np.where(r.nbr_slot < 0, n_slots, r.nbr_slot),
+            v_inv=_inverse_map(r.v_inv, n_slots + 1, r.v_inv.size),
+        )
         for r in rounds
     ]
     plan = CoreElimPlan(
@@ -663,39 +750,34 @@ def _core_factor(
     dtype = dc.dtype
     # value slots: matrix off-diagonals (initially −w of the core pairs);
     # one trailing ZERO cell backs padded gathers and is never written.
-    vals = jnp.zeros(plan.n_slots + 1, dtype)
-    if plan.init_slot.size:
-        vals = vals.at[jnp.arange(plan.init_slot.size)].set(
-            -w_pairs[jnp.asarray(plan.init_slot)]
-        )
+    vals = jnp.concatenate(
+        [
+            -w_pairs[jnp.asarray(plan.init_slot)].astype(dtype),
+            jnp.zeros(plan.n_slots + 1 - plan.init_slot.size, dtype),
+        ]
+    )
     d = dc
     rounds: list = []
+    # Every reduction/update below is a gather-fold + inverse-map gather
+    # (see _plan_fold): XLA lowers scatter/segment_sum SERIALIZED on TPU
+    # (measured 20-25 ms per 50k-segment reduction — it made this program
+    # ~2.6 s/solve at 320²); the folds are exact tree sums at bandwidth.
     for rd in plan.rounds:
         e = jnp.asarray(rd.elim)
         a = vals[jnp.asarray(rd.nbr_slot)]  # (S, K); pads read the zero cell
         inv = 1.0 / d[e]
         ainv = a * inv[:, None]
-        if rd.d_src.size:
-            aa = (a * ainv).reshape(-1)[jnp.asarray(rd.d_src)]
-            d = d.at[jnp.asarray(rd.d_tgt)].add(
-                -jax.ops.segment_sum(
-                    aa, jnp.asarray(rd.d_seg), num_segments=rd.d_tgt.size
-                ),
-                indices_are_sorted=True,
-                unique_indices=True,
-            )
+        s = _fold_apply((a * ainv).reshape(-1), rd.d_fold)
+        s_ext = jnp.concatenate([s, jnp.zeros(1, dtype)])
+        d = d - s_ext[jnp.asarray(rd.d_inv)]
         # off-diagonal Schur (fill) updates
         if rd.u_src_i.size:
             contrib = a.reshape(-1)[jnp.asarray(rd.u_src_i)] * ainv.reshape(-1)[
                 jnp.asarray(rd.u_src_j)
             ]
-            vals = vals.at[jnp.asarray(rd.u_tgt)].add(
-                -jax.ops.segment_sum(
-                    contrib, jnp.asarray(rd.u_seg), num_segments=rd.u_tgt.size
-                ),
-                indices_are_sorted=True,
-                unique_indices=True,
-            )
+            su = _fold_apply(contrib, rd.u_fold)
+            su_ext = jnp.concatenate([su, jnp.zeros(1, dtype)])
+            vals = vals - su_ext[jnp.asarray(rd.v_inv)]
         rounds.append((a, inv))
 
     state: dict = {"rounds": tuple(rounds)}
@@ -716,10 +798,15 @@ def _core_factor(
                 fj = jnp.asarray(fr.slot_j)
                 F = F.at[fi, fj].add(sval)
                 F = F.at[fj, fi].add(sval)
-            for cid, lmap in fr.consume:
+            for cid, lminv in fr.consume:
+                # extend-add as a full (m, m) gather from the padded
+                # update matrix (a 2-D scatter of m_c² elements lowers
+                # serialized on TPU); lminv maps F-local -> U-local or
+                # the zero pad row/col.
                 U = pending.pop(cid)
-                lm = jnp.asarray(lmap)
-                F = F.at[lm[:, None], lm[None, :]].add(U)
+                Upad = jnp.pad(U, ((0, 1), (0, 1)))
+                lmi = jnp.asarray(lminv)
+                F = F + Upad[lmi[:, None], lmi[None, :]]
             C = jnp.linalg.cholesky(F[:w, :w])
             piv = jnp.diagonal(C)
             # zero-pivot gate (the MUMPS singularity analog): exact f64
@@ -762,16 +849,10 @@ def _core_apply(
     for rd, (a, inv) in zip(plan.rounds, state["rounds"]):
         e = jnp.asarray(rd.elim)
         rv = r[e]
-        if rd.d_src.size:
-            ainv = a * inv[:, None]
-            rr = (ainv * rv[:, None]).reshape(-1)[jnp.asarray(rd.d_src)]
-            r = r.at[jnp.asarray(rd.d_tgt)].add(
-                -jax.ops.segment_sum(
-                    rr, jnp.asarray(rd.d_seg), num_segments=rd.d_tgt.size
-                ),
-                indices_are_sorted=True,
-                unique_indices=True,
-            )
+        ainv = a * inv[:, None]
+        s = _fold_apply((ainv * rv[:, None]).reshape(-1), rd.d_fold)
+        s_ext = jnp.concatenate([s, jnp.zeros(1, dtype)])
+        r = r - s_ext[jnp.asarray(rd.d_inv)]
         saved.append((e, jnp.asarray(rd.nbr_node), a, inv, rv))
 
     front_rv: list = []
@@ -801,13 +882,13 @@ def _core_apply(
         # finiteness guards fail loudly (matching the dense-tail path)
         lam = jnp.where(state["fronts_ok"], lam, jnp.nan)
 
-    for e, nbr, a, inv, rv in reversed(saved):
+    for rd, (e, nbr, a, inv, rv) in zip(reversed(plan.rounds), reversed(saved)):
         lam_n = lam[nbr]  # (S, K); pads read lam[Bc] == 0
-        lam = lam.at[e].set(
-            (rv - jnp.sum(a * lam_n, axis=1)) * inv,
-            indices_are_sorted=True,
-            unique_indices=True,
-        )
+        new = (rv - jnp.sum(a * lam_n, axis=1)) * inv
+        # scatter-set -> select + gather through the host inverse map
+        new_ext = jnp.concatenate([new, jnp.zeros(1, dtype)])
+        e_inv = jnp.asarray(rd.e_inv)
+        lam = jnp.where(e_inv < e.shape[0], new_ext[e_inv], lam)
     return lam[:Bc]
 
 

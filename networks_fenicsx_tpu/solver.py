@@ -3621,19 +3621,22 @@ def _tree_eliminate_factor(
             w = jnp.zeros(elim.shape[0], dtype=diag.dtype)
         db = d[e]
         factor = w / db
-        # Scatter-add the parent updates.  Siblings duplicate parents, so
-        # pre-aggregate onto the host-computed sorted-unique parent list —
-        # the sorted+unique hints let XLA lower the scatter efficiently.
-        upar, inv = np.unique(parents[parents >= 0], return_inverse=True)
+        # Fold the parent updates with gathers only (host-planned exact
+        # tree sums + inverse-map apply): XLA lowers segment_sum /
+        # scatter-add SERIALIZED on TPU — measured 20-25 ms per reduction
+        # at web scale, which dominated the whole peel.
+        sel_np = np.flatnonzero(parents >= 0)
+        upar, inv = np.unique(parents[sel_np], return_inverse=True)
         if upar.size:
-            sel = jnp.asarray(np.flatnonzero(parents >= 0))
-            inv_d = jnp.asarray(inv)
-            d_contrib = jax.ops.segment_sum(
-                (-w * factor)[sel], inv_d, num_segments=upar.size
+            from .ops.core_elim import _fold_apply, _inverse_map, _plan_fold
+
+            fold = _plan_fold(inv, upar.size, sel_np, int(parents.size))
+            dinv = jnp.asarray(
+                _inverse_map(upar, int(d.shape[0]), upar.size)
             )
-            d = d.at[jnp.asarray(upar)].add(
-                d_contrib, indices_are_sorted=True, unique_indices=True
-            )
+            s = _fold_apply(-w * factor, fold)
+            s_ext = jnp.concatenate([s, jnp.zeros(1, d.dtype)])
+            d = d + s_ext[dinv]
         rounds.append((w, db, factor))
 
     state: dict = {"rounds": tuple(rounds)}
@@ -3680,36 +3683,57 @@ def _tree_eliminate_apply(
         has_par = par >= 0
         par_safe = jnp.where(has_par, par, 0)
         rb = r[e]
-        upar, inv = np.unique(parents[parents >= 0], return_inverse=True)
+        sel_np = np.flatnonzero(parents >= 0)
+        upar, inv = np.unique(parents[sel_np], return_inverse=True)
         if upar.size:
-            sel = jnp.asarray(np.flatnonzero(parents >= 0))
-            r_contrib = jax.ops.segment_sum(
-                (factor * rb)[sel], jnp.asarray(inv), num_segments=upar.size
+            # gather-fold + inverse-map apply (see _tree_eliminate_factor)
+            from .ops.core_elim import _fold_apply, _inverse_map, _plan_fold
+
+            fold = _plan_fold(inv, upar.size, sel_np, int(parents.size))
+            rinv = jnp.asarray(
+                _inverse_map(upar, int(r.shape[0]), upar.size)
             )
-            r = r.at[jnp.asarray(upar)].add(
-                r_contrib, indices_are_sorted=True, unique_indices=True
-            )
+            s = _fold_apply(factor * rb, fold)
+            s_ext = jnp.concatenate([s, jnp.zeros(1, r.dtype)])
+            r = r + s_ext[rinv]
         saved.append((e, par_safe, has_par, w, db, rb))
 
     lam = jnp.zeros_like(rhs)
-    if plan.core_size > 0 and plan.core_plan is not None:
-        from .ops.core_elim import _core_apply
+    if plan.core_size > 0:
+        cn = jnp.asarray(plan.core_nodes)
+        if plan.core_plan is not None:
+            from .ops.core_elim import _core_apply
 
-        cn = jnp.asarray(plan.core_nodes)
-        lam_core = _core_apply(
-            core_plan if core_plan is not None else plan.core_plan,
-            state["core"], r[cn],
+            lam_core = _core_apply(
+                core_plan if core_plan is not None else plan.core_plan,
+                state["core"], r[cn],
+            )
+        else:
+            lam_core = scaled_cholesky_solve(state["core_dense"], r[cn])
+        # scatter-set -> gather through a host inverse map
+        from .ops.core_elim import _inverse_map
+
+        cinv = jnp.asarray(
+            _inverse_map(
+                np.asarray(plan.core_nodes), int(lam.shape[0]),
+                plan.core_nodes.size,
+            )
         )
-        lam = lam.at[cn].set(lam_core)
-    elif plan.core_size > 0:
-        cn = jnp.asarray(plan.core_nodes)
-        lam_core = scaled_cholesky_solve(state["core_dense"], r[cn])
-        lam = lam.at[cn].set(lam_core)
-    for e, par_safe, has_par, w, db, rb in reversed(saved):
+        lam_ext = jnp.concatenate([lam_core, jnp.zeros(1, lam.dtype)])
+        lam = jnp.where(cinv < plan.core_nodes.size, lam_ext[cinv], lam)
+    for (elim, _pa, _pi), (e, par_safe, has_par, w, db, rb) in zip(
+        reversed(plan.rounds), reversed(saved)
+    ):
         lam_par = jnp.where(has_par, lam[par_safe], 0.0)
-        lam = lam.at[e].set(
-            (rb + w * lam_par) / db, indices_are_sorted=True, unique_indices=True
+        new = (rb + w * lam_par) / db
+        # scatter-set -> select + gather through a host inverse map
+        from .ops.core_elim import _inverse_map
+
+        einv = jnp.asarray(
+            _inverse_map(np.asarray(elim), int(lam.shape[0]), elim.shape[0])
         )
+        new_ext = jnp.concatenate([new, jnp.zeros(1, lam.dtype)])
+        lam = jnp.where(einv < elim.shape[0], new_ext[einv], lam)
     return lam
 
 
