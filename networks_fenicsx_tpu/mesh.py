@@ -455,24 +455,42 @@ class NetworkMesh:
 
     @timed("nxfx:NetworkMesh:build_network_submeshes")
     def _build_network_submeshes(self) -> None:
-        """Build per-color index views (reference ``mesh.py:425-460``)."""
+        """Build per-color index views (reference ``mesh.py:425-460``).
+
+        Exploits the edge-major layout instead of sorting cells: a color's
+        cells are the N-blocks of its edges (ascending), and its vertex set
+        is [sorted unique edge endpoints (< V)] ++ [per-edge interior
+        ranges (ascending)] — already globally sorted, so the previous
+        ``np.unique(return_inverse=True)`` over 2·C_sub entries (the
+        dominant submesh-build cost at millions of cells) reduces to an
+        E-sized unique plus one scatter/gather through a reused lookup
+        buffer."""
         self._submesh_views: list[SubmeshView] = []
-        color_sort = np.argsort(self._cell_color, kind="stable")
-        sorted_colors = self._cell_color[color_sort]
-        boundaries = np.searchsorted(sorted_colors, np.arange(self._num_edge_colors + 1))
+        N = self._N
+        V = self._num_graph_nodes
+        n_int = N - 1
+        arN = np.arange(N, dtype=np.int64)
+        lut = np.empty(self._vertices.shape[0], dtype=np.int32)  # scratch
         for c in range(self._num_edge_colors):
-            cell_idx = np.sort(color_sort[boundaries[c] : boundaries[c + 1]]).astype(np.int32)
-            sub_cells_parentv = self._cells[cell_idx]
-            vtx, inv = np.unique(sub_cells_parentv, return_inverse=True)
-            sub_cells = inv.reshape(-1, 2).astype(np.int32)
+            eids = np.flatnonzero(self._edge_color == c)
+            cell_idx = (eids[:, None] * N + arN).ravel().astype(np.int32)
+            ep = np.unique(self._edges[eids].ravel())
+            if n_int > 0:
+                interior = (
+                    V + eids[:, None] * n_int + arN[:n_int]
+                ).ravel()
+                vtx = np.concatenate([ep, interior])
+            else:
+                vtx = ep
+            lut[vtx] = np.arange(vtx.size, dtype=np.int32)
+            sub_cells = lut[self._cells[cell_idx]]
             # Inherit vertex markers onto submesh vertices
             # (reference mesh.py:447-459).
             marks = np.full(vtx.size, -1, dtype=np.int32)
-            graph_vtx = vtx < self._num_graph_nodes
+            graph_vtx = vtx < V
             marks[graph_vtx] = self._vertex_markers[vtx[graph_vtx]]
             tagged = np.flatnonzero(marks >= 0).astype(np.int32)
             fm = MeshTags(indices=tagged, values=marks[tagged])
-            edge_ids = np.unique(self._cell_edge[cell_idx]).astype(np.int32)
             self._submesh_views.append(
                 SubmeshView(
                     color=c,
@@ -480,7 +498,7 @@ class NetworkMesh:
                     vertex_indices=vtx.astype(np.int32),
                     cells=sub_cells,
                     facet_markers=fm,
-                    edge_ids=edge_ids,
+                    edge_ids=eids.astype(np.int32),
                 )
             )
 

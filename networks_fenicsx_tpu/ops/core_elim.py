@@ -169,22 +169,40 @@ def nested_dissection_order(
 
 
 class _Round(typing.NamedTuple):
+    """One elimination round, formulated WITHOUT a materialized slot-value
+    array.
+
+    TPU-indexed access costs ~45 ns/element regardless of direction
+    (scatter OR gather), so any per-round op touching the full
+    (n_slots,)-sized state is ruinous at large cores (measured ~12 ms
+    per full-size gather at 1.6M slots — 36 rounds of them made the 320²
+    program seconds long).  Instead the elimination is LEFT-LOOKING over
+    an update STREAM: each round appends its per-slot Schur sums at a
+    static offset (contiguous ``dynamic_update_slice`` — free), and a
+    slot's single read (every slot is read exactly once, in the round
+    that eliminates one of its endpoints, or by a front / the dense
+    tail) gather-folds its own updates from the stream.  All remaining
+    per-round index work is proportional to the round's read/write sets.
+    """
+
     elim: np.ndarray  # (S,) core-rank node ids, sorted ascending
     nbr_node: np.ndarray  # (S, K) neighbour core-rank ids, pad = Bc
-    nbr_slot: np.ndarray  # (S, K) value-slot ids, pad = n_slots (zero cell)
+    # slot-value reads: a = vals_init_ext[init_idx] - fold(ustream, u_read)
+    init_idx: np.ndarray  # (S, K) index into (P0+1,) init values, pad = P0
+    u_read: tuple  # fold plan: ustream -> (S*K,) prior-update sums
     # diagonal / rhs updates, as a gather-FOLD plan (see _plan_fold): the
     # (S*K) neighbour grid folds into one sum per touched node, applied
-    # back through a full-size inverse gather — no TPU scatters (XLA
-    # lowers scatter/segment_sum serialized there; measured 20-25 ms per
-    # reduction at 50k segments vs ~0.1 ms for the fold).
+    # back through a full-size inverse gather (n_core-sized — cheap
+    # relative to the slot axis).
     d_fold: tuple  # tuple of (n_i, w_i) int arrays; level-1 indexes (S*K)
     d_inv: np.ndarray  # (Bc,) node -> row of the folded sums, pad = U1
     # off-diagonal Schur updates: index PAIRS into the (S*K) grid produce
-    # the (M2,) contribution vector; u_fold folds it per target slot.
+    # the (M2,) contribution vector; u_fold folds it per target slot into
+    # this round's ustream segment (written at offset u_off).
     u_src_i: np.ndarray  # (M2,)
     u_src_j: np.ndarray  # (M2,)
     u_fold: tuple  # fold plan over the (M2,) contribution vector
-    v_inv: np.ndarray  # (n_slots + 1,) slot -> folded row, pad = U2
+    u_off: int  # static offset of this round's (U2,) segment in ustream
     e_inv: np.ndarray  # (Bc + 1,) node -> row in elim, pad = S (backsub)
 
 
@@ -206,6 +224,9 @@ class _Front(typing.NamedTuple):
     slot_i: np.ndarray  # (ns,) local row index in [S | B]
     slot_j: np.ndarray  # (ns,) local col index (slot_i < slot_j)
     consume: tuple  # tuple[(front_id, (m,) INVERSE index map, pad=m_c), ...]
+    # slot-value reads (see _Round): sval = init_ext[f_init] - fold(ustream)
+    f_init: np.ndarray = np.empty(0, np.int64)  # (ns,) into (P0+1,), pad P0
+    f_fold: tuple = ()  # fold plan: ustream -> (ns,) prior-update sums
 
 
 class CoreElimPlan(typing.NamedTuple):
@@ -219,6 +240,10 @@ class CoreElimPlan(typing.NamedTuple):
     dense_pairs: np.ndarray  # (Pd, 3) (di, dj, slot) for the dense tail
     fill_slots: int  # diagnostic: slots added beyond the original pairs
     fronts: tuple = ()  # tuple[_Front] — supernodal tail (excludes dense)
+    mu_all: int = 0  # total update-stream length (Σ per-round U2)
+    # dense-pair slot reads (see _Round): init gather + update fold
+    dp_init: np.ndarray = np.empty(0, np.int64)  # (Pd,) into (P0+1,)
+    dp_fold: tuple = ()  # fold plan: ustream -> (Pd,) prior-update sums
 
     @property
     def stats(self) -> dict:
@@ -255,39 +280,64 @@ class CoreElimPlan(typing.NamedTuple):
 # ingestion, and (c) duplicates the arrays into every executable (fused,
 # factor, apply) that embeds them.  ``_Round`` needs no registration —
 # it is a NamedTuple of arrays and flattens structurally.
+def _round_flatten(r: "_Round"):
+    children = (
+        r.elim, r.nbr_node, r.init_idx, r.u_read, r.d_fold, r.d_inv,
+        r.u_src_i, r.u_src_j, r.u_fold, r.e_inv,
+    )
+    return children, (r.u_off,)
+
+
+def _round_unflatten(aux, children) -> "_Round":
+    (elim, nbr_node, init_idx, u_read, d_fold, d_inv,
+     u_src_i, u_src_j, u_fold, e_inv) = children
+    return _Round(
+        elim=elim, nbr_node=nbr_node, init_idx=init_idx, u_read=u_read,
+        d_fold=d_fold, d_inv=d_inv, u_src_i=u_src_i, u_src_j=u_src_j,
+        u_fold=u_fold, u_off=aux[0], e_inv=e_inv,
+    )
+
+
 def _front_flatten(f: "_Front"):
     children = (
         f.nodes, f.bnd, f.slot_val, f.slot_i, f.slot_j,
-        tuple(lmap for _, lmap in f.consume),
+        tuple(lmap for _, lmap in f.consume), f.f_init, f.f_fold,
     )
     aux = tuple(int(cid) for cid, _ in f.consume)
     return children, aux
 
 
 def _front_unflatten(aux, children) -> "_Front":
-    nodes, bnd, slot_val, slot_i, slot_j, cons_maps = children
+    nodes, bnd, slot_val, slot_i, slot_j, cons_maps, f_init, f_fold = children
     return _Front(
         nodes=nodes, bnd=bnd, slot_val=slot_val, slot_i=slot_i,
         slot_j=slot_j, consume=tuple(zip(aux, cons_maps)),
+        f_init=f_init, f_fold=f_fold,
     )
 
 
 def _plan_flatten(p: "CoreElimPlan"):
-    children = (p.init_slot, p.rounds, p.dense_nodes, p.dense_pairs, p.fronts)
-    aux = (p.n_core, p.n_slots, p.fill_slots)
+    children = (
+        p.init_slot, p.rounds, p.dense_nodes, p.dense_pairs, p.fronts,
+        p.dp_init, p.dp_fold,
+    )
+    aux = (p.n_core, p.n_slots, p.fill_slots, p.mu_all)
     return children, aux
 
 
 def _plan_unflatten(aux, children) -> "CoreElimPlan":
-    init_slot, rounds, dense_nodes, dense_pairs, fronts = children
-    n_core, n_slots, fill_slots = aux
+    (init_slot, rounds, dense_nodes, dense_pairs, fronts,
+     dp_init, dp_fold) = children
+    n_core, n_slots, fill_slots, mu_all = aux
     return CoreElimPlan(
         n_core=n_core, n_slots=n_slots, init_slot=init_slot, rounds=rounds,
         dense_nodes=dense_nodes, dense_pairs=dense_pairs,
-        fill_slots=fill_slots, fronts=fronts,
+        fill_slots=fill_slots, fronts=fronts, mu_all=mu_all,
+        dp_init=dp_init, dp_fold=dp_fold,
     )
 
 
+jax.tree_util.register_pytree_node(_Round, _round_flatten, _round_unflatten)
 jax.tree_util.register_pytree_node(_Front, _front_flatten, _front_unflatten)
 jax.tree_util.register_pytree_node(CoreElimPlan, _plan_flatten, _plan_unflatten)
 
@@ -341,6 +391,22 @@ def _plan_fold(
 def _fold_apply(vec: jnp.ndarray, levels: tuple) -> jnp.ndarray:
     """Apply a :func:`_plan_fold` plan: (src_len,) vector → (U,) sums."""
     for lv in levels:
+        vec = jnp.concatenate([vec, jnp.zeros(1, vec.dtype)])
+        vec = vec[jnp.asarray(lv)].sum(axis=1)
+    return vec
+
+
+def _fold_apply_pre(vec_ext: jnp.ndarray, levels: tuple) -> jnp.ndarray:
+    """:func:`_fold_apply` for a vector that ALREADY carries its trailing
+    zero cell (``vec_ext[src_len] == 0``).
+
+    The update stream is read by every round, so appending the pad cell
+    per read would copy the whole (mu_all,)-sized buffer each time;
+    preallocating it once makes the level-0 read a pure gather.
+    Intermediate levels operate on small chunk vectors and keep the
+    append."""
+    vec = vec_ext[jnp.asarray(levels[0])].sum(axis=1)
+    for lv in levels[1:]:
         vec = jnp.concatenate([vec, jnp.zeros(1, vec.dtype)])
         vec = vec[jnp.asarray(lv)].sum(axis=1)
     return vec
@@ -525,7 +591,7 @@ def plan_core_elimination(
     n_slots = P0
     alive = np.ones(n_core, dtype=bool)
     n_alive = n_core
-    rounds: list[_Round] = []
+    rounds: list[dict] = []  # _Round fields; assembled post-loop (stream)
     rank = None
     low_cnt = None
     pool: set = set()
@@ -662,8 +728,10 @@ def plan_core_elimination(
             u_fold = ()
         elim_arr = np.asarray(chosen, dtype=np.int64)
         e_inv = _inverse_map(elim_arr, n_core + 1, S)
+        # _Round assembled post-loop (the update-stream read folds need
+        # the global update records and final slot pads)
         rounds.append(
-            _Round(
+            dict(
                 elim=elim_arr,
                 nbr_node=nbr_node,
                 nbr_slot=nbr_slot,
@@ -672,7 +740,7 @@ def plan_core_elimination(
                 u_src_i=u_src_i,
                 u_src_j=u_src_j,
                 u_fold=u_fold,
-                v_inv=u_tgt,  # placeholder: finalized once n_slots is known
+                u_tgt=u_tgt,
                 e_inv=e_inv,
             )
         )
@@ -705,37 +773,104 @@ def plan_core_elimination(
         if dense_pairs
         else np.empty((0, 3), dtype=np.int64)
     )
-    # fix slot padding and build the slot inverse maps now that n_slots is
-    # final (v_inv carried the per-round target-slot list until here)
-    rounds = [
-        r._replace(
-            nbr_slot=np.where(r.nbr_slot < 0, n_slots, r.nbr_slot),
-            v_inv=_inverse_map(r.v_inv, n_slots + 1, r.v_inv.size),
+
+    # ---- update-stream assembly (see the _Round docstring) ----
+    # Pass 1: static per-round stream offsets and the global write record
+    # (stream position -> target slot).  Round r's unique target slots
+    # u_tgt occupy stream positions [u_off_r, u_off_r + |u_tgt|).
+    u_offs: list[int] = []
+    mu_all = 0
+    for rdd in rounds:
+        u_offs.append(mu_all)
+        mu_all += int(rdd["u_tgt"].size)
+    w_slot = (
+        np.concatenate([np.asarray(rdd["u_tgt"], dtype=np.int64) for rdd in rounds])
+        if rounds
+        else np.empty(0, np.int64)
+    )
+    o = np.argsort(w_slot, kind="stable")
+    ws = w_slot[o]  # write slots, sorted
+    ps = np.arange(mu_all, dtype=np.int64)[o]  # positions, ascending per slot
+
+    def _read_fold(slots_flat: np.ndarray, cutoff: int, n_reads: int) -> tuple:
+        """Fold plan summing each read's prior stream writes (< cutoff).
+
+        ``slots_flat[i]`` is read i's slot id (< 0 = pad, no reads).
+        Every stream position is read exactly once across the whole plan
+        (each slot is consumed by exactly one round / front / dense pair),
+        so the total fold work equals the stream length."""
+        valid = np.flatnonzero(slots_flat >= 0)
+        fs = slots_flat[valid]
+        lo = np.searchsorted(ws, fs)
+        hi = np.searchsorted(ws, fs, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return ()
+        rep = np.repeat(np.arange(fs.size), counts)
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        srcp = ps[lo[rep] + within]
+        m = srcp < cutoff
+        if not m.any():
+            return ()
+        return _plan_fold(valid[rep[m]], n_reads, srcp[m], mu_all)
+
+    final_rounds: list[_Round] = []
+    for rdd, u_off in zip(rounds, u_offs):
+        nbr_slot = rdd.pop("nbr_slot")
+        rdd.pop("u_tgt")
+        S, K = nbr_slot.shape
+        flat = nbr_slot.reshape(-1)
+        init_idx = np.where((flat >= 0) & (flat < P0), flat, P0).reshape(S, K)
+        final_rounds.append(
+            _Round(
+                init_idx=init_idx,
+                u_read=_read_fold(flat, u_off, S * K),
+                u_off=u_off,
+                **rdd,
+            )
         )
-        for r in rounds
-    ]
+    if fronts:
+        fronts = tuple(
+            fr._replace(
+                f_init=np.where(fr.slot_val < P0, fr.slot_val, P0),
+                f_fold=_read_fold(fr.slot_val, mu_all, int(fr.slot_val.size)),
+            )
+            for fr in fronts
+        )
+    dp_init = np.where(dp[:, 2] < P0, dp[:, 2], P0)
+    dp_fold = _read_fold(dp[:, 2], mu_all, int(dp.shape[0]))
+
     plan = CoreElimPlan(
         n_core=n_core,
         n_slots=n_slots,
         init_slot=np.asarray(core_pairs[:, 2], dtype=np.int64),
-        rounds=tuple(rounds),
+        rounds=tuple(final_rounds),
         dense_nodes=dense_nodes,
         dense_pairs=dp,
         fill_slots=n_slots - P0,
         fronts=fronts,
+        mu_all=mu_all,
+        dp_init=dp_init,
+        dp_fold=dp_fold,
     )
-    # Index compaction: every value (node ids ≤ n_core, slot ids ≤ n_slots,
-    # flat grid offsets) fits int32 at any plannable size; the plan rides
-    # to the device as runtime buffers (see the pytree registration), so
-    # this halves both the transfer and its resident HBM.
-    if max(n_core, n_slots + 1) < np.iinfo(np.int32).max:
-        plan = jax.tree_util.tree_map(
-            lambda a: a.astype(np.int32)
-            if isinstance(a, np.ndarray) and a.dtype == np.int64
-            else a,
-            plan,
-        )
-    return plan
+    # Index compaction: the plan rides to the device as runtime buffers
+    # (see the pytree registration), so narrowing int64 indices to int32
+    # where the values fit halves both the transfer and its resident HBM.
+    # Per-array check: different arrays index different spaces (nodes,
+    # init values, stream positions, fold chunks) with different bounds.
+    i32max = np.iinfo(np.int32).max
+
+    def _compact(a):
+        if (
+            isinstance(a, np.ndarray)
+            and a.dtype == np.int64
+            and (a.size == 0 or int(a.max()) < i32max)
+        ):
+            return a.astype(np.int32)
+        return a
+
+    return jax.tree_util.tree_map(_compact, plan)
 
 
 def _core_factor(
@@ -748,36 +883,40 @@ def _core_factor(
     pytree consumed by :func:`_core_apply` per right-hand side.
     """
     dtype = dc.dtype
-    # value slots: matrix off-diagonals (initially −w of the core pairs);
-    # one trailing ZERO cell backs padded gathers and is never written.
-    vals = jnp.concatenate(
-        [
-            -w_pairs[jnp.asarray(plan.init_slot)].astype(dtype),
-            jnp.zeros(plan.n_slots + 1 - plan.init_slot.size, dtype),
-        ]
+    # Initial off-diagonal values (−w of the core pairs) + one trailing
+    # ZERO cell backing fill-slot and pad reads.
+    init_ext = jnp.concatenate(
+        [-w_pairs[jnp.asarray(plan.init_slot)].astype(dtype), jnp.zeros(1, dtype)]
     )
+    # Update stream (see the _Round docstring): per-round Schur sums live
+    # at static offsets; +1 trailing zero cell backs fold pads so reads
+    # never re-append (which would copy the whole buffer each round).
+    ustream = jnp.zeros(plan.mu_all + 1, dtype)
     d = dc
     rounds: list = []
     # Every reduction/update below is a gather-fold + inverse-map gather
     # (see _plan_fold): XLA lowers scatter/segment_sum SERIALIZED on TPU
     # (measured 20-25 ms per 50k-segment reduction — it made this program
     # ~2.6 s/solve at 320²); the folds are exact tree sums at bandwidth.
+    # Slot values are never materialized as an (n_slots,) array: each
+    # per-round op is proportional to that round's read/write sets.
     for rd in plan.rounds:
         e = jnp.asarray(rd.elim)
-        a = vals[jnp.asarray(rd.nbr_slot)]  # (S, K); pads read the zero cell
+        a = init_ext[jnp.asarray(rd.init_idx)]  # (S, K); pads read zero
+        if rd.u_read:
+            a = a - _fold_apply_pre(ustream, rd.u_read).reshape(a.shape)
         inv = 1.0 / d[e]
         ainv = a * inv[:, None]
         s = _fold_apply((a * ainv).reshape(-1), rd.d_fold)
         s_ext = jnp.concatenate([s, jnp.zeros(1, dtype)])
         d = d - s_ext[jnp.asarray(rd.d_inv)]
-        # off-diagonal Schur (fill) updates
+        # off-diagonal Schur (fill) updates -> this round's stream segment
         if rd.u_src_i.size:
             contrib = a.reshape(-1)[jnp.asarray(rd.u_src_i)] * ainv.reshape(-1)[
                 jnp.asarray(rd.u_src_j)
             ]
             su = _fold_apply(contrib, rd.u_fold)
-            su_ext = jnp.concatenate([su, jnp.zeros(1, dtype)])
-            vals = vals - su_ext[jnp.asarray(rd.v_inv)]
+            ustream = jax.lax.dynamic_update_slice(ustream, su, (rd.u_off,))
         rounds.append((a, inv))
 
     state: dict = {"rounds": tuple(rounds)}
@@ -793,7 +932,9 @@ def _core_factor(
             F = jnp.zeros((w + b, w + b), dtype)
             F = F.at[jnp.arange(w), jnp.arange(w)].add(d[jnp.asarray(fr.nodes)])
             if fr.slot_val.size:
-                sval = vals[jnp.asarray(fr.slot_val)]
+                sval = init_ext[jnp.asarray(fr.f_init)]
+                if fr.f_fold:
+                    sval = sval - _fold_apply_pre(ustream, fr.f_fold)
                 fi = jnp.asarray(fr.slot_i)
                 fj = jnp.asarray(fr.slot_j)
                 F = F.at[fi, fj].add(sval)
@@ -830,7 +971,9 @@ def _core_factor(
         if plan.dense_pairs.shape[0]:
             di = jnp.asarray(plan.dense_pairs[:, 0])
             dj = jnp.asarray(plan.dense_pairs[:, 1])
-            ov = vals[jnp.asarray(plan.dense_pairs[:, 2])]
+            ov = init_ext[jnp.asarray(plan.dp_init)]
+            if plan.dp_fold:
+                ov = ov - _fold_apply_pre(ustream, plan.dp_fold)
             Lc = Lc.at[di, dj].add(ov)
             Lc = Lc.at[dj, di].add(ov)
         # mixed-precision Cholesky + refinement (the shared dense-tail kernel)
