@@ -10,8 +10,16 @@ reference's direct solver: SciPy SuperLU factorise+solve of the identical
 assembled sparse system on the host CPU (the same role MUMPS plays for the
 reference, reference ``solver.py:58-65``).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": dofs_per_sec, "unit": "dofs/s", "vs_baseline": speedup}
+Output contract (the driver records only the last ~2,000 chars of stdout,
+which front-truncated round 4's single ever-growing line — BENCH_r04.json
+-> ``parsed: null``):
+
+  * the FULL record is written to ``BENCH_DETAIL.json`` (committed per
+    round) and also printed as an earlier ``BENCH_DETAIL {...}`` line;
+  * the FINAL stdout line is a compact, size-checked headline JSON
+    (< 1,800 chars) with the usual
+    ``{"metric": ..., "value": dofs_per_sec, "unit": "dofs/s",
+    "vs_baseline": speedup}`` keys plus one-number per-stage summaries.
 """
 
 from __future__ import annotations
@@ -50,6 +58,89 @@ def _emit_failure(cause: str) -> None:
         ),
         flush=True,
     )
+
+
+def _compact_headline(result: dict) -> dict:
+    """Build the final-stdout-line record, guaranteed < ~1,800 chars.
+
+    One-number per-stage summaries only; the full detail block lives in
+    ``BENCH_DETAIL.json``.  Size-checked with two fallback levels so the
+    final line can never outgrow the driver's 2,000-char tail window
+    again.
+    """
+    d = result.get("detail", {})
+
+    def stage(name: str, *keys: str) -> dict | None:
+        s = d.get(name)
+        if not isinstance(s, dict):
+            return None
+        out = {k: s[k] for k in keys if s.get(k) is not None}
+        if s.get("error"):
+            out["error"] = str(s["error"])[:80]
+        return out or None
+
+    tv = d.get("tpu_validate") or {}
+    head = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "headline": {
+            "generations": d.get("generations"),
+            "num_dofs": d.get("num_dofs"),
+            "assemble_solve_ms": d.get("assemble_solve_ms"),
+            "pipelined_ms": d.get("pipelined_deep_ms_per_solve"),
+            "f32_ms": d.get("pipelined_f32_ms_per_solve"),
+            "mixed_ms": d.get("pipelined_mixed_out_f32_ms_per_solve"),
+            "factor_reuse_ms": d.get("pipelined_factor_reuse_ms_per_solve"),
+            "superlu_ms": d.get("baseline_superlu_ms_median"),
+            "max_rel_err_vs_direct": d.get("max_rel_err_vs_direct"),
+            "roofline_hbm_frac": d.get("roofline_hbm_peak_frac"),
+            "tpu_validate": (
+                f"{tv.get('checks_passed')}/{tv.get('checks_total')}"
+                if tv else None
+            ),
+            "backend": d.get("backend"),
+        },
+        "stages": {
+            "xl": stage("xl", "num_dofs", "assemble_solve_ms",
+                        "pipelined_ms_per_solve"),
+            "lattice": stage("lattice", "grid", "pipelined_ms_per_solve"),
+            "unstructured": stage(
+                "unstructured", "vs_superlu", "pipelined_ms_per_solve",
+                "factor_reuse_ms_per_solve", "steady_state_ms_per_solve",
+            ),
+            "bed": stage("bed", "vs_superlu", "pipelined_ms_per_solve"),
+            "supernodal": stage(
+                "supernodal", "vs_superlu", "pipelined_ms_per_solve",
+                "factor_reuse_ms_per_solve", "warm_compile_s",
+            ),
+        },
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if "degraded" in result:
+        head["degraded"] = str(result["degraded"])[:200]
+    if "error" in result:
+        head["error"] = str(result["error"])[:200]
+    if len(json.dumps(head)) > 1800:
+        head.pop("stages", None)
+    if len(json.dumps(head)) > 1800:
+        head = {k: result.get(k) for k in ("metric", "value", "unit", "vs_baseline")}
+        head["detail_file"] = "BENCH_DETAIL.json"
+    return head
+
+
+def _emit_record(result: dict) -> None:
+    """Write the full record to ``BENCH_DETAIL.json`` + an earlier stdout
+    line, then print the compact headline as the FINAL stdout line."""
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(result, indent=1) + "\n")
+        log(f"full record written to {detail_path}")
+    except OSError as e:  # pragma: no cover - read-only checkout
+        log(f"could not write BENCH_DETAIL.json: {e!r}")
+    print("BENCH_DETAIL " + json.dumps(result), flush=True)
+    print(json.dumps(_compact_headline(result)), flush=True)
 
 
 def _read_validate_artifact() -> dict | None:
@@ -800,14 +891,27 @@ def main(degraded: str | None = None) -> None:
             elif (supernodal.get("core_plan")
                     and not supernodal["core_plan"].get("fronts")):
                 supernodal["note"] = "fronts did not engage at this size"
-        except _subp.TimeoutExpired:
-            supernodal = {
-                "error": (
-                    f"supernodal probe exceeded {sn_budget:.0f}s hard "
-                    "timeout (cold XLA cache compile?)"
-                ),
-            }
-            log(supernodal["error"])
+        except _subp.TimeoutExpired as te:
+            # The child emits progressive PROBE_JSON lines precisely so a
+            # mid-measurement kill keeps what already completed — parse the
+            # last one from the partial stdout attached to the exception
+            # and annotate it with the timeout, rather than discarding it.
+            partial = None
+            out_te = te.stdout or b""
+            if isinstance(out_te, bytes):
+                out_te = out_te.decode(errors="replace")
+            for line in out_te.splitlines():
+                if line.startswith("PROBE_JSON "):
+                    try:
+                        partial = json.loads(line[len("PROBE_JSON "):])
+                    except json.JSONDecodeError:
+                        pass
+            msg = (f"supernodal probe exceeded {sn_budget:.0f}s hard "
+                   "timeout (cold XLA cache compile?)")
+            supernodal = dict(partial) if isinstance(partial, dict) else {}
+            supernodal["error"] = msg
+            log(msg + (" — kept last partial PROBE_JSON record"
+                       if partial else ""))
         except Exception as e:  # pragma: no cover - defensive
             log(f"supernodal stage skipped: {e!r}")
             supernodal = None
@@ -938,7 +1042,7 @@ def main(degraded: str | None = None) -> None:
         # CPU-fallback record: same pipeline, same-host SuperLU baseline —
         # honest numbers, clearly not the TPU headline.
         result["degraded"] = degraded
-    print(json.dumps(result), flush=True)
+    _emit_record(result)
 
 
 if __name__ == "__main__":
