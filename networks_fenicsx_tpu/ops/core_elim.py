@@ -881,7 +881,15 @@ def _core_factor(
     Depends on the core diagonal ``dc`` and per-pair conductances only —
     the reusable factorization (MUMPS-factor analog).  Returns a device
     pytree consumed by :func:`_core_apply` per right-hand side.
+
+    Dispatches to the tree-multifrontal engine when the attached plan is
+    an :class:`~..ops.multifrontal.MFPlan` (the batched-front path for
+    large cores; see that module's docs).
     """
+    from .multifrontal import MFPlan, _mf_factor
+
+    if isinstance(plan, MFPlan):
+        return _mf_factor(plan, dc, w_pairs)
     dtype = dc.dtype
     # Initial off-diagonal values (−w of the core pairs) + one trailing
     # ZERO cell backing fill-slot and pad reads.
@@ -985,6 +993,10 @@ def _core_apply(
     plan: CoreElimPlan, state: dict, rc: jnp.ndarray
 ) -> jnp.ndarray:
     """Per-rhs half: forward rhs sweeps, dense-tail solve, back-substitution."""
+    from .multifrontal import MFPlan, _mf_apply
+
+    if isinstance(plan, MFPlan):
+        return _mf_apply(plan, state, rc)
     dtype = rc.dtype
     Bc = plan.n_core
     r = rc

@@ -50,6 +50,7 @@ a boundary.  Pressure back-substitutes as  p_i = r_0 − cumsum(m)_i.
 from __future__ import annotations
 
 import functools
+import os
 import typing
 
 import numpy as np
@@ -1751,7 +1752,18 @@ def attach_core_plan(
     from .ops.core_elim import plan_core_elimination
 
     cp = None
-    if tree_plan.core_size <= 65_536:
+    # Tree-multifrontal first for large cores (ops/multifrontal.py): the
+    # batched-front engine replaces both the min-degree rounds (gather
+    # bound at scale) and the chain-front supernodal tail for any core
+    # with usable separators; refusal falls through to the rounds-based
+    # planners below.  NXFX_NO_MF=1 disables (debug escape hatch).
+    if tree_plan.core_size > 2048 and os.environ.get("NXFX_NO_MF") != "1":
+        from .ops.multifrontal import plan_multifrontal
+
+        cp = plan_multifrontal(
+            np.asarray(tree_plan.core_pairs), tree_plan.core_size
+        )
+    if cp is None and tree_plan.core_size <= 65_536:
         cp = plan_core_elimination(
             tree_plan.core_pairs,
             tree_plan.core_size,
