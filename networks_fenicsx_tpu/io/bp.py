@@ -23,7 +23,20 @@ egress); like the DOLFINx golden generator, everything here degrades to
 a clear :class:`RuntimeError` when the module is missing and
 auto-activates where it exists (e.g. the reference's dolfinx container).
 ``tests/test_post_processing.py`` round-trips the dataset through
-``adios2`` when available and skips otherwise.
+``adios2`` when available and skips otherwise;
+``tests/test_bp_mocked.py`` executes the full writer logic (variable
+declarations, shapes, step structure, ``vtk.xml``) against a recording
+fake ``adios2`` so the code path is exercised in every environment.
+
+Known, intentional deltas from DOLFINx's ``VTXWriter`` output: DOLFINx
+additionally writes ``NumberOfConnectivityIds``, ``vtkOriginalPointIds``
+and ``vtkGhostType`` variables (parallel-read metadata its VTX reader
+path tolerates being absent for serial datasets); this writer omits
+them.  Field data is always written as float64 point/cell scalars (the
+only shapes :mod:`networks_fenicsx_tpu.post_processing` produces).
+Validation against ParaView's VTX reader requires an adios2+ParaView
+environment and has not been performed in this image — the round-trip
+test pins the variable layout, not reader acceptance.
 """
 
 from __future__ import annotations
