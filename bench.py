@@ -665,13 +665,15 @@ def main(degraded: str | None = None) -> None:
     def _scale_stage(label, mesh_s, asm_s, recompute, extras,
                      include_factor_reuse=False):
         from networks_fenicsx_tpu.solver import (
+            _cached_tree_plan,
             _flatten_blocks_host,
-            _plan_tree_elimination,
-            attach_core_plan,
         )
 
         t_build = time.perf_counter()
-        plan_s = attach_core_plan(_plan_tree_elimination(asm_s))
+        # memoized on the assembler: build_schur_executor and the
+        # factor-reuse TreeFactorization below reuse this same plan
+        # (symbolic phase + device payload paid once)
+        plan_s = _cached_tree_plan(asm_s, attach=True)
         stats_s = plan_s.core_plan.stats if plan_s.core_plan else None
         ex_s = build_schur_executor(
             asm_s, opts, outputs="blocks", internal_layout=True
@@ -770,6 +772,14 @@ def main(degraded: str | None = None) -> None:
             except Exception as e:  # pragma: no cover - defensive
                 log(f"{label} factor-reuse skipped: {e!r}")
                 record["factor_reuse_ms_per_solve"] = None
+            # the honest steady-state serving number: a production server
+            # holds the factor and re-solves per rhs (the MUMPS serving
+            # contract); the fused number re-runs the conductance-side
+            # factor every dispatch
+            record["steady_state_ms_per_solve"] = (
+                record["factor_reuse_ms_per_solve"]
+                or record["pipelined_ms_per_solve"]
+            )
         log(f"{label} assemble+solve: best {t_sync * 1e3:.2f} ms, pipelined "
             f"x{depth_s} {best_s * 1e3:.2f} ms/solve; SuperLU "
             f"{t_lu_s * 1e3:.1f} ms ({t_lu_s / t_sync:.1f}x); err {err_s:.1e}")

@@ -278,8 +278,11 @@ class CoreElimPlan(typing.NamedTuple):
 # lattice plan carries ~450 MB of int64 indices, which (a) bloats the
 # serialized HLO past what compile services accept, (b) slows XLA
 # ingestion, and (c) duplicates the arrays into every executable (fused,
-# factor, apply) that embeds them.  ``_Round`` needs no registration —
-# it is a NamedTuple of arrays and flattens structurally.
+# factor, apply) that embeds them.  ``_Round`` gets an EXPLICIT
+# registration (below) rather than relying on NamedTuple structural
+# flattening: ``u_off`` must stay static aux data — it feeds
+# ``dynamic_update_slice`` offsets, which need trace-time constants —
+# while every other field is a traced array child.
 def _round_flatten(r: "_Round"):
     children = (
         r.elim, r.nbr_node, r.init_idx, r.u_read, r.d_fold, r.d_inv,
@@ -670,7 +673,7 @@ def plan_core_elimination(
         K = max(K, 1)
         S = len(chosen)
         nbr_node = np.full((S, K), n_core, dtype=np.int64)
-        nbr_slot = np.full((S, K), -1, dtype=np.int64)  # fixed to n_slots later
+        nbr_slot = np.full((S, K), -1, dtype=np.int64)  # -1 pads consumed by init_idx/_read_fold
         d_entries: list[tuple[int, int]] = []  # (flat_src, tgt_node)
         u_entries: list[tuple[int, int, int]] = []  # (src_i, src_j, tgt_slot)
         for s, v in enumerate(chosen):

@@ -472,7 +472,9 @@ class ShardedNetworkSolver:
             forced = self._schur_method == "tree_dist"
             want = forced or (B > _DIST_LAMBDA_THRESHOLD and D > 1)
             if want and B > 0:
-                tree_plan = _plan_tree_elimination(asm)
+                from ..solver import _cached_tree_plan
+
+                tree_plan = _cached_tree_plan(asm)
                 from .distributed_tree import plan_distributed_tree
 
                 self._dist_plan = plan_distributed_tree(asm, tree_plan, D)
@@ -493,14 +495,15 @@ class ShardedNetworkSolver:
             tree_plan = None
             level_plan = None
             if self._schur_method in ("auto", "tree") and net.num_multipliers > 0:
-                tree_plan = _plan_tree_elimination(asm)
+                from ..solver import _cached_tree_plan
+
+                tree_plan = _cached_tree_plan(asm)
                 if tree_plan is not None and tree_plan.core_size > 512:
                     # large unstructured cycle core: sparse elimination
                     # (replicated after the one w_pairs psum) instead of
-                    # the O(core³) dense factor
-                    from ..solver import attach_core_plan
-
-                    tree_plan = attach_core_plan(tree_plan)
+                    # the O(core³) dense factor; plan shared with any
+                    # serial executor over the same assembler
+                    tree_plan = _cached_tree_plan(asm, attach=True)
                 level_plan = _plan_level_elimination(asm, tree_plan)
             self._tree_plan = tree_plan
             self._pipeline = _sharded_schur_pipeline(

@@ -49,6 +49,7 @@ a boundary.  Pressure back-substitutes as  p_i = r_0 − cumsum(m)_i.
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 import typing
@@ -3366,6 +3367,62 @@ def build_grid_factorization(
     return GridFactorization(asm, opts)
 
 
+# Memoized jax.device_put of core-elimination plans: an executor and a
+# TreeFactorization built from the same assembler (the bench's
+# factor-reuse stage holds both) must SHARE the device-resident index
+# payload — at supernodal scale it is hundreds of MB of HBM, and each
+# build_schur_executor/TreeFactorization call used to transfer its own
+# copy.  Plans are NamedTuples (no weakrefs, no attribute slots), so the
+# cache is keyed by id() and holds a strong reference to the host plan,
+# which keeps the id valid for the entry's lifetime; a small FIFO bound
+# caps host/HBM retention.
+_CPLAN_DEV_CACHE: "collections.OrderedDict[int, tuple]" = (
+    collections.OrderedDict()
+)
+
+
+def _cached_tree_plan(asm, force_rounds: bool = False, attach: bool = False):
+    """Memoized :func:`_plan_tree_elimination` / :func:`attach_core_plan`.
+
+    The structural elimination plan depends only on the network topology,
+    which is fixed at assembler construction — so the fused executor, a
+    :class:`TreeFactorization`, the sharded solver and the bench harness
+    built over the SAME assembler share one plan object.  That makes the
+    host symbolic phase (tens of seconds at 320² supernodal scale) a
+    once-per-assembler cost, and lets :func:`_device_core_plan` share the
+    multi-hundred-MB device payload across executables.  The attached
+    core plan is additionally shared across the ``force_rounds`` variants
+    (it is a function of ``core_pairs`` only, identical in both)."""
+    cache = asm.__dict__.setdefault("_nxfx_plan_cache", {})
+    key = ("plan", force_rounds)
+    if key not in cache:
+        cache[key] = _plan_tree_elimination(asm, force_rounds=force_rounds)
+    plan = cache[key]
+    if not attach or plan is None or plan.core_size == 0:
+        return plan
+    akey = ("attached", force_rounds)
+    if akey not in cache:
+        other = cache.get(("attached", not force_rounds))
+        if other is not None and other.core_plan is not None:
+            cache[akey] = plan._replace(core_plan=other.core_plan)
+        else:
+            cache[akey] = attach_core_plan(plan)
+    return cache[akey]
+
+
+def _device_core_plan(core_plan):
+    key = id(core_plan)
+    hit = _CPLAN_DEV_CACHE.get(key)
+    if hit is not None and hit[0] is core_plan:
+        _CPLAN_DEV_CACHE.move_to_end(key)
+        return hit[1]
+    dev = jax.device_put(core_plan)
+    _CPLAN_DEV_CACHE[key] = (core_plan, dev)
+    while len(_CPLAN_DEV_CACHE) > 4:
+        _CPLAN_DEV_CACHE.popitem(last=False)
+    return dev
+
+
 class TreeFactorization:
     """Factor-reuse serving pair for ANY topology (peel-then-core path).
 
@@ -3401,7 +3458,7 @@ class TreeFactorization:
         # build_schur_executor.
         plan = _tree_plan
         if plan is None:
-            plan = _plan_tree_elimination(asm, force_rounds=True)
+            plan = _cached_tree_plan(asm, force_rounds=True)
         if plan is None:
             raise ValueError("TreeFactorization requires multipliers (B > 0)")
         if plan.core_size == 0 and len(plan.rounds) == 0:
@@ -3411,7 +3468,11 @@ class TreeFactorization:
                 "graph with multipliers — this is a bug, please report"
             )
         if plan.core_size > 512:
-            plan = attach_core_plan(plan)
+            plan = (
+                _cached_tree_plan(asm, force_rounds=True, attach=True)
+                if _tree_plan is None
+                else attach_core_plan(plan)
+            )
         if plan.core_size > 4096 and plan.core_plan is None:
             raise ValueError(
                 "cycle core too large for the tree factorization (the "
@@ -3491,9 +3552,11 @@ class TreeFactorization:
         # The core plan rides along as a runtime argument (device
         # buffers shared by the factor/solve/batch programs) rather than
         # HLO literal constants — see the pytree registration in
-        # ops/core_elim.py.
+        # ops/core_elim.py.  Memoized: a fused executor built from the
+        # same assembler reuses these buffers instead of doubling the
+        # multi-hundred-MB payload in HBM.
         self._cplan_dev = (
-            jax.device_put(plan.core_plan)
+            _device_core_plan(plan.core_plan)
             if plan.core_plan is not None
             else None
         )
@@ -3860,7 +3923,7 @@ def build_schur_executor(
         # _tree_plan: test/tooling override (e.g. a core plan attached
         # with a non-default dense_cutoff to force the sparse rounds)
         tree_plan = (
-            _tree_plan if _tree_plan is not None else _plan_tree_elimination(asm)
+            _tree_plan if _tree_plan is not None else _cached_tree_plan(asm)
         )
     if schur_method == "auto":
         # Peel-then-core elimination is exact for any graph; small cycle
@@ -3873,7 +3936,11 @@ def build_schur_executor(
         else:
             is_lattice = R_mode == "scalar" and lattice_solve_applicable(asm)
             if not is_lattice and tree_plan is not None:
-                tree_plan = attach_core_plan(tree_plan)
+                tree_plan = (
+                    _cached_tree_plan(asm, attach=True)
+                    if _tree_plan is None
+                    else attach_core_plan(tree_plan)
+                )
             if tree_plan is not None and (
                 tree_plan.core_plan is not None or tree_plan.core_size <= 4096
             ):
@@ -3884,7 +3951,11 @@ def build_schur_executor(
         # Explicitly requested tree path: apply the same core envelope as
         # "auto" — a large cycle core otherwise materialises an
         # O(core²)-memory dense factor (e.g. ~80 GB at a 100k-node core).
-        tree_plan = attach_core_plan(tree_plan)
+        tree_plan = (
+            _cached_tree_plan(asm, attach=True)
+            if _tree_plan is None
+            else attach_core_plan(tree_plan)
+        )
         if tree_plan.core_plan is None and tree_plan.core_size > 4096:
             raise ValueError(
                 f"schur_method='tree' on a graph whose cycle core has "
@@ -4264,8 +4335,9 @@ def build_schur_executor(
         # duplicating the arrays into every executable.  The public
         # 4-argument executor contract is preserved by closing over the
         # device-resident plan here; callers (Solver, sweeps, bench) are
-        # unchanged.
-        _cplan_dev = jax.device_put(tree_plan.core_plan)
+        # unchanged.  Memoized so a TreeFactorization over the same plan
+        # shares the buffers.
+        _cplan_dev = _device_core_plan(tree_plan.core_plan)
         _inner_fn = fn
 
         def fn(arg0, arg1, start_pbc, end_pbc):

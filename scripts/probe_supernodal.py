@@ -37,9 +37,8 @@ from networks_fenicsx_tpu.network_generation import (  # noqa: E402
 )
 from networks_fenicsx_tpu.solver import (  # noqa: E402
     SolverOptions,
+    _cached_tree_plan,
     _flatten_blocks_host,
-    _plan_tree_elimination,
-    attach_core_plan,
     build_schur_executor,
     build_tree_factorization,
 )
@@ -53,7 +52,8 @@ def p_bc(x):
 def probe(label, mesh, asm, recompute, extras):
     opts = SolverOptions()
     t0 = time.perf_counter()
-    plan = attach_core_plan(_plan_tree_elimination(asm))
+    # memoized on the assembler — the executor/factorization reuse it
+    plan = _cached_tree_plan(asm, attach=True)
     t_plan = time.perf_counter() - t0
     stats = plan.core_plan.stats if plan.core_plan else None
     print(f"{label}: {mesh.num_edges} vessels, {asm.num_dofs} dofs, "
