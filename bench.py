@@ -899,7 +899,10 @@ def main(degraded: str | None = None) -> None:
                     ),
                 }
             elif (supernodal.get("core_plan")
-                    and not supernodal["core_plan"].get("fronts")):
+                    and not supernodal["core_plan"].get("fronts")
+                    and not supernodal["core_plan"].get("mf_fronts")):
+                # neither the chain-front supernodal tail nor the
+                # tree-multifrontal engine engaged
                 supernodal["note"] = "fronts did not engage at this size"
         except _subp.TimeoutExpired as te:
             # The child emits progressive PROBE_JSON lines precisely so a
